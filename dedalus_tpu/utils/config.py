@@ -1,0 +1,70 @@
+"""
+Cascading configuration: package defaults -> ~/.dedalus_tpu/config.cfg -> ./dedalus_tpu.cfg.
+
+Parity target: dedalus/tools/config.py + dedalus/dedalus.cfg (fresh implementation).
+"""
+
+import os
+import pathlib
+from configparser import ConfigParser
+
+DEFAULTS = {
+    'logging': {
+        'nonroot_level': 'warning',
+        'stdout_level': 'info',
+        'filename': 'none',
+    },
+    'transforms': {
+        # 'matrix' (MMT on the MXU, any dtype incl. f64) or 'fft' (XLA FFT, f32/c64 only on TPU)
+        'fourier_library': 'auto',
+        'jacobi_library': 'matrix',
+        'dealias_before_converting': 'True',
+    },
+    'parallelism': {
+        'sync_transposes': 'False',
+        'group_transforms': 'True',
+    },
+    'matrix construction': {
+        'bc_top': 'True',
+        'tau_left': 'True',
+        'interleave_components': 'False',
+        'store_expanded_matrices': 'True',
+    },
+    'linear algebra': {
+        # Device solve strategy for factorized pencil systems:
+        # 'lu' (host LU factors, device triangular solves)
+        # 'inverse' (host inverse, device batched matmul — fastest on MXU)
+        # 'inverse_refined' (inverse matmul + one iterative-refinement pass)
+        'matrix_factorizer': 'lu',
+        'matrix_solver': 'lu',
+        'evp_solver': 'scipy_dense',
+    },
+    'memory': {
+        'cache_transform_matrices': 'True',
+    },
+    'profiling': {
+        'default_profile': 'False',
+        'profile_dir': 'profiles',
+    },
+}
+
+
+def _build_config():
+    cfg = ConfigParser()
+    cfg.read_dict(DEFAULTS)
+    paths = [
+        pathlib.Path.home() / '.dedalus_tpu' / 'config.cfg',
+        pathlib.Path.cwd() / 'dedalus_tpu.cfg',
+    ]
+    cfg.read([str(p) for p in paths if p.exists()])
+    # Environment overrides: DEDALUS_TPU_<SECTION>__<KEY>=value
+    for key, value in os.environ.items():
+        if key.startswith('DEDALUS_TPU_') and '__' in key:
+            section, option = key[len('DEDALUS_TPU_'):].split('__', 1)
+            section = section.lower().replace('_', ' ')
+            if cfg.has_section(section):
+                cfg.set(section, option.lower(), value)
+    return cfg
+
+
+config = _build_config()
