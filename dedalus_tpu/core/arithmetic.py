@@ -1,0 +1,525 @@
+"""
+Arithmetic operator nodes: Add, Multiply (outer product), DotProduct,
+CrossProduct.
+
+Parity target (behavior): dedalus/core/arithmetic.py:51-989. Nonlinear
+products evaluate in grid space at dealias scales; NCC (linear-side) products
+lower to Clenshaw multiplication matrices per pencil.
+"""
+
+import numbers
+import numpy as np
+import jax.numpy as jnp
+from scipy import sparse
+
+from .field import Operand, Field
+from .future import Future, as_operand
+from .domain import Domain
+from ..utils.general import prod
+
+
+def merge_bases(b1, b2):
+    """Output basis for combining terms along one axis (None = constant)."""
+    from .basis import Jacobi
+    if b1 is None:
+        return b2
+    if b2 is None:
+        return b1
+    if b1 == b2:
+        return b1
+    if isinstance(b1, Jacobi) and isinstance(b2, Jacobi):
+        if (b1.coord, b1.size, b1.bounds, b1.a0, b1.b0) != (b2.coord, b2.size, b2.bounds, b2.a0, b2.b0):
+            raise ValueError(f"Incompatible Jacobi bases: {b1} {b2}")
+        a, b = max(b1.a, b2.a), max(b1.b, b2.b)
+        if (a, b) == (b1.a, b1.b):
+            return b1
+        if (a, b) == (b2.a, b2.b):
+            return b2
+        return b1.clone_with(a=a, b=b)
+    raise ValueError(f"Cannot merge bases: {b1} {b2}")
+
+
+def merge_domains(dist, *domains):
+    bases = [None] * dist.dim
+    for d in domains:
+        for i, b in enumerate(d.bases):
+            bases[i] = merge_bases(bases[i], b)
+    return Domain(dist, tuple(b for b in bases if b is not None))
+
+
+def _to_dealias_grid(field):
+    """Return grid data of a field at its domain's dealias scales."""
+    field.change_scales(field.domain.dealias)
+    field.require_grid_space()
+    return field.data
+
+
+class Add(Future):
+    """Addition of operands (parity: arithmetic.py:51,214)."""
+
+    def __new__(cls, *args):
+        args = [a for a in args if not (isinstance(a, numbers.Number) and a == 0)]
+        if len(args) == 0:
+            return 0
+        if len(args) == 1 and isinstance(args[0], (Field, Future)):
+            return args[0]
+        return super().__new__(cls)
+
+    def __init__(self, *args):
+        if any(a is self for a in args):
+            return  # __new__ passed an existing node through; do not re-init
+        args = [a for a in args if not (isinstance(a, numbers.Number) and a == 0)]
+        dist = next(a.dist for a in args if isinstance(a, (Field, Future)))
+        args = [as_operand(a, dist=dist) for a in args]
+        super().__init__(*args)
+
+    def _init_metadata(self):
+        ops = self._operands
+        tsigs = {op.tensorsig for op in ops}
+        if len(tsigs) > 1:
+            raise ValueError(f"Cannot add operands with tensorsigs {tsigs}")
+        self.tensorsig = ops[0].tensorsig
+        self.dtype = np.result_type(*[op.dtype for op in ops])
+        self.domain = merge_domains(self.dist, *[op.domain for op in ops])
+
+    def new_operands(self, *operands):
+        return Add(*operands)
+
+    def split(self, *targets):
+        withs, withouts = [], []
+        for op in self._operands:
+            w, wo = op.split(*targets)
+            if not (isinstance(w, numbers.Number) and w == 0):
+                withs.append(w)
+            if not (isinstance(wo, numbers.Number) and wo == 0):
+                withouts.append(wo)
+        part_with = Add(*withs) if withs else 0
+        part_without = Add(*withouts) if withouts else 0
+        return part_with, part_without
+
+    def is_linear_in(self, vars):
+        return all(op.is_linear_in(vars) for op in self._operands)
+
+    def sym_diff(self, variables, perturbations):
+        terms = [op.sym_diff(variables, perturbations) for op in self._operands]
+        terms = [t for t in terms if not (isinstance(t, numbers.Number) and t == 0)]
+        return Add(*terms) if terms else 0
+
+    def operate(self, arg_fields):
+        datas = [_to_dealias_grid(f) for f in arg_fields]
+        out = datas[0]
+        for d in datas[1:]:
+            out = out + d
+        out = jnp.broadcast_to(out, self.tensor_shape_of(out))
+        return self._build_output(self.dist.grid_layout, out, scales=self.domain.dealias)
+
+    def tensor_shape_of(self, data):
+        shape = tuple(cs.dim for cs in self.tensorsig)
+        grid = self.domain.grid_shape(self.domain.dealias)
+        return shape + grid
+
+    def expression_matrices(self, subproblem, vars, **kw):
+        out = {}
+        for op in self._operands:
+            mats = op.expression_matrices(subproblem, vars, **kw)
+            for var, mat in mats.items():
+                out[var] = out[var] + mat if var in out else mat
+        return out
+
+
+class Multiply(Future):
+    """
+    Multiplication: scalar scaling, pointwise products, and tensor outer
+    products (out tensorsig = a.tensorsig + b.tensorsig).
+    Parity: arithmetic.py:258,745,823,909 (Product/Multiply variants).
+    """
+
+    def __new__(cls, *args):
+        # Collapse numeric literals
+        numerics = [a for a in args if isinstance(a, numbers.Number)]
+        if numerics and all(isinstance(a, numbers.Number) for a in args):
+            return prod(args)
+        if any(isinstance(a, numbers.Number) and a == 0 for a in args):
+            return 0
+        # Strip unit scalars
+        if len(args) == 2:
+            a, b = args
+            if isinstance(a, numbers.Number) and a == 1:
+                return b
+            if isinstance(b, numbers.Number) and b == 1:
+                return a
+        return super().__new__(cls)
+
+    def __init__(self, *args):
+        if any(a is self for a in args):
+            return  # __new__ passed an existing node through; do not re-init
+        self.scalar = 1
+        operands = []
+        for a in args:
+            if isinstance(a, numbers.Number):
+                self.scalar = self.scalar * a
+            elif isinstance(a, Multiply) and len(a._operands) == 1:
+                # Flatten nested scalar multiplies
+                self.scalar = self.scalar * a.scalar
+                operands.append(a._operands[0])
+            else:
+                operands.append(a)
+        if not 1 <= len(operands) <= 2:
+            raise ValueError("Multiply takes one or two non-numeric operands")
+        super().__init__(*operands)
+
+    def _init_metadata(self):
+        ops = self._operands
+        self.tensorsig = sum((op.tensorsig for op in ops), ())
+        if isinstance(self.scalar, complex):
+            self.dtype = np.result_type(np.complex128, *[op.dtype for op in ops])
+        else:
+            self.dtype = np.result_type(*[op.dtype for op in ops])
+        self.domain = merge_domains(self.dist, *[op.domain for op in ops])
+
+    def new_operands(self, *operands):
+        return Multiply(self.scalar, *operands)
+
+    def is_linear_in(self, vars):
+        dep = [op.has(*vars) for op in self._operands]
+        if sum(dep) == 0:
+            return False
+        if sum(dep) > 1:
+            return False
+        i = dep.index(True)
+        return self._operands[i].is_linear_in(vars)
+
+    def split(self, *targets):
+        if len(self._operands) == 1:
+            w, wo = self._operands[0].split(*targets)
+            return (Multiply(self.scalar, w) if not _is_zero(w) else 0,
+                    Multiply(self.scalar, wo) if not _is_zero(wo) else 0)
+        a, b = self._operands
+        # Split distributes through products linear in the target (dt terms)
+        if a.has(*targets) and not b.has(*targets):
+            aw, awo = a.split(*targets)
+            return (Multiply(self.scalar, Multiply(aw, b)) if not _is_zero(aw) else 0,
+                    Multiply(self.scalar, Multiply(awo, b)) if not _is_zero(awo) else 0)
+        if b.has(*targets) and not a.has(*targets):
+            bw, bwo = b.split(*targets)
+            return (Multiply(self.scalar, Multiply(a, bw)) if not _is_zero(bw) else 0,
+                    Multiply(self.scalar, Multiply(a, bwo)) if not _is_zero(bwo) else 0)
+        if self.has(*targets):
+            return (self, 0)
+        return (0, self)
+
+    def sym_diff(self, variables, perturbations):
+        if len(self._operands) == 1:
+            d = self._operands[0].sym_diff(variables, perturbations)
+            return Multiply(self.scalar, d) if not _is_zero(d) else 0
+        a, b = self._operands
+        da = a.sym_diff(variables, perturbations)
+        db = b.sym_diff(variables, perturbations)
+        terms = []
+        if not _is_zero(da):
+            terms.append(Multiply(self.scalar, Multiply(da, b)))
+        if not _is_zero(db):
+            terms.append(Multiply(self.scalar, Multiply(a, db)))
+        return Add(*terms) if terms else 0
+
+    def operate(self, arg_fields):
+        datas = [_to_dealias_grid(f) for f in arg_fields]
+        if len(datas) == 1:
+            out = self.scalar * datas[0]
+        else:
+            a, b = datas
+            na = len(arg_fields[0].tensorsig)
+            nb = len(arg_fields[1].tensorsig)
+            # Outer product over tensor components, pointwise over space
+            a_exp = a.reshape(a.shape[:na] + (1,) * nb + a.shape[na:])
+            out = self.scalar * (a_exp * b)
+        shape = tuple(cs.dim for cs in self.tensorsig) + self.domain.grid_shape(self.domain.dealias)
+        out = jnp.broadcast_to(out, shape)
+        return self._build_output(self.dist.grid_layout, out, scales=self.domain.dealias)
+
+    # --- NCC matrices ---
+
+    def expression_matrices(self, subproblem, vars, **kw):
+        if len(self._operands) == 1:
+            mats = self._operands[0].expression_matrices(subproblem, vars, **kw)
+            return {v: self.scalar * m for v, m in mats.items()}
+        a, b = self._operands
+        a_dep, b_dep = a.has(*vars), b.has(*vars)
+        if a_dep and b_dep:
+            raise ValueError(f"Non-linear product in matrix expression: {self}")
+        if not a_dep and not b_dep:
+            raise ValueError(f"Product independent of variables: {self}")
+        ncc, operand = (a, b) if b_dep else (b, a)
+        ncc_first = (operand is b)
+        op_mats = operand.expression_matrices(subproblem, vars, **kw)
+        ncc_blocks = build_ncc_blocks(ncc, operand, self.domain, subproblem)
+        # Assemble tensor structure: out comps = ncc comps (x) operand comps,
+        # ordered (ncc, operand) if ncc first else (operand, ncc).
+        n_op_comp = prod(tuple(cs.dim for cs in operand.tensorsig)) or 1
+        rows = []
+        for blk in ncc_blocks:  # one spatial matrix per ncc component
+            rows.append(sparse.kron(sparse.identity(n_op_comp), blk))
+        if ncc_first:
+            M = sparse.vstack(rows) if len(rows) > 1 else rows[0]
+        else:
+            # operand comps vary slower: for each operand comp, all ncc comps
+            M = sparse.kron(sparse.identity(n_op_comp),
+                            sparse.vstack([b_ for b_ in _strip_kron(ncc_blocks)])) \
+                if False else _operand_first_stack(ncc_blocks, n_op_comp)
+        return {v: self.scalar * (M @ m) for v, m in op_mats.items()}
+
+
+def _operand_first_stack(ncc_blocks, n_op_comp):
+    """Rows ordered (operand comp, ncc comp): block-diagonal over operand comps
+    of the vstack of ncc component matrices."""
+    stacked = sparse.vstack(ncc_blocks) if len(ncc_blocks) > 1 else ncc_blocks[0]
+    return sparse.kron(sparse.identity(n_op_comp), stacked)
+
+
+def _strip_kron(x):
+    return x
+
+
+def build_ncc_blocks(ncc, operand, out_domain, subproblem):
+    """
+    Per-ncc-component spatial multiplication matrices for this subproblem,
+    mapping operand pencil (spatial part) -> output pencil (spatial part).
+
+    Requirements (round 1, Cartesian): the NCC must be constant along all
+    separable (non-coupled) axes; it may vary along coupled axes, where
+    multiplication lowers to a Clenshaw matrix (Jacobi) or convolution
+    matrix (Fourier).
+    """
+    dist = ncc.dist
+    ncc_field = ncc.evaluate() if isinstance(ncc, Future) else ncc
+    ncc_field.require_coeff_space()
+    coeffs = np.asarray(ncc_field.data)
+    ncomp_ncc = prod(tuple(cs.dim for cs in ncc_field.tensorsig)) or 1
+    spatial_shape = coeffs.shape[len(ncc_field.tensorsig):]
+    coeffs = coeffs.reshape((ncomp_ncc,) + spatial_shape)
+    blocks = []
+    for i in range(ncomp_ncc):
+        axis_mats = []
+        scalar = 1.0
+        for axis in range(dist.dim):
+            ncc_basis = ncc_field.domain.bases[axis]
+            op_basis = operand.domain.bases[axis]
+            out_basis = out_domain.bases[axis]
+            coupled = subproblem.coupled[axis]
+            op_width = subproblem.axis_width(op_basis, axis)
+            if not coupled:
+                if ncc_basis is not None:
+                    raise NotImplementedError(
+                        "NCCs varying along separable axes are not supported yet")
+                axis_mats.append(sparse.identity(op_width))
+            else:
+                if ncc_basis is None:
+                    # Constant along this coupled axis; possible conversion op->out
+                    if op_basis is None:
+                        axis_mats.append(sparse.identity(1))
+                    elif op_basis == out_basis:
+                        axis_mats.append(sparse.identity(op_width))
+                    else:
+                        axis_mats.append(op_basis.conversion_matrix(out_basis))
+                else:
+                    c_i = _axis_coeffs(coeffs[i], axis, spatial_shape)
+                    if op_basis is None:
+                        # NCC varying, operand constant: column of ncc coeffs
+                        # times conversion of the constant into the out basis
+                        col = _constant_embedding(out_basis)
+                        mat = _ncc_times_constant(ncc_basis, out_basis, c_i)
+                        axis_mats.append(mat)
+                    else:
+                        axis_mats.append(op_basis.ncc_matrix(ncc_basis, out_basis, c_i,
+                                                             cutoff=1e-10))
+        mat = axis_mats[0]
+        for m in axis_mats[1:]:
+            mat = sparse.kron(mat, m)
+        blocks.append(sparse.csr_matrix(scalar * mat))
+    return blocks
+
+
+def _axis_coeffs(comp_coeffs, axis, spatial_shape):
+    """Extract the 1D coefficient vector along `axis` (other axes must be size 1)."""
+    sel = [0] * len(spatial_shape)
+    sel[axis] = slice(None)
+    return np.asarray(comp_coeffs[tuple(sel)])
+
+
+def _constant_embedding(basis):
+    """Column embedding a constant value into basis coefficients."""
+    from .basis import Jacobi, RealFourier, ComplexFourier
+    from ..spectral import jacobi as jacobi_lib
+    col = np.zeros((basis.size, 1), dtype=complex if type(basis).__name__ == 'ComplexFourier' else float)
+    if isinstance(basis, Jacobi):
+        col[0, 0] = float(np.sqrt(jacobi_lib.mass(basis.a, basis.b)))
+    else:
+        col[0, 0] = 1.0
+    return sparse.csr_matrix(col)
+
+
+def _ncc_times_constant(ncc_basis, out_basis, ncc_coeffs):
+    """Column: (ncc(z) * const) coefficients in out_basis, per unit constant."""
+    from .basis import Jacobi
+    from ..spectral import jacobi as jacobi_lib
+    if isinstance(ncc_basis, Jacobi):
+        conv = jacobi_lib.conversion_matrix(ncc_basis.size, ncc_basis.a, ncc_basis.b,
+                                            out_basis.a, out_basis.b)
+        col = conv @ ncc_coeffs
+        return sparse.csr_matrix(col[:, None])
+    if ncc_basis == out_basis:
+        return sparse.csr_matrix(np.asarray(ncc_coeffs)[:, None])
+    raise NotImplementedError(f"NCC-times-constant for {ncc_basis} -> {out_basis}")
+
+
+def _is_zero(x):
+    return isinstance(x, numbers.Number) and x == 0
+
+
+class DotProduct(Future):
+    """
+    Tensor contraction of the last index of a with the first index of b.
+    Parity: arithmetic.py:587.
+    """
+
+    def __init__(self, a, b):
+        if not isinstance(a, (Field, Future)) or not isinstance(b, (Field, Future)):
+            raise ValueError("DotProduct requires two operands")
+        if not a.tensorsig or not b.tensorsig:
+            raise ValueError("DotProduct requires tensor operands")
+        if a.tensorsig[-1].dim != b.tensorsig[0].dim:
+            raise ValueError("Contraction dimension mismatch")
+        super().__init__(a, b)
+
+    def _init_metadata(self):
+        a, b = self._operands
+        self.tensorsig = a.tensorsig[:-1] + b.tensorsig[1:]
+        self.dtype = np.result_type(a.dtype, b.dtype)
+        self.domain = merge_domains(self.dist, a.domain, b.domain)
+
+    def new_operands(self, *operands):
+        return DotProduct(*operands)
+
+    def is_linear_in(self, vars):
+        a, b = self._operands
+        dep = [a.has(*vars), b.has(*vars)]
+        if sum(dep) != 1:
+            return False
+        i = dep.index(True)
+        return self._operands[i].is_linear_in(vars)
+
+    def sym_diff(self, variables, perturbations):
+        a, b = self._operands
+        da = a.sym_diff(variables, perturbations)
+        db = b.sym_diff(variables, perturbations)
+        terms = []
+        if not _is_zero(da):
+            terms.append(DotProduct(da, b))
+        if not _is_zero(db):
+            terms.append(DotProduct(a, db))
+        return Add(*terms) if terms else 0
+
+    def operate(self, arg_fields):
+        a_field, b_field = arg_fields
+        a = _to_dealias_grid(a_field)
+        b = _to_dealias_grid(b_field)
+        na = len(a_field.tensorsig)
+        nb = len(b_field.tensorsig)
+        # Contract a's last tensor axis with b's first via broadcast-multiply + sum
+        # a: (A..., c, space), b: (c, B..., space)
+        a_exp = jnp.expand_dims(a, axis=tuple(range(na, na + nb - 1)))  # (A..., c, 1xB-1, space)
+        b_exp = jnp.expand_dims(b, axis=tuple(range(0, na - 1)))        # (1xA-1, c, B..., space)
+        out = jnp.sum(a_exp * b_exp, axis=na - 1)
+        shape = tuple(cs.dim for cs in self.tensorsig) + self.domain.grid_shape(self.domain.dealias)
+        out = jnp.broadcast_to(out, shape)
+        return self._build_output(self.dist.grid_layout, out, scales=self.domain.dealias)
+
+    def expression_matrices(self, subproblem, vars, **kw):
+        a, b = self._operands
+        a_dep, b_dep = a.has(*vars), b.has(*vars)
+        if a_dep and b_dep:
+            raise ValueError(f"Nonlinear dot product in matrix expression: {self}")
+        ncc, operand = (a, b) if b_dep else (b, a)
+        ncc_first = (operand is b)
+        op_mats = operand.expression_matrices(subproblem, vars, **kw)
+        ncc_blocks = build_ncc_blocks(ncc, operand, self.domain, subproblem)
+        dim_c = (a.tensorsig[-1] if ncc_first else b.tensorsig[0]).dim
+        n_ncc_comp = prod(tuple(cs.dim for cs in ncc.tensorsig))
+        n_op_comp = prod(tuple(cs.dim for cs in operand.tensorsig))
+        if ncc_first:
+            # out_{A..., B...} = sum_c ncc_{A...,c} op_{c,B...}
+            n_A = n_ncc_comp // dim_c
+            n_B = n_op_comp // dim_c
+            rows = []
+            for Ai in range(n_A):
+                # sum over c of blocks: hstack over operand's leading c index
+                row = sparse.hstack([sparse.kron(sparse.identity(n_B),
+                                                 ncc_blocks[Ai * dim_c + c])
+                                     for c in range(dim_c)])
+                rows.append(row)
+            M = sparse.vstack(rows) if len(rows) > 1 else rows[0]
+        else:
+            # out_{A..., B...} = sum_c op_{A...,c} ncc_{c,B...}
+            n_A = n_op_comp // dim_c
+            n_B = n_ncc_comp // dim_c
+            rows = []
+            for Ai in range(n_A):
+                for Bi in range(n_B):
+                    row_blocks = []
+                    for Ai2 in range(n_A):
+                        for c in range(dim_c):
+                            if Ai2 == Ai:
+                                row_blocks.append(ncc_blocks[c * n_B + Bi])
+                            else:
+                                row_blocks.append(None)
+                    row = sparse.hstack([blk if blk is not None else
+                                         sparse.csr_matrix(ncc_blocks[0].shape)
+                                         for blk in row_blocks])
+                    rows.append(row)
+            M = sparse.vstack(rows) if len(rows) > 1 else rows[0]
+        return {v: (M @ m) for v, m in op_mats.items()}
+
+
+class CrossProduct(Future):
+    """3D cross product of vectors (parity: arithmetic.py:678)."""
+
+    def __init__(self, a, b):
+        if a.tensorsig[-1].dim != 3 or b.tensorsig[0].dim != 3:
+            raise ValueError("CrossProduct requires 3D vectors")
+        super().__init__(a, b)
+
+    def _init_metadata(self):
+        a, b = self._operands
+        self.tensorsig = a.tensorsig
+        self.dtype = np.result_type(a.dtype, b.dtype)
+        self.domain = merge_domains(self.dist, a.domain, b.domain)
+
+    def new_operands(self, *operands):
+        return CrossProduct(*operands)
+
+    def is_linear_in(self, vars):
+        a, b = self._operands
+        dep = [a.has(*vars), b.has(*vars)]
+        if sum(dep) != 1:
+            return False
+        return self._operands[dep.index(True)].is_linear_in(vars)
+
+    def sym_diff(self, variables, perturbations):
+        a, b = self._operands
+        da = a.sym_diff(variables, perturbations)
+        db = b.sym_diff(variables, perturbations)
+        terms = []
+        if not _is_zero(da):
+            terms.append(CrossProduct(da, b))
+        if not _is_zero(db):
+            terms.append(CrossProduct(a, db))
+        return Add(*terms) if terms else 0
+
+    def operate(self, arg_fields):
+        a = _to_dealias_grid(arg_fields[0])
+        b = _to_dealias_grid(arg_fields[1])
+        out = jnp.cross(a, b, axis=0)
+        return self._build_output(self.dist.grid_layout, out, scales=self.domain.dealias)
+
+
+__all__ = ['Add', 'Multiply', 'DotProduct', 'CrossProduct']

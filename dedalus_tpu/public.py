@@ -12,6 +12,16 @@ from .core.basis import (
     RealFourier, ComplexFourier,
 )
 from .core.field import Field, LockedField
+from .core import future  # installs the Field expression protocol
+from .core.operators import (
+    Differentiate, Gradient, Divergence, Laplacian, Curl, Skew, Trace,
+    TransposeComponents, Interpolate, Integrate, Average, Lift, TimeDerivative,
+    Component, Power, UnaryGridFunction, GeneralFunction,
+    grad, div, curl, lap, skew, trace, transpose, integ, ave, interp, dt, lift,
+)
+from .core.arithmetic import Add, Multiply, DotProduct, CrossProduct
+from .core.arithmetic import DotProduct as dot
+from .core.arithmetic import CrossProduct as cross
 
 # Chebyshev alias (dedalus exposes Chebyshev == ChebyshevT)
 Chebyshev = ChebyshevT
