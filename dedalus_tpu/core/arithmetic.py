@@ -237,6 +237,14 @@ class Multiply(Future):
         out = jnp.broadcast_to(out, shape)
         return self._build_output(self.dist.grid_layout, out, scales=self.domain.dealias)
 
+    def matrix_coupling(self, *vars):
+        out = super().matrix_coupling(*vars)
+        # An NCC factor varying along an axis couples mode groups along it
+        for op in self._operands:
+            if not op.has(*vars):
+                out |= np.array(op.domain.nonconstant)
+        return out
+
     # --- NCC matrices ---
 
     def expression_matrices(self, subproblem, vars, **kw):
@@ -433,6 +441,13 @@ class DotProduct(Future):
         shape = tuple(cs.dim for cs in self.tensorsig) + self.domain.grid_shape(self.domain.dealias)
         out = jnp.broadcast_to(out, shape)
         return self._build_output(self.dist.grid_layout, out, scales=self.domain.dealias)
+
+    def matrix_coupling(self, *vars):
+        out = super().matrix_coupling(*vars)
+        for op in self._operands:
+            if not op.has(*vars):
+                out |= np.array(op.domain.nonconstant)
+        return out
 
     def expression_matrices(self, subproblem, vars, **kw):
         a, b = self._operands

@@ -106,6 +106,16 @@ class Basis(metaclass=CachedClass):
     def _backward_matrix_device(self, scale, dtype):
         return jnp.asarray(self.backward_matrix(scale, dtype))
 
+    # --- validity (parity: reference valid_elements machinery) ---
+
+    def valid_coeff_mask(self):
+        """Validity of each coefficient (full axis)."""
+        return np.ones(self.coeff_size, dtype=bool)
+
+    def group_valid_mask(self, group):
+        """Validity of each element within one mode group."""
+        return np.ones(self.group_shape[0], dtype=bool)
+
     # --- operator matrices (host, scipy.sparse) ---
 
     def conversion_matrix(self, out_basis):
@@ -350,6 +360,20 @@ class ComplexFourier(FourierBase):
         mat *= (np.abs(K) <= Kmax)
         return np.ascontiguousarray(mat.astype(dtype))
 
+    def valid_coeff_mask(self):
+        # For even sizes the wrap-around slot k = KM+1 is the zeroed Nyquist mode
+        mask = np.ones(self.size, dtype=bool)
+        KM = (self.size - 1) // 2
+        if self.size % 2 == 0:
+            mask[KM + 1] = False
+        return mask
+
+    def group_valid_mask(self, group):
+        KM = (self.size - 1) // 2
+        if self.size % 2 == 0 and group == KM + 1:
+            return np.array([False])
+        return np.array([True])
+
     # --- operator matrices ---
 
     def differentiation_matrix(self):
@@ -444,6 +468,16 @@ class RealFourier(FourierBase):
         mat[:, 1::2] = -np.sin(K * X)
         mat *= (self.wavenumbers_native[None, :] <= Kmax)
         return np.ascontiguousarray(mat.astype(dtype))
+
+    def valid_coeff_mask(self):
+        mask = np.ones(self.size, dtype=bool)
+        mask[1] = False  # b_0 (the k=0 minus-sine coefficient) is identically zero
+        return mask
+
+    def group_valid_mask(self, group):
+        if group == 0:
+            return np.array([True, False])
+        return np.array([True, True])
 
     # --- operator matrices (acting on interleaved (cos, -sin) pairs) ---
 

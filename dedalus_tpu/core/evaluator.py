@@ -1,0 +1,243 @@
+"""
+Evaluator: scheduled evaluation of analysis tasks and file output.
+
+Parity target (behavior): dedalus/core/evaluator.py:31-865 (Evaluator,
+Handler scheduling, DictionaryHandler, H5 file handlers) and
+solvers.py:632-673 (load_state). Serial-host HDF5 writes; in distributed runs
+data arrives replicated/gathered (device->host) before writing.
+"""
+
+import os
+import pathlib
+import logging
+import numpy as np
+
+from .field import Field
+from .future import Future
+
+logger = logging.getLogger(__name__)
+
+
+class Task:
+    __slots__ = ('operand', 'name', 'layout', 'scales', 'out')
+
+    def __init__(self, operand, name, layout='g', scales=1):
+        self.operand = operand
+        self.name = name
+        self.layout = layout
+        self.scales = scales
+        self.out = None
+
+
+class Handler:
+    """Scheduled group of output tasks (parity: evaluator.py:207-321)."""
+
+    def __init__(self, evaluator, wall_dt=None, sim_dt=None, iter=None, custom_schedule=None):
+        self.evaluator = evaluator
+        self.tasks = []
+        self.wall_dt = wall_dt
+        self.sim_dt = sim_dt
+        self.iter = iter
+        self.custom_schedule = custom_schedule
+        self.last_wall_div = -1
+        self.last_sim_div = -1
+        self.last_iter_div = -1
+
+    def add_task(self, task, name=None, layout='g', scales=None):
+        if isinstance(task, str):
+            namespace = dict(self.evaluator.namespace)
+            task_op = eval(task, namespace)
+            name = name or task
+        else:
+            task_op = task
+            name = name or getattr(task, 'name', None) or f"task{len(self.tasks)}"
+        if scales is None:
+            scales = 1
+        self.tasks.append(Task(task_op, name, layout, scales))
+
+    def add_tasks(self, tasks, **kw):
+        for task in tasks:
+            self.add_task(task, **kw)
+
+    def add_system(self, solver, **kw):
+        for field in solver.state:
+            self.add_task(field, name=field.name, **kw)
+
+    def check_schedule(self, wall_time=0.0, sim_time=0.0, iteration=0, **kw):
+        scheduled = False
+        if self.wall_dt is not None:
+            div = int(wall_time // self.wall_dt)
+            if div > self.last_wall_div:
+                scheduled = True
+                self.last_wall_div = div
+        if self.sim_dt is not None:
+            div = int((sim_time + 1e-12) // self.sim_dt)
+            if div > self.last_sim_div:
+                scheduled = True
+                self.last_sim_div = div
+        if self.iter is not None:
+            div = iteration // self.iter
+            if div > self.last_iter_div:
+                scheduled = True
+                self.last_iter_div = div
+        if self.custom_schedule is not None:
+            scheduled = scheduled or self.custom_schedule(
+                wall_time=wall_time, sim_time=sim_time, iteration=iteration, **kw)
+        return scheduled
+
+    def process(self, **kw):
+        raise NotImplementedError
+
+
+class DictionaryHandler(Handler):
+    """Stores outputs in a dict (parity: evaluator.py:322)."""
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self.fields = {}
+
+    def __getitem__(self, name):
+        return self.fields[name]
+
+    def process(self, **kw):
+        for task in self.tasks:
+            out = task.operand.evaluate() if isinstance(task.operand, Future) else task.operand
+            if task.layout in ('g', 'grid'):
+                out.change_scales(task.scales)
+                out.require_grid_space()
+            else:
+                out.require_coeff_space()
+            task.out = out
+            self.fields[task.name] = out
+
+
+class H5FileHandler(Handler):
+    """
+    HDF5 output handler with set/write numbering and dimension scales
+    (parity: evaluator.py:366-652 H5FileHandlerBase/H5GatherFileHandler).
+    """
+
+    def __init__(self, evaluator, base_path, max_writes=np.inf, mode='overwrite', **kw):
+        super().__init__(evaluator, **kw)
+        self.base_path = pathlib.Path(base_path)
+        self.max_writes = max_writes
+        self.set_num = 0
+        self.write_num = 0
+        self.writes_in_set = 0
+        self.current_file = None
+        self.base_path.mkdir(parents=True, exist_ok=True)
+        if mode == 'append':
+            existing = sorted(self.base_path.glob(f"{self.base_path.stem}_s*.h5"))
+            if existing:
+                import h5py
+                self.set_num = len(existing)
+                with h5py.File(existing[-1], 'r') as f:
+                    self.write_num = int(f.attrs.get('final_write_num', 0))
+
+    @property
+    def current_path(self):
+        return self.base_path / f"{self.base_path.stem}_s{self.set_num}.h5"
+
+    def process(self, wall_time=0.0, sim_time=0.0, iteration=0, timestep=0.0, **kw):
+        import h5py
+        if self.current_file is None or self.writes_in_set >= self.max_writes:
+            self.set_num += 1
+            self.writes_in_set = 0
+        self.write_num += 1
+        self.writes_in_set += 1
+        path = self.current_path
+        with h5py.File(path, 'a') as f:
+            f.attrs['set_number'] = self.set_num
+            f.attrs['final_write_num'] = self.write_num
+            f.attrs['handler_name'] = self.base_path.stem
+            scales = f.require_group('scales')
+            tasks_group = f.require_group('tasks')
+            for task in self.tasks:
+                out = task.operand.evaluate() if isinstance(task.operand, Future) else task.operand
+                if task.layout in ('g', 'grid'):
+                    out.change_scales(task.scales)
+                    out.require_grid_space()
+                else:
+                    out.require_coeff_space()
+                data = np.asarray(out.data)
+                if task.name in tasks_group:
+                    dset = tasks_group[task.name]
+                    dset.resize(dset.shape[0] + 1, axis=0)
+                else:
+                    dset = tasks_group.create_dataset(
+                        task.name, shape=(1,) + data.shape,
+                        maxshape=(None,) + data.shape, dtype=data.dtype)
+                    # Attach grid dimension scales for the spatial axes
+                    nt = len(out.tensorsig)
+                    for i, basis in enumerate(out.domain.bases):
+                        if basis is None:
+                            continue
+                        scale_name = f"{basis.coord.name}_{task.scales}"
+                        if scale_name not in scales:
+                            grid = np.asarray(basis.global_grid(
+                                task.scales if np.isscalar(task.scales) else task.scales[i]))
+                            scales.create_dataset(scale_name, data=grid)
+                        dset.dims[1 + nt + i].attach_scale(scales[scale_name])
+                        dset.dims[1 + nt + i].label = basis.coord.name
+                dset[-1] = data
+            for name, val in [('sim_time', sim_time), ('wall_time', wall_time),
+                              ('iteration', iteration), ('timestep', timestep),
+                              ('write_number', self.write_num)]:
+                if name in scales:
+                    ds = scales[name]
+                    ds.resize(ds.shape[0] + 1, axis=0)
+                else:
+                    ds = scales.create_dataset(name, shape=(1,), maxshape=(None,),
+                                               dtype=np.float64)
+                ds[-1] = val
+        self.current_file = path
+
+
+class Evaluator:
+    """Coordinates handler scheduling (parity: evaluator.py:31-205)."""
+
+    def __init__(self, dist, namespace=None):
+        self.dist = dist
+        self.namespace = namespace or {}
+        self.handlers = []
+
+    def add_dictionary_handler(self, **kw):
+        handler = DictionaryHandler(self, **kw)
+        self.handlers.append(handler)
+        return handler
+
+    def add_file_handler(self, base_path, **kw):
+        handler = H5FileHandler(self, base_path, **kw)
+        self.handlers.append(handler)
+        return handler
+
+    def evaluate_scheduled(self, **kw):
+        for handler in self.handlers:
+            if handler.check_schedule(**kw):
+                handler.process(**kw)
+
+    def evaluate_handlers(self, handlers=None, **kw):
+        for handler in (handlers if handlers is not None else self.handlers):
+            handler.process(**kw)
+
+
+def load_state_from_file(solver, path, index=-1):
+    """
+    Restore solver state from an HDF5 checkpoint written by H5FileHandler
+    (parity: solvers.py:632-673 + field.py:734-780).
+    """
+    import h5py
+    path = pathlib.Path(path)
+    with h5py.File(path, 'r') as f:
+        write_num = int(np.asarray(f['scales/write_number'])[index])
+        sim_time = float(np.asarray(f['scales/sim_time'])[index])
+        iteration = int(np.asarray(f['scales/iteration'])[index])
+        solver.sim_time = sim_time
+        solver.iteration = solver.initial_iteration = iteration
+        for field in solver.state:
+            if field.name in f['tasks']:
+                data = np.asarray(f['tasks'][field.name][index])
+                field.change_scales(1)
+                field[ 'g' if data.shape == tuple(field.required_shape(field.dist.grid_layout, field.scales)) else 'c'] = data
+    logger.info(f"Loaded state from {path} (write {write_num}, t={sim_time})")
+    return write_num, sim_time

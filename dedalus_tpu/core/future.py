@@ -282,6 +282,14 @@ def _field_atoms(self, *types):
 def _field_frechet(self, variables, perturbations, backgrounds=None):
     return _field_sym_diff(self, variables, perturbations)
 
+def _field_expression_matrices(self, subproblem, vars, **kw):
+    from scipy import sparse as _sparse
+    for var in vars:
+        if self is var:
+            n = subproblem.field_size(self)
+            return {self: _sparse.identity(n, format='csr')}
+    raise ValueError(f"Field {self} is not a problem variable")
+
 def _field_prep_nccs(self, vars):
     return self
 
@@ -302,5 +310,6 @@ Field.require_first_order = _field_require_first_order
 Field.split = _field_split
 Field.replace = _field_replace
 Field.atoms = _field_atoms
+Field.expression_matrices = _field_expression_matrices
 Field.prep_nccs = _field_prep_nccs
 Field.gather_ncc_coeffs = _field_gather_ncc

@@ -1,0 +1,310 @@
+"""
+Solvers: IVP (IMEX-stepped), LBVP, NLBVP (Newton), EVP (dense/sparse).
+
+Parity target (behavior): dedalus/core/solvers.py:31-806. TPU-first redesign:
+per-pencil sparse solves become one batched dense solve over a (G, P, P)
+stack; state gather/scatter are static index-map gathers; RHS evaluation is a
+pure function over JAX arrays (jit-fusable).
+"""
+
+import time
+import logging
+import numpy as np
+import jax.numpy as jnp
+from scipy import linalg as sla
+
+from . import subsystems
+from . import timesteppers as timesteppers_module
+from ..ops import solve as ops_solve
+from ..utils.config import config
+
+logger = logging.getLogger(__name__)
+
+
+class SolverBase:
+    """
+    Common solver setup: subproblem enumeration and batched pencil system
+    (parity: solvers.py:31-133).
+    """
+
+    matrix_names = ()
+
+    def __init__(self, problem, matsolver=None, bc_top=None, tau_left=None, **kw):
+        self.problem = problem
+        self.dist = problem.dist
+        self.dtype = problem.dtype
+        if matsolver is None:
+            matsolver = config.get('linear algebra', 'matrix_factorizer')
+        self.matsolver = matsolver
+        coupling = problem.matrix_coupling
+        domains = [eq['domain'] for eq in problem.equations]
+        domains += [v.domain for v in problem.LHS_variables]
+        self.coupled, self.subproblems = subsystems.enumerate_subproblems(
+            self.dist, domains, coupling)
+        self.pencil = subsystems.PencilSystem(
+            self.dist, self.subproblems, problem.LHS_variables, problem.equations,
+            list(self.matrix_names))
+
+    # --- state plumbing ---
+
+    @property
+    def state(self):
+        return self.problem.LHS_variables
+
+    def state_flat(self):
+        for f in self.state:
+            f.require_coeff_space()
+            f.change_scales(1)
+        return self.pencil.flatten_fields(self.state)
+
+    def set_state_pencils(self, X):
+        flat = self.pencil.scatter_state(X)
+        self.pencil.unflatten_fields(flat, self.state)
+
+    def evaluate_F(self, wall_time=0.0, timestep=0.0, schedule=True):
+        """Evaluate all equation RHS expressions and gather (G, R) pencils."""
+        if schedule and getattr(self, 'evaluator', None) is not None:
+            self.evaluator.evaluate_scheduled(
+                iteration=getattr(self, 'iteration', 0),
+                wall_time=wall_time,
+                sim_time=getattr(self, 'sim_time', 0.0),
+                timestep=timestep)
+        datas = []
+        for eq in self.problem.equations:
+            F = eq['F'].evaluate()
+            F.require_coeff_space()
+            F.change_scales(1)
+            datas.append(F.data)
+        return self.pencil.gather_eq_data(datas)
+
+
+class LinearBoundaryValueSolver(SolverBase):
+    """L.X = F (parity: solvers.py:324)."""
+
+    matrix_names = ('L',)
+
+    def __init__(self, problem, **kw):
+        super().__init__(problem, **kw)
+        self.evaluator = None
+        self._factorized = None
+
+    def solve(self, rebuild_matrices=False):
+        if rebuild_matrices or self._factorized is None:
+            if rebuild_matrices:
+                self.pencil.build_matrices(['L'])
+            A = self.pencil.combined_with_pivots({'L': 1.0})
+            self._factorized = ops_solve.FactorizedStack(A, method=self.matsolver)
+        F = self.evaluate_F(schedule=False)
+        X = self._factorized.solve(F)
+        self.set_state_pencils(X)
+
+
+class NonlinearBoundaryValueSolver(SolverBase):
+    """Newton-Kantorovich iteration: dF.dX = -F (parity: solvers.py:418)."""
+
+    matrix_names = ('dF',)
+
+    def __init__(self, problem, **kw):
+        super().__init__(problem, **kw)
+        self.evaluator = None
+        self.iteration = 0
+        self.perturbations = problem.perturbations
+
+    def newton_iteration(self, damping=1.0):
+        # Rebuild dF matrices about the current state (NCC backgrounds changed)
+        self.pencil.build_matrices(['dF'])
+        A = self.pencil.combined_with_pivots({'dF': 1.0})
+        fact = ops_solve.FactorizedStack(A, method=self.matsolver)
+        F = self.evaluate_F(schedule=False)
+        dX = fact.solve(-F)
+        # Scatter perturbations and update variables
+        flat = self.pencil.scatter_state(dX)
+        self.pencil.unflatten_fields(flat, self.perturbations)
+        for var, pert in zip(self.problem.variables, self.perturbations):
+            var.require_coeff_space()
+            var.change_scales(1)
+            var.preset_data(var.layout, var.data + damping * pert.data)
+        self.iteration += 1
+
+
+class EigenvalueSolver(SolverBase):
+    """
+    lam*M.X + L.X = 0 (parity: solvers.py:134-321): dense eigensolve per
+    subproblem (invalid modes dropped), or sparse shift-invert via host ARPACK.
+    """
+
+    matrix_names = ('M', 'L')
+
+    def __init__(self, problem, **kw):
+        super().__init__(problem, **kw)
+        self.evaluator = None
+        self.eigenvalues = None
+        self.eigenvectors = None
+        self.eigenvalue_subproblem = None
+
+    def _dense_pair(self, sp_index):
+        """Dense (L, M) for one subproblem with invalid rows/cols dropped."""
+        pencil = self.pencil
+        L = pencil.matrices_scipy['L'][sp_index].toarray()
+        M = pencil.matrices_scipy['M'][sp_index].toarray()
+        rv = pencil.row_valid[sp_index]
+        cv = pencil.col_valid[sp_index]
+        return L[np.ix_(rv, cv)], M[np.ix_(rv, cv)], rv, cv
+
+    def solve_dense(self, subproblem=None, sp_index=0, left=False, **kw):
+        if subproblem is not None:
+            sp_index = self.subproblems.index(subproblem)
+        self.eigenvalue_subproblem = sp_index
+        L, M, rv, cv = self._dense_pair(sp_index)
+        # lam M x + L x = 0  ->  L x = lam (-M) x
+        out = sla.eig(L, b=-M, left=left, **kw)
+        if left:
+            self.eigenvalues, self.left_eigenvectors, pre_evecs = out
+        else:
+            self.eigenvalues, pre_evecs = out
+        # Re-embed eigenvectors into full pencil coordinates
+        full = np.zeros((self.pencil.C, pre_evecs.shape[1]), dtype=pre_evecs.dtype)
+        full[cv, :] = pre_evecs
+        self.eigenvectors = full
+
+    def solve_sparse(self, subproblem=None, N=10, target=0.0, sp_index=0, **kw):
+        """Sparse shift-invert eigensolve around `target` via host ARPACK."""
+        from scipy.sparse import linalg as spla
+        from scipy import sparse as ss
+        if subproblem is not None:
+            sp_index = self.subproblems.index(subproblem)
+        self.eigenvalue_subproblem = sp_index
+        L, M, rv, cv = self._dense_pair(sp_index)
+        A = ss.csc_matrix(L)
+        B = ss.csc_matrix(-M)
+        # Solve A x = lam B x with shift-invert: C = A - target B
+        C = (A - target * B).tocsc()
+        solve = spla.factorized(C)
+        n = A.shape[0]
+        op = spla.LinearOperator((n, n), matvec=lambda x: solve(B @ x), dtype=A.dtype)
+        evals, evecs = spla.eigs(op, k=N, which='LM')
+        evals = 1 / evals + target
+        self.eigenvalues = evals
+        full = np.zeros((self.pencil.C, evecs.shape[1]), dtype=evecs.dtype)
+        full[cv, :] = evecs
+        self.eigenvectors = full
+
+    def set_state(self, index, subsystem=None):
+        """Load eigenvector `index` into the problem variables."""
+        sp_index = self.eigenvalue_subproblem or 0
+        vec = self.eigenvectors[:, index]
+        G = self.pencil.G
+        X = np.zeros((G, self.pencil.C), dtype=complex if np.iscomplexobj(vec) else float)
+        X[sp_index] = vec
+        if np.iscomplexobj(vec) and not np.issubdtype(self.dtype, np.complexfloating):
+            X = X.real  # caller can rescale phases first
+        self.set_state_pencils(jnp.asarray(X))
+
+
+class InitialValueSolver(SolverBase):
+    """
+    M.dt(X) + L.X = F (parity: solvers.py:503-806): IMEX stepping with batched
+    device solves; run-control properties (proceed, stop criteria); stats.
+    """
+
+    matrix_names = ('M', 'L')
+
+    def __init__(self, problem, timestepper, enforce_real_cadence=100, warmup_iterations=10, **kw):
+        super().__init__(problem, **kw)
+        if isinstance(timestepper, str):
+            timestepper = timesteppers_module.schemes[timestepper]
+        self.timestepper = timestepper(self)
+        self.iteration = self.initial_iteration = 0
+        self.stop_sim_time = np.inf
+        self.stop_wall_time = np.inf
+        self.stop_iteration = np.inf
+        self.start_time = self.wall_time
+        self.warmup_iterations = warmup_iterations
+        self.warmup_time = None
+        from .evaluator import Evaluator
+        self.evaluator = Evaluator(self.dist, dict(self.problem.namespace))
+        self.F_handler = None
+
+    # --- time bookkeeping ---
+
+    @property
+    def sim_time(self):
+        return float(np.asarray(self.problem.time['g']).ravel()[0])
+
+    @sim_time.setter
+    def sim_time(self, t):
+        self.problem.time['g'] = t
+
+    @property
+    def wall_time(self):
+        return time.perf_counter()
+
+    @property
+    def proceed(self):
+        if self.sim_time >= self.stop_sim_time:
+            logger.info("Simulation stop time reached.")
+            return False
+        if (self.wall_time - self.start_time) >= self.stop_wall_time:
+            logger.info("Wall stop time reached.")
+            return False
+        if self.iteration >= self.stop_iteration:
+            logger.info("Stop iteration reached.")
+            return False
+        return True
+
+    def step(self, dt):
+        """Advance the system by one timestep."""
+        if dt <= 0 or not np.isfinite(dt):
+            raise ValueError(f"Invalid timestep: {dt}")
+        if self.iteration == self.warmup_iterations:
+            self.warmup_time = self.wall_time
+        self.timestepper.step(float(dt), wall_time=self.wall_time - self.start_time)
+        self.iteration += 1
+
+    def evolve(self, timestep_function, log_cadence=100):
+        """Advance until a stop criterion triggers."""
+        try:
+            while self.proceed:
+                dt = timestep_function() if callable(timestep_function) else timestep_function
+                self.step(dt)
+                if self.iteration % log_cadence == 0:
+                    logger.info(f"Iteration={self.iteration}, Time={self.sim_time:.6e}, dt={dt:.3e}")
+        except Exception:
+            logger.error("Exception raised, triggering end of main loop.")
+            raise
+        finally:
+            self.log_stats()
+
+    def print_subproblem_ranks(self, *args, **kw):
+        for g, sp in enumerate(self.subproblems):
+            A = self.pencil.combined_with_pivots({'M': 1.0, 'L': 1.0})[g]
+            print(f"Subproblem {g}: shape={A.shape}, rank={np.linalg.matrix_rank(A)}")
+
+    def load_state(self, path, index=-1):
+        """Restore state fields, sim time and iteration from a checkpoint."""
+        from .evaluator import load_state_from_file
+        return load_state_from_file(self, path, index)
+
+    def log_stats(self, format='.4g'):
+        """Log run statistics: wall times and mode-stages/cpu-sec throughput
+        (parity: solvers.py:755-778)."""
+        log_time = self.wall_time
+        total = log_time - self.start_time
+        logger.info(f"Final iteration: {self.iteration}")
+        logger.info(f"Final sim time: {self.sim_time}")
+        logger.info(f"Setup + run time (s): {total:{format}}")
+        if self.warmup_time is not None and self.iteration > self.warmup_iterations:
+            run_time = log_time - self.warmup_time
+            iters = self.iteration - self.warmup_iterations
+            modes = sum(int(np.prod(self.pencil._coeff_shape(v))) for v in self.state)
+            stages = getattr(self.timestepper, 'stages', 1)
+            logger.info(f"Timings after warmup iteration {self.warmup_iterations}:")
+            logger.info(f"  Run time (s): {run_time:{format}}")
+            if run_time > 0:
+                logger.info(f"  Speed: {modes * iters * stages / run_time:{format}} mode-stages/sec")
+                self.speed = modes * iters * stages / run_time
+
+
+# Aliases matching the reference naming
+IVPSolver = InitialValueSolver
+LBVPSolver = LinearBoundaryValueSolver

@@ -1,0 +1,101 @@
+"""
+Batched pencil-solve kernels.
+
+The reference's per-pencil SuperLU factor/solve (dedalus/core/timesteppers.py
+:174-184, matsolvers.py) becomes: factorization on HOST (f64 scipy LAPACK,
+once per LHS change) + batched dense triangular solves / inverse-matmuls on
+DEVICE. TPU v5e supports f64 matmul and triangular_solve (emulated) but not
+f64 LU, so the factor/apply split is the TPU-native formulation; the applies
+are MXU matmuls batched over all mode groups at once.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy import linalg as sla
+from functools import partial
+
+
+def batched_matvec(A, X):
+    """(G, R, C) @ (G, C) -> (G, R)."""
+    return jnp.einsum('grc,gc->gr', A, X)
+
+
+def host_lu_factor_stack(A):
+    """
+    LU-factor a stack of matrices on host.
+    A: (G, P, P) numpy. Returns (lu (G,P,P) device, perm (G,P) device int32).
+    """
+    G, P, _ = A.shape
+    lus = np.empty_like(A)
+    perms = np.empty((G, P), dtype=np.int32)
+    for g in range(G):
+        lu, piv = sla.lu_factor(A[g], check_finite=False)
+        lus[g] = lu
+        # Convert LAPACK pivots to a permutation vector
+        perm = np.arange(P)
+        for i, p in enumerate(piv):
+            perm[i], perm[p] = perm[p], perm[i]
+        perms[g] = perm
+    return jnp.asarray(lus), jnp.asarray(perms)
+
+
+@jax.jit
+def batched_lu_solve(lu, perm, R):
+    """
+    Solve A X = R given host-computed LU factors.
+    lu: (G,P,P), perm: (G,P), R: (G,P). Returns X: (G,P).
+    """
+    Rp = jnp.take_along_axis(R, perm, axis=1)
+    Y = jax.lax.linalg.triangular_solve(
+        lu, Rp[..., None], left_side=True, lower=True, unit_diagonal=True)
+    X = jax.lax.linalg.triangular_solve(
+        lu, Y, left_side=True, lower=False, unit_diagonal=False)
+    return X[..., 0]
+
+
+def host_inverse_stack(A):
+    """Dense inverses on host: (G,P,P) -> device (G,P,P)."""
+    G = A.shape[0]
+    out = np.empty_like(A)
+    for g in range(G):
+        out[g] = sla.inv(A[g], check_finite=False)
+    return jnp.asarray(out)
+
+
+@jax.jit
+def batched_inverse_solve(Ainv, R):
+    return jnp.einsum('gij,gj->gi', Ainv, R)
+
+
+@jax.jit
+def batched_refined_solve(Ainv, A, R):
+    """One step of iterative refinement: X1 = X0 + Ainv (R - A X0)."""
+    X0 = jnp.einsum('gij,gj->gi', Ainv, R)
+    resid = R - jnp.einsum('gij,gj->gi', A, X0)
+    return X0 + jnp.einsum('gij,gj->gi', Ainv, resid)
+
+
+class FactorizedStack:
+    """A factorized (G,P,P) stack with a device solve method."""
+
+    def __init__(self, A, method='lu'):
+        self.method = method
+        if np.iscomplexobj(A):
+            # Complex pencils: factor on host; device solve only on CPU backend
+            self.method = method = 'lu'
+        if method == 'lu':
+            self.lu, self.perm = host_lu_factor_stack(A)
+        elif method in ('inverse', 'inverse_refined'):
+            self.Ainv = host_inverse_stack(A)
+            if method == 'inverse_refined':
+                self.A = jnp.asarray(A)
+        else:
+            raise ValueError(f"Unknown solve method: {method}")
+
+    def solve(self, R):
+        if self.method == 'lu':
+            return batched_lu_solve(self.lu, self.perm, R)
+        if self.method == 'inverse':
+            return batched_inverse_solve(self.Ainv, R)
+        return batched_refined_solve(self.Ainv, self.A, R)

@@ -23,5 +23,18 @@ from .core.arithmetic import Add, Multiply, DotProduct, CrossProduct
 from .core.arithmetic import DotProduct as dot
 from .core.arithmetic import CrossProduct as cross
 
+from .core.problems import IVP, LBVP, NLBVP, EVP, InitialValueProblem, \
+    LinearBoundaryValueProblem, NonlinearBoundaryValueProblem, EigenvalueProblem
+from .core.timesteppers import (
+    schemes as timestepper_schemes,
+    CNAB1, SBDF1, CNAB2, MCNAB2, SBDF2, CNLF2, SBDF3, SBDF4,
+    RK111, RK222, RK443, RKSMR, RKGFY,
+)
+from .core.solvers import (
+    InitialValueSolver, LinearBoundaryValueSolver,
+    NonlinearBoundaryValueSolver, EigenvalueSolver,
+)
+from .core.evaluator import Evaluator
+
 # Chebyshev alias (dedalus exposes Chebyshev == ChebyshevT)
 Chebyshev = ChebyshevT

@@ -1,0 +1,135 @@
+"""
+IVP tests: 1D heat equation vs exact solution for every registered
+timestepper (mirrors dedalus/tests/test_ivp.py:20-49), plus nonlinear
+KdV-Burgers invariants and a Rayleigh-Benard build-and-run smoke test.
+"""
+
+import numpy as np
+import pytest
+
+import dedalus_tpu.public as d3
+
+
+def heat_error(scheme, timestep, n_steps, Nx=16, nu=0.1, kmode=3):
+    c = d3.Coordinate('x')
+    dist = d3.Distributor(c, dtype=np.float64)
+    xb = d3.RealFourier(c, size=Nx, bounds=(0, 2 * np.pi), dealias=1.5)
+    u = dist.Field(name='u', bases=xb)
+    dx = lambda A: d3.Differentiate(A, c)
+    problem = d3.IVP([u], namespace=locals())
+    problem.add_equation("dt(u) - nu*dx(dx(u)) = 0")
+    solver = problem.build_solver(scheme)
+    x = dist.local_grid(xb, scale=1).ravel()
+    u['g'] = np.sin(kmode * x)
+    for _ in range(n_steps):
+        solver.step(timestep)
+    u.change_scales(1)
+    exact = np.exp(-nu * kmode**2 * n_steps * timestep) * np.sin(kmode * x)
+    return np.abs(np.array(u['g']) - exact).max()
+
+
+@pytest.mark.parametrize("scheme_name", list(d3.timestepper_schemes))
+def test_heat_all_timesteppers(scheme_name):
+    scheme = d3.timestepper_schemes[scheme_name]
+    err = heat_error(scheme, 1e-3, 50)
+    assert err < 5e-5
+
+
+def test_sbdf2_second_order_convergence():
+    e1 = heat_error(d3.SBDF2, 2e-3, 50)
+    e2 = heat_error(d3.SBDF2, 1e-3, 100)
+    assert 3.5 < e1 / e2 < 4.5
+
+
+def test_kdv_burgers_conservation():
+    Lx, Nx = 10, 128
+    a, b = 1e-4, 2e-4
+    xcoord = d3.Coordinate('x')
+    dist = d3.Distributor(xcoord, dtype=np.float64)
+    xbasis = d3.RealFourier(xcoord, size=Nx, bounds=(0, Lx), dealias=1.5)
+    u = dist.Field(name='u', bases=xbasis)
+    dx = lambda A: d3.Differentiate(A, xcoord)
+    problem = d3.IVP([u], namespace=locals())
+    problem.add_equation("dt(u) - a*dx(dx(u)) - b*dx(dx(dx(u))) = - u*dx(u)")
+    x = dist.local_grid(xbasis, scale=1).ravel()
+    n = 20
+    u['g'] = np.log(1 + np.cosh(n)**2 / np.cosh(n * (x - 0.2 * Lx))**2) / (2 * n)
+    mass0 = float(np.array(u['g']).mean())
+    solver = problem.build_solver(d3.SBDF2)
+    for _ in range(200):
+        solver.step(2e-3)
+    u.change_scales(1)
+    ug = np.array(u['g'])
+    assert np.isfinite(ug).all()
+    assert abs(ug.mean() - mass0) < 1e-12
+
+
+def test_rayleigh_benard_smoke():
+    Lx, Lz = 4, 1
+    Nx, Nz = 32, 12
+    Rayleigh, Prandtl = 2e4, 1
+    coords = d3.CartesianCoordinates('x', 'z')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    xbasis = d3.RealFourier(coords['x'], size=Nx, bounds=(0, Lx), dealias=1.5)
+    zbasis = d3.ChebyshevT(coords['z'], size=Nz, bounds=(0, Lz), dealias=1.5)
+    p = dist.Field(name='p', bases=(xbasis, zbasis))
+    b = dist.Field(name='b', bases=(xbasis, zbasis))
+    u = dist.VectorField(coords, name='u', bases=(xbasis, zbasis))
+    tau_p = dist.Field(name='tau_p')
+    tau_b1 = dist.Field(name='tau_b1', bases=xbasis)
+    tau_b2 = dist.Field(name='tau_b2', bases=xbasis)
+    tau_u1 = dist.VectorField(coords, name='tau_u1', bases=xbasis)
+    tau_u2 = dist.VectorField(coords, name='tau_u2', bases=xbasis)
+    kappa = (Rayleigh * Prandtl)**(-1/2)
+    nu = (Rayleigh / Prandtl)**(-1/2)
+    x, z = dist.local_grids(xbasis, zbasis, scales=1)
+    ex, ez = coords.unit_vector_fields(dist)
+    lift = lambda A: d3.Lift(A, zbasis.derivative_basis(1), -1)
+    grad_u = d3.grad(u) + ez * lift(tau_u1)
+    grad_b = d3.grad(b) + ez * lift(tau_b1)
+    problem = d3.IVP([p, b, u, tau_p, tau_b1, tau_b2, tau_u1, tau_u2], namespace=locals())
+    problem.add_equation("trace(grad_u) + tau_p = 0")
+    problem.add_equation("dt(b) - kappa*div(grad_b) + lift(tau_b2) = - u@grad(b)")
+    problem.add_equation("dt(u) - nu*div(grad_u) + grad(p) - b*ez + lift(tau_u2) = - u@grad(u)")
+    problem.add_equation("b(z=0) = Lz")
+    problem.add_equation("u(z=0) = 0")
+    problem.add_equation("b(z=Lz) = 0")
+    problem.add_equation("u(z=Lz) = 0")
+    problem.add_equation("integ(p) = 0")
+    solver = problem.build_solver(d3.RK222)
+    b.fill_random('g', seed=42, distribution='normal', scale=1e-3)
+    b['g'] = np.array(b['g']) * z * (Lz - z)
+    b['g'] = np.array(b['g']) + Lz - z
+    for _ in range(10):
+        solver.step(0.05)
+    b.change_scales(1)
+    bg = np.array(b['g'])
+    assert np.isfinite(bg).all()
+    # Boundary conditions honored to near machine precision
+    bb = b(z=0).evaluate()
+    bb.change_scales(1)
+    assert np.abs(np.array(bb['g']) - Lz).max() < 1e-10
+    uu = u(z=Lz).evaluate()
+    uu.change_scales(1)
+    assert np.abs(np.array(uu['g'])).max() < 1e-10
+
+
+def test_complex_fourier_ivp():
+    # Advection with complex dtype: dt(u) + v*dx(u) = 0; exact phase rotation
+    c = d3.Coordinate('x')
+    dist = d3.Distributor(c, dtype=np.complex128)
+    xb = d3.ComplexFourier(c, size=16, bounds=(0, 2 * np.pi))
+    u = dist.Field(name='u', bases=xb)
+    v = 0.7
+    dx = lambda A: d3.Differentiate(A, c)
+    problem = d3.IVP([u], namespace=locals())
+    problem.add_equation("dt(u) + v*dx(u) = 0")
+    solver = problem.build_solver(d3.RK443)
+    x = dist.local_grid(xb, scale=1).ravel()
+    u['g'] = np.exp(2j * x)
+    n, timestep = 100, 1e-3
+    for _ in range(n):
+        solver.step(timestep)
+    u.change_scales(1)
+    exact = np.exp(2j * (x - v * n * timestep))
+    assert np.abs(np.array(u['g']) - exact).max() < 1e-8
