@@ -1,0 +1,80 @@
+"""
+Benchmark: 2D Rayleigh-Benard IMEX stepping throughput (DOF*steps/sec/chip).
+
+Runs the flagship compiled step (MMT transforms + nonlinear RHS + batched
+pencil solve, one fused XLA program per step) on the default device (TPU).
+
+Baseline: the reference publishes no absolute numbers (BASELINE.md); its only
+anchor is "2-D RBC 256x64, Ra=2e6, t_stop=50: about 5 cpu-minutes"
+(examples/ivp_2d_rayleigh_benard/rayleigh_benard.py:6). With CFL-limited
+steps (~1200 steps at safety 0.5, max_dt 0.125) that is roughly
+  256*64*4 fields * 1200 steps / 300 s ~= 2.6e5 DOF*steps/sec.
+vs_baseline reports our throughput against that estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import dedalus_tpu  # noqa: F401 (x64 on)
+    import dedalus_tpu.public as d3
+    from dedalus_tpu.models.rbc import build_rbc_problem
+
+    Nx = int(os.environ.get('BENCH_NX', 256))
+    Nz = int(os.environ.get('BENCH_NZ', 64))
+    n_warm = int(os.environ.get('BENCH_WARMUP', 5))
+    n_steps = int(os.environ.get('BENCH_STEPS', 100))
+    dt = 1e-3
+
+    t0 = time.perf_counter()
+    # Setup/eager work on the CPU backend: avoids per-op remote TPU compiles.
+    cpu = jax.devices('cpu')[0]
+    with jax.default_device(cpu):
+        problem, ctx = build_rbc_problem(Nx, Nz, Rayleigh=2e6)
+        solver = problem.build_solver(d3.SBDF2)
+        b = ctx['b']
+        z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
+        Lz = ctx['Lz']
+        b.fill_random('g', seed=42, distribution='normal', scale=1e-3)
+        b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+    t1 = time.perf_counter()
+
+    # Warmup (compile): startup steps + one scan chunk
+    solver.run_steps(dt, max(n_warm, 3))
+    jax.block_until_ready(solver.timestepper.F)
+    solver.run_steps(dt, n_steps)
+    jax.block_until_ready(solver.timestepper.F)
+    t2 = time.perf_counter()
+
+    # Timed: one compiled scan over n_steps (a single device call)
+    solver.run_steps(dt, n_steps)
+    jax.block_until_ready(solver.timestepper.F)
+    t3 = time.perf_counter()
+
+    run_time = t3 - t2
+    dof = Nx * Nz * 4  # p, b, u(2)
+    throughput = dof * n_steps / run_time
+    baseline = 2.6e5  # estimated reference CPU anchor (see module docstring)
+    result = {
+        "metric": f"RBC {Nx}x{Nz} f64 DOF*steps/sec/chip",
+        "value": round(throughput, 1),
+        "unit": "DOF*steps/sec",
+        "vs_baseline": round(throughput / baseline, 3),
+    }
+    print(json.dumps(result))
+    print(f"# setup={t1-t0:.1f}s compile+warmup={t2-t1:.1f}s "
+          f"run={run_time:.3f}s/{n_steps} steps "
+          f"({run_time/n_steps*1e3:.2f} ms/step) device={jax.devices()[0]}",
+          file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

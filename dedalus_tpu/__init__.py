@@ -19,4 +19,6 @@ import jax
 # via emulation, and the fast paths downcast explicitly where safe.
 jax.config.update("jax_enable_x64", True)
 
+from .utils import logging as _logging_setup  # configure process logging
+
 __version__ = "0.1.0"

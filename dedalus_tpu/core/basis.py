@@ -19,6 +19,25 @@ from ..spectral import jacobi as jacobi_lib
 from ..spectral import clenshaw
 from ..ops import transforms as ops_transforms
 
+# Device cache for transform matrices. Arrays created inside a jit trace are
+# tracers and must NOT be cached; under trace the host numpy matrix is passed
+# straight through (it becomes a baked-in constant of the compiled program).
+_DEVICE_CACHE = {}
+
+
+def _tracing():
+    import jax
+    return isinstance(jnp.zeros(()), jax.core.Tracer)
+
+
+def _maybe_device(np_matrix):
+    if _tracing():
+        return np_matrix
+    key = id(np_matrix)
+    if key not in _DEVICE_CACHE:
+        _DEVICE_CACHE[key] = (np_matrix, jnp.asarray(np_matrix))
+    return _DEVICE_CACHE[key][1]
+
 
 class AffineCOV:
     """
@@ -98,13 +117,19 @@ class Basis(metaclass=CachedClass):
         matrix = self._backward_matrix_device(scale, dtype)
         return ops_transforms.apply_matrix(matrix, data, axis)
 
-    @CachedMethod
     def _forward_matrix_device(self, scale, dtype):
-        return jnp.asarray(self.forward_matrix(scale, dtype))
+        return _maybe_device(self._forward_matrix_host(scale, dtype))
+
+    def _backward_matrix_device(self, scale, dtype):
+        return _maybe_device(self._backward_matrix_host(scale, dtype))
 
     @CachedMethod
-    def _backward_matrix_device(self, scale, dtype):
-        return jnp.asarray(self.backward_matrix(scale, dtype))
+    def _forward_matrix_host(self, scale, dtype):
+        return self.forward_matrix(scale, dtype)
+
+    @CachedMethod
+    def _backward_matrix_host(self, scale, dtype):
+        return self.backward_matrix(scale, dtype)
 
     # --- validity (parity: reference valid_elements machinery) ---
 
@@ -198,23 +223,28 @@ class Jacobi(Basis):
 
     # --- operator matrices ---
 
+    @CachedMethod
     def conversion_matrix(self, out_basis):
         return jacobi_lib.conversion_matrix(self.size, self.a, self.b, out_basis.a, out_basis.b)
 
+    @CachedMethod
     def differentiation_matrix(self):
         """d/dx: (a,b) coeffs -> (a+1,b+1) coeffs, including the COV stretch."""
         D = jacobi_lib.differentiation_matrix(self.size, self.a, self.b)
         return self.COV.stretch * D
 
+    @CachedMethod
     def interpolation_vector(self, position):
         zpos = self.COV.native_coord(self.COV.problem_coord(position) if isinstance(position, str) else position)
         E = jacobi_lib.interpolation_vector(self.size, self.a, self.b, zpos)
         return sparse.csr_matrix(E[None, :])
 
+    @CachedMethod
     def integration_vector(self):
         I = jacobi_lib.integration_vector(self.size, self.a, self.b)
         return sparse.csr_matrix(I[None, :] / self.COV.stretch)
 
+    @CachedMethod
     def lift_matrix(self, index):
         """Column mapping a size-1 tau coefficient onto polynomial `index` (e.g. -1)."""
         col = np.zeros((self.size, 1))
@@ -379,11 +409,13 @@ class ComplexFourier(FourierBase):
     def differentiation_matrix(self):
         return sparse.diags(1j * self.wavenumbers, format='csr')
 
+    @CachedMethod
     def interpolation_vector(self, position):
         theta = self.COV.native_coord(position)
         E = np.exp(1j * self.wavenumbers_native * theta)
         return sparse.csr_matrix(E[None, :])
 
+    @CachedMethod
     def integration_vector(self):
         I = np.zeros(self.size, dtype=complex)
         I[0] = self.length
@@ -481,13 +513,19 @@ class RealFourier(FourierBase):
 
     # --- operator matrices (acting on interleaved (cos, -sin) pairs) ---
 
+    @CachedMethod
     def differentiation_matrix(self):
         # d/dx [a cos(k th) - b sin(k th)] = -a k' sin - b k' cos with k' = k*stretch
         # (a, b) -> (-k' b, k' a): per-pair block [[0, -k'], [k', 0]]
+        M = self.size
         k = self.wavenumbers[0::2]
-        blocks = [sparse.csr_matrix(np.array([[0., -kk], [kk, 0.]])) for kk in k]
-        return sparse.block_diag(blocks, format='csr')
+        upper = np.zeros(M - 1)
+        lower = np.zeros(M - 1)
+        upper[0::2] = -k
+        lower[0::2] = k
+        return sparse.diags([lower, upper], [-1, 1], shape=(M, M), format='csr')
 
+    @CachedMethod
     def interpolation_vector(self, position):
         theta = self.COV.native_coord(position)
         E = np.zeros((1, self.size))
@@ -496,6 +534,7 @@ class RealFourier(FourierBase):
         E[0, 1::2] = -np.sin(k[1::2] * theta)
         return sparse.csr_matrix(E)
 
+    @CachedMethod
     def integration_vector(self):
         I = np.zeros(self.size)
         I[0] = self.length

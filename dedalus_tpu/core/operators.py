@@ -36,12 +36,14 @@ _DEVICE_MATRIX_CACHE = {}
 
 
 def device_matrix(key, host_matrix_builder):
+    from .basis import _tracing, _maybe_device
     if key not in _DEVICE_MATRIX_CACHE:
         mat = host_matrix_builder()
         if sparse.issparse(mat):
             mat = mat.toarray()
-        _DEVICE_MATRIX_CACHE[key] = jnp.asarray(mat)
-    return _DEVICE_MATRIX_CACHE[key]
+        _DEVICE_MATRIX_CACHE[key] = np.ascontiguousarray(mat)
+    host = _DEVICE_MATRIX_CACHE[key]
+    return _maybe_device(host)
 
 
 class LinearOperator(Future):

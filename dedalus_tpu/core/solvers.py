@@ -61,6 +61,27 @@ class SolverBase:
         flat = self.pencil.scatter_state(X)
         self.pencil.unflatten_fields(flat, self.state)
 
+    def traced_F(self, state_flat, t):
+        """
+        Pure function: flat coeff state (+ sim time) -> (G, R) RHS pencils.
+        Binds traced arrays onto the Field objects and evaluates the operator
+        trees, so the whole RHS (backward transforms, nonlinearities, forward
+        transforms, conversions) traces into one fused XLA program.
+        """
+        self.pencil.unflatten_fields(state_flat, self.state)
+        time_field = getattr(self.problem, 'time', None)
+        if time_field is not None:
+            time_field.preset_data(
+                self.dist.grid_layout,
+                jnp.reshape(t, (1,) * self.dist.dim))
+        datas = []
+        for eq in self.problem.equations:
+            F = eq['F'].evaluate()
+            F.require_coeff_space()
+            F.change_scales(1)
+            datas.append(F.data)
+        return self.pencil.gather_eq_data(datas)
+
     def evaluate_F(self, wall_time=0.0, timestep=0.0, schedule=True):
         """Evaluate all equation RHS expressions and gather (G, R) pencils."""
         if schedule and getattr(self, 'evaluator', None) is not None:
@@ -214,6 +235,7 @@ class InitialValueSolver(SolverBase):
         if isinstance(timestepper, str):
             timestepper = timesteppers_module.schemes[timestepper]
         self.timestepper = timestepper(self)
+        self._sim_time = 0.0
         self.iteration = self.initial_iteration = 0
         self.stop_sim_time = np.inf
         self.stop_wall_time = np.inf
@@ -229,11 +251,14 @@ class InitialValueSolver(SolverBase):
 
     @property
     def sim_time(self):
-        return float(np.asarray(self.problem.time['g']).ravel()[0])
+        return self._sim_time
 
     @sim_time.setter
     def sim_time(self, t):
-        self.problem.time['g'] = t
+        # Host-side clock; the time *field* is rebound inside traced steps and
+        # re-synced with a concrete value here.
+        self._sim_time = float(t)
+        self.problem.time['g'] = self._sim_time
 
     @property
     def wall_time(self):
@@ -260,6 +285,16 @@ class InitialValueSolver(SolverBase):
             self.warmup_time = self.wall_time
         self.timestepper.step(float(dt), wall_time=self.wall_time - self.start_time)
         self.iteration += 1
+
+    def run_steps(self, dt, n_steps):
+        """
+        Advance n_steps at fixed dt as one compiled lax.scan (no host
+        round-trips between steps). Analysis handlers do NOT fire inside the
+        scan; call evaluator.evaluate_handlers() between chunks if needed.
+        """
+        if self.iteration == self.warmup_iterations:
+            self.warmup_time = self.wall_time
+        self.timestepper.run_steps(float(dt), int(n_steps))
 
     def evolve(self, timestep_function, log_cadence=100):
         """Advance until a stop criterion triggers."""

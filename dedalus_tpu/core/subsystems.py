@@ -262,7 +262,7 @@ class PencilSystem:
         stacks = {name: np.zeros((G, R, C), dtype=self.dtype) for name in names}
         for g, sp in enumerate(self.subproblems):
             for name in names:
-                A = sparse.lil_matrix((R, C), dtype=self.dtype)
+                A = stacks[name][g]
                 for e_i, eq in enumerate(self.equations):
                     expr = eq.get(name)
                     if expr is None or (isinstance(expr, (int, float)) and expr == 0):
@@ -273,14 +273,11 @@ class PencilSystem:
                         if var in mats:
                             c0 = self.var_offsets[v_i]
                             m = mats[var]
-                            A[r0:r0 + m.shape[0], c0:c0 + m.shape[1]] = m
-                A = sparse.csr_matrix(A)
+                            A[r0:r0 + m.shape[0], c0:c0 + m.shape[1]] += m.toarray()
                 # Zero invalid rows and columns
-                rv = self.row_valid[g].astype(float)
-                cv = self.col_valid[g].astype(float)
-                A = sparse.diags(rv) @ A @ sparse.diags(cv)
-                self.matrices_scipy[name].append(A)
-                stacks[name][g] = A.toarray()
+                A *= self.row_valid[g][:, None]
+                A *= self.col_valid[g][None, :]
+                self.matrices_scipy[name].append(sparse.csr_matrix(A))
         # Identity pivots pairing invalid rows with invalid columns (all stacks)
         self.pivot_pairs = []
         for g in range(G):
@@ -320,6 +317,7 @@ class PencilSystem:
         """Bind pieces of the flat state back onto the Field objects (coeff layout)."""
         for f, off, size in zip(fields, self.state_offsets, self.state_sizes):
             data = state_flat[off:off + size].reshape(self._coeff_shape(f))
+            f.scales = tuple(1.0 for _ in range(self.dist.dim))
             f.preset_data(self.dist.coeff_layout, data)
 
     def gather_eq_data(self, eq_datas):

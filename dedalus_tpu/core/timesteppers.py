@@ -18,6 +18,7 @@ System form (Runge-Kutta): M X(n,i) - M X(n,0) + k H_ij L X(n,j) = k A_ij F(n,j)
 from collections import deque
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops import solve as ops_solve
@@ -45,6 +46,20 @@ class TimestepperBase:
             self._factorized[key] = ops_solve.FactorizedStack(A, method=self.solver.matsolver)
         return self._factorized[key]
 
+    def _solve_fn_and_args(self):
+        """Jit-safe solve function + per-factorization array extractor."""
+        method = self.solver.matsolver
+        if method == 'lu':
+            return (lambda s1, s2, R: ops_solve.batched_lu_solve(s1, s2, R),
+                    lambda f: (f.lu, f.perm))
+        if method == 'inverse':
+            return (lambda s1, s2, R: jnp.einsum('gij,gj->gi', s1, R),
+                    lambda f: (f.Ainv, f.Ainv))
+        if method == 'inverse_refined':
+            return (lambda s1, s2, R: ops_solve.batched_refined_solve(s1, s2, R),
+                    lambda f: (f.Ainv, f.A))
+        raise ValueError(f"Unknown matsolver: {method}")
+
 
 class MultistepIMEX(TimestepperBase):
     """
@@ -54,45 +69,121 @@ class MultistepIMEX(TimestepperBase):
 
     def __init__(self, solver):
         super().__init__(solver)
-        shape = (self.pencil.G, self.pencil.R)
         steps = self.steps
-        zeros = lambda: jnp.zeros(shape, dtype=solver.dtype)
-        self.MX = deque([zeros() for _ in range(steps)], maxlen=steps)
-        self.LX = deque([zeros() for _ in range(steps)], maxlen=steps)
-        self.F = deque([zeros() for _ in range(steps)], maxlen=steps)
+        shape = (steps, self.pencil.G, self.pencil.R)
+        # Histories as stacked device arrays: index 0 = most recent
+        self.MX = jnp.zeros(shape, dtype=solver.dtype)
+        self.LX = jnp.zeros(shape, dtype=solver.dtype)
+        self.F = jnp.zeros(shape, dtype=solver.dtype)
         self.dt_hist = deque([0.0] * steps, maxlen=steps)
         self._iteration = 0
+        self._compiled = None
+
+    def _build_compiled(self):
+        solver = self.solver
+        pencil = self.pencil
+        M = pencil.matrices['M']
+        L = pencil.matrices['L']
+        rv = pencil.row_valid_dev
+        solve_fn, self._fact_args = self._solve_fn_and_args()
+
+        def step_impl(state_flat, t, MXh, LXh, Fh, a, b, c, s1, s2):
+            X = state_flat[pencil.var_index_map_dev]
+            MX0 = jnp.einsum('grc,gc->gr', M, X)
+            LX0 = jnp.einsum('grc,gc->gr', L, X)
+            F0 = solver.traced_F(state_flat, t)
+            # Push new entries (index 0 most recent)
+            MXh = jnp.concatenate([MX0[None], MXh[:-1]])
+            LXh = jnp.concatenate([LX0[None], LXh[:-1]])
+            Fh = jnp.concatenate([F0[None], Fh[:-1]])
+            # RHS = sum_j c[j+1] F(n-j) - a[j+1] M X(n-j) - b[j+1] L X(n-j)
+            RHS = (jnp.einsum('j,jgr->gr', c[1:], Fh)
+                   - jnp.einsum('j,jgr->gr', a[1:], MXh)
+                   - jnp.einsum('j,jgr->gr', b[1:], LXh))
+            RHS = RHS * rv
+            Xnew = solve_fn(s1, s2, RHS)
+            out = jnp.zeros_like(state_flat)
+            out = out.at[pencil.var_index_map_dev].add(Xnew)
+            return out, MXh, LXh, Fh
+
+        return step_impl
 
     def step(self, dt, wall_time=0.0):
         solver = self.solver
         pencil = self.pencil
-        # Cycle timestep history
+        if self._compiled is None:
+            self._compiled = jax.jit(self._build_compiled())
+        # Cycle timestep history and compute scheme coefficients (host)
         self.dt_hist.appendleft(dt)
         a, b, c = self.compute_coefficients(list(self.dt_hist), self._iteration)
         self._iteration += 1
-        # Gather state pencils and apply M, L (batched MXU matmuls)
-        X = pencil.gather_state(solver.state_flat())
-        MX0 = ops_solve.batched_matvec(pencil.matrices['M'], X)
-        LX0 = ops_solve.batched_matvec(pencil.matrices['L'], X)
-        self.MX.appendleft(MX0)
-        self.LX.appendleft(LX0)
-        # Evaluate F(X0) (+ scheduled analysis outputs)
-        F0 = solver.evaluate_F(wall_time=wall_time, timestep=dt)
-        self.F.appendleft(F0)
-        # Build RHS = sum c_j F(n-j) - sum_{j>=1} a_j M X(n-j) - b_j L X(n-j)
-        RHS = c[1] * self.F[0]
-        for j in range(2, len(c)):
-            RHS = RHS + c[j] * self.F[j - 1]
-        for j in range(1, len(a)):
-            RHS = RHS - a[j] * self.MX[j - 1]
-        for j in range(1, len(b)):
-            RHS = RHS - b[j] * self.LX[j - 1]
-        RHS = RHS * pencil.row_valid_dev
-        # Solve (a0 M + b0 L) X = RHS
+        n = self.steps + 1
+        a, b, c = _pad(a, n), _pad(b, n), _pad(c, n)
         fact = self._get_factorized(a[0], b[0])
-        Xnew = fact.solve(RHS)
-        solver.set_state_pencils(Xnew)
+        # Run scheduled analysis handlers (host-side, eager) before stepping
+        if getattr(solver, 'evaluator', None) is not None and solver.evaluator.handlers:
+            solver.evaluator.evaluate_scheduled(
+                iteration=solver.iteration, wall_time=wall_time,
+                sim_time=solver.sim_time, timestep=dt)
+        state_flat = solver.state_flat()
+        t = jnp.asarray(solver.sim_time)
+        s1, s2 = self._fact_args(fact)
+        new_state, self.MX, self.LX, self.F = self._compiled(
+            state_flat, t, self.MX, self.LX, self.F,
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), s1, s2)
+        pencil.unflatten_fields(new_state, solver.state)
         solver.sim_time = solver.sim_time + dt
+
+    @property
+    def needs_startup(self):
+        """Whether the next step still uses reduced-order startup coefficients."""
+        return self._iteration < self.steps - 1
+
+    def run_steps(self, dt, n_steps, wall_time=0.0):
+        """
+        Advance n_steps at fixed dt as ONE compiled lax.scan — no host
+        round-trips between steps (the TPU-native main loop; parity with the
+        reference's solver.step loop at far lower dispatch cost).
+        """
+        solver = self.solver
+        pencil = self.pencil
+        # Reduced-order startup steps individually
+        while self.needs_startup and n_steps > 0:
+            self.step(dt, wall_time)
+            solver.iteration += 1
+            n_steps -= 1
+        if n_steps <= 0:
+            return
+        self.dt_hist = deque([dt] * self.steps, maxlen=self.steps)
+        a, b, c = self.compute_coefficients([dt] * self.steps, self._iteration)
+        self._iteration += n_steps
+        n = self.steps + 1
+        a, b, c = jnp.asarray(_pad(a, n)), jnp.asarray(_pad(b, n)), jnp.asarray(_pad(c, n))
+        fact = self._get_factorized(float(a[0]), float(b[0]))
+        s1, s2 = self._fact_args(fact)
+        if not hasattr(self, '_scan_cache'):
+            self._scan_cache = {}
+        if n_steps not in self._scan_cache:
+            step_impl = self._build_compiled()
+
+            def run(state, t0, MXh, LXh, Fh, av, bv, cv, sa, sb, dtv):
+                def body(carry, _):
+                    st, t, MXc, LXc, Fc = carry
+                    st, MXc, LXc, Fc = step_impl(st, t, MXc, LXc, Fc,
+                                                 av, bv, cv, sa, sb)
+                    return (st, t + dtv, MXc, LXc, Fc), None
+                carry, _ = jax.lax.scan(body, (state, t0, MXh, LXh, Fh),
+                                        None, length=n_steps)
+                return carry
+
+            self._scan_cache[n_steps] = jax.jit(run)
+        state_flat = solver.state_flat()
+        t0 = jnp.asarray(solver.sim_time)
+        state, t, self.MX, self.LX, self.F = self._scan_cache[n_steps](
+            state_flat, t0, self.MX, self.LX, self.F, a, b, c, s1, s2, dt)
+        pencil.unflatten_fields(state, solver.state)
+        solver.sim_time = solver.sim_time + dt * n_steps
+        solver.iteration += n_steps
 
 
 @add_scheme
@@ -283,6 +374,7 @@ class RungeKuttaIMEX(TimestepperBase):
     def __init__(self, solver):
         super().__init__(solver)
         self._stage_factors = {}
+        self._compiled = None
 
     def _get_stage_factor(self, kHii):
         key = float(kHii)
@@ -291,31 +383,100 @@ class RungeKuttaIMEX(TimestepperBase):
             self._stage_factors[key] = ops_solve.FactorizedStack(A, method=self.solver.matsolver)
         return self._stage_factors[key]
 
+    def _build_compiled(self):
+        solver = self.solver
+        pencil = self.pencil
+        Mmat = pencil.matrices['M']
+        Lmat = pencil.matrices['L']
+        rv = pencil.row_valid_dev
+        A, H, c = self.A, self.H, self.c
+        stages = self.stages
+        gather_map = pencil.var_index_map_dev
+        solve_fn, self._fact_args = self._solve_fn_and_args()
+
+        def step_impl(state_flat, t0, k, stage_s1, stage_s2):
+            X = state_flat[gather_map]
+            MX0 = jnp.einsum('grc,gc->gr', Mmat, X)
+            LX = [jnp.einsum('grc,gc->gr', Lmat, X)]
+            F = []
+            state = state_flat
+            for i in range(1, stages + 1):
+                if i > 1:
+                    Xi = state[gather_map]
+                    LX.append(jnp.einsum('grc,gc->gr', Lmat, Xi))
+                F.append(solver.traced_F(state, t0 + k * c[i - 1]))
+                RHS = MX0
+                for j in range(i):
+                    RHS = RHS + (k * A[i, j]) * F[j] - (k * H[i, j]) * LX[j]
+                RHS = RHS * rv
+                Xnew = solve_fn(stage_s1[i - 1], stage_s2[i - 1], RHS)
+                state = jnp.zeros_like(state_flat).at[gather_map].add(Xnew)
+            return state
+
+        return step_impl
+
+    @property
+    def needs_startup(self):
+        return False
+
+    def run_steps(self, dt, n_steps, wall_time=0.0):
+        """Advance n_steps at fixed dt as one compiled lax.scan."""
+        solver = self.solver
+        pencil = self.pencil
+        k = float(dt)
+        if not hasattr(self, '_stage_stack_cache'):
+            self._stage_stack_cache = {}
+        if k not in self._stage_stack_cache:
+            facts = [self._get_stage_factor(k * self.H[i, i]) for i in range(1, self.stages + 1)]
+            if not hasattr(self, '_fact_args'):
+                _, self._fact_args = self._solve_fn_and_args()
+            s1 = jnp.stack([self._fact_args(f)[0] for f in facts])
+            s2 = jnp.stack([self._fact_args(f)[1] for f in facts])
+            self._stage_stack_cache[k] = (s1, s2)
+        s1, s2 = self._stage_stack_cache[k]
+        if not hasattr(self, '_scan_cache'):
+            self._scan_cache = {}
+        if n_steps not in self._scan_cache:
+            step_impl = self._build_compiled()
+
+            def run(state, t0, sa, sb, dtv):
+                def body(carry, _):
+                    st, t = carry
+                    st = step_impl(st, t, dtv, sa, sb)
+                    return (st, t + dtv), None
+                carry, _ = jax.lax.scan(body, (state, t0), None, length=n_steps)
+                return carry
+
+            self._scan_cache[n_steps] = jax.jit(run)
+        state_flat = solver.state_flat()
+        t0 = jnp.asarray(solver.sim_time)
+        state, t = self._scan_cache[n_steps](state_flat, t0, s1, s2, k)
+        pencil.unflatten_fields(state, solver.state)
+        solver.sim_time = solver.sim_time + k * n_steps
+        solver.iteration += n_steps
+
     def step(self, dt, wall_time=0.0):
         solver = self.solver
         pencil = self.pencil
-        A, H, c = self.A, self.H, self.c
-        k = dt
-        sim_time_0 = solver.sim_time
-        stages = self.stages
-        X = pencil.gather_state(solver.state_flat())
-        MX0 = ops_solve.batched_matvec(pencil.matrices['M'], X)
-        LX = [ops_solve.batched_matvec(pencil.matrices['L'], X)]
-        F = []
-        for i in range(1, stages + 1):
-            if i > 1:
-                Xi = pencil.gather_state(solver.state_flat())
-                LX.append(ops_solve.batched_matvec(pencil.matrices['L'], Xi))
-            F.append(solver.evaluate_F(wall_time=wall_time, timestep=dt,
-                                       schedule=(i == 1)))
-            RHS = MX0
-            for j in range(i):
-                RHS = RHS + (k * A[i, j]) * F[j] - (k * H[i, j]) * LX[j]
-            RHS = RHS * pencil.row_valid_dev
-            fact = self._get_stage_factor(k * H[i, i])
-            Xnew = fact.solve(RHS)
-            solver.set_state_pencils(Xnew)
-            solver.sim_time = sim_time_0 + k * c[i]
+        if self._compiled is None:
+            self._compiled = jax.jit(self._build_compiled())
+        k = float(dt)
+        if not hasattr(self, '_stage_stack_cache'):
+            self._stage_stack_cache = {}
+        if k not in self._stage_stack_cache:
+            facts = [self._get_stage_factor(k * self.H[i, i]) for i in range(1, self.stages + 1)]
+            s1 = jnp.stack([self._fact_args(f)[0] for f in facts])
+            s2 = jnp.stack([self._fact_args(f)[1] for f in facts])
+            self._stage_stack_cache[k] = (s1, s2)
+        s1, s2 = self._stage_stack_cache[k]
+        if getattr(solver, 'evaluator', None) is not None and solver.evaluator.handlers:
+            solver.evaluator.evaluate_scheduled(
+                iteration=solver.iteration, wall_time=wall_time,
+                sim_time=solver.sim_time, timestep=dt)
+        state_flat = solver.state_flat()
+        new_state = self._compiled(state_flat, jnp.asarray(solver.sim_time), k, s1, s2)
+        pencil.unflatten_fields(new_state, solver.state)
+        solver.sim_time = solver.sim_time + dt
 
 
 @add_scheme

@@ -35,6 +35,7 @@ from .core.solvers import (
     NonlinearBoundaryValueSolver, EigenvalueSolver,
 )
 from .core.evaluator import Evaluator
+from .extras.flow_tools import CFL, GlobalFlowProperty, GlobalArrayReducer
 
 # Chebyshev alias (dedalus exposes Chebyshev == ChebyshevT)
 Chebyshev = ChebyshevT

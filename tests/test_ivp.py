@@ -133,3 +133,32 @@ def test_complex_fourier_ivp():
     u.change_scales(1)
     exact = np.exp(2j * (x - v * n * timestep))
     assert np.abs(np.array(u['g']) - exact).max() < 1e-8
+
+
+@pytest.mark.parametrize("scheme", ["SBDF2", "RK222"])
+def test_run_steps_scan_matches_step_loop(scheme):
+    # lax.scan multi-step path must match the per-step path exactly
+    def solve(use_scan):
+        c = d3.Coordinate('x')
+        dist = d3.Distributor(c, dtype=np.float64)
+        xb = d3.RealFourier(c, size=32, bounds=(0, 2 * np.pi), dealias=1.5)
+        u = dist.Field(name='u', bases=xb)
+        nu = 0.05
+        dx = lambda A: d3.Differentiate(A, c)
+        problem = d3.IVP([u], namespace=locals())
+        problem.add_equation("dt(u) - nu*dx(dx(u)) = - u*dx(u)")
+        solver = problem.build_solver(d3.timestepper_schemes[scheme])
+        x = dist.local_grid(xb, scale=1).ravel()
+        u['g'] = np.sin(x) + 0.3 * np.cos(2 * x)
+        if use_scan:
+            solver.run_steps(1e-3, 40)
+        else:
+            for _ in range(40):
+                solver.step(1e-3)
+        u.change_scales(1)
+        return np.array(u['g']), solver.sim_time
+
+    a, ta = solve(False)
+    b, tb = solve(True)
+    assert abs(ta - tb) < 1e-14
+    assert np.abs(a - b).max() < 1e-13
