@@ -67,9 +67,11 @@ def recurrence_coefficients(n, a, b, dtype=INTERNAL):
     return alpha, c
 
 
-def polynomials(n, a, b, z, dtype=np.float64, internal=INTERNAL):
+def polynomials(n, a, b, z, dtype=np.float64, internal=INTERNAL, init=None):
     """
     Values P[k, i] = p_k(z_i) of the first n orthonormal Jacobi polynomials.
+    An explicit `init` array (values of the degree-0 term, e.g. an envelope
+    for Zernike/SWSH constructions) replaces the default 1/sqrt(mass).
     """
     z = np.asarray(z, dtype=internal)
     scalar = (z.ndim == 0)
@@ -78,7 +80,10 @@ def polynomials(n, a, b, z, dtype=np.float64, internal=INTERNAL):
         return np.zeros((0, z.size), dtype=dtype)
     alpha, c = recurrence_coefficients(n + 1, a, b, dtype=internal)
     P = np.zeros((n, z.size), dtype=internal)
-    P[0] = 1 / np.sqrt(mass(a, b))
+    if init is None:
+        P[0] = 1 / np.sqrt(mass(a, b))
+    else:
+        P[0] = np.asarray(init, dtype=internal)
     if n > 1:
         P[1] = (z - alpha[0]) * P[0] / c[1]
     for k in range(2, n):
@@ -217,3 +222,63 @@ def integration_vector(N, a, b, dtype=np.float64):
 def interpolation_vector(N, a, b, position, dtype=np.float64):
     """Row vector E with u(z0) = E @ u_coeffs, z0 in [-1, 1]."""
     return polynomials(N, a, b, np.array([float(position)]), dtype=dtype)[:, 0]
+
+
+def _derivative_values(N, a, b, z, P_ab=None):
+    """Values of d/dz p_n^{(a,b)} at points z, via the ladder relation."""
+    dP = np.zeros((N, z.size), dtype=INTERNAL)
+    Pd = polynomials(N, a + 1, b + 1, z, dtype=INTERNAL)
+    for n in range(1, N):
+        dP[n] = np.sqrt(INTERNAL(n) * INTERNAL(n + a + b + 1)) * Pd[n - 1]
+    return dP
+
+
+@CachedFunction
+def operator_matrix(name, sign, N, a, b, dtype=np.float64):
+    """
+    Generalized Jacobi ladder operators in the orthonormal convention,
+    matching the semantics of dedalus_sphere.jacobi.operator (validated
+    against it numerically; built here by exact quadrature projection):
+
+      'A',+1: identity, (a,b)->(a+1,b)     [conversion]
+      'A',-1: (1-z) multiplication, (a,b)->(a-1,b)
+      'B',+1: identity, (a,b)->(a,b+1)     [conversion]
+      'B',-1: (1+z) multiplication, (a,b)->(a,b-1)
+      'C',+1: (1+z) d/dz + b, (a,b)->(a+1,b-1)
+      'C',-1: (z-1) d/dz + a, (a,b)->(a-1,b+1)
+      'D',+1: d/dz, (a,b)->(a+1,b+1)
+      'D',-1: -(1-z^2) d/dz + a(1+z) - b(1-z), (a,b)->(a-1,b-1)
+
+    Returns a CSR matrix (N x N) mapping (a,b)-coefficients to the target
+    parameters' coefficients.
+    """
+    key = (name, int(sign))
+    if key == ('A', 1):
+        return conversion_matrix(N, a, b, a + 1, b, dtype=dtype)
+    if key == ('B', 1):
+        return conversion_matrix(N, a, b, a, b + 1, dtype=dtype)
+    if key == ('D', 1):
+        return differentiation_matrix(N, a, b, dtype=dtype)
+    targets = {('A', -1): (a - 1, b), ('B', -1): (a, b - 1),
+               ('C', 1): (a + 1, b - 1), ('C', -1): (a - 1, b + 1),
+               ('D', -1): (a - 1, b - 1)}
+    bands = {('A', -1): (1, 0), ('B', -1): (1, 0), ('C', 1): (0, 1),
+             ('C', -1): (0, 1), ('D', -1): (1, 0)}
+    a1, b1 = targets[key]
+    z, w = quadrature(N + 2, a1, b1, dtype=INTERNAL)
+    P0 = polynomials(N, a, b, z, dtype=INTERNAL)
+    P1 = polynomials(N, a1, b1, z, dtype=INTERNAL)
+    dP = _derivative_values(N, a, b, z)
+    if key == ('A', -1):
+        OP = (1 - z) * P0
+    elif key == ('B', -1):
+        OP = (1 + z) * P0
+    elif key == ('C', 1):
+        OP = (1 + z) * dP + b * P0
+    elif key == ('C', -1):
+        OP = (z - 1) * dP + a * P0
+    elif key == ('D', -1):
+        OP = -(1 - z**2) * dP + (a * (1 + z) - b * (1 - z)) * P0
+    M = ((P1 * w) @ OP.T).astype(dtype)
+    lower, upper = bands[key]
+    return _banded_clean(M, lower, upper)
