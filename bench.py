@@ -35,16 +35,22 @@ def main():
     dt = 1e-3
 
     t0 = time.perf_counter()
-    # Setup/eager work on the CPU backend: avoids per-op remote TPU compiles.
+    # Eager IC work on the CPU backend (avoids per-op remote TPU compiles);
+    # solver/device arrays are built on the default (TPU) device.
     cpu = jax.devices('cpu')[0]
+    device = jax.devices()[0]
     with jax.default_device(cpu):
         problem, ctx = build_rbc_problem(Nx, Nz, Rayleigh=2e6)
-        solver = problem.build_solver(d3.SBDF2)
         b = ctx['b']
         z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
         Lz = ctx['Lz']
         b.fill_random('g', seed=42, distribution='normal', scale=1e-3)
         b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+        b.require_coeff_space()
+    solver = problem.build_solver(d3.SBDF2)
+    # Commit all state data to the accelerator
+    for f in solver.state:
+        f.data = jax.device_put(np.asarray(f.data), device)
     t1 = time.perf_counter()
 
     # Warmup (compile): startup steps + one scan chunk

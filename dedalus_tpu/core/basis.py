@@ -107,12 +107,14 @@ class Basis(metaclass=CachedClass):
 
     # --- device transforms ---
 
-    def forward_transform(self, data, axis, scale, dtype):
+    ops_couple = False  # whether operator matrices couple modes along this axis
+
+    def forward_transform(self, data, axis, scale, dtype, tensorsig=()):
         """grid -> coeff along axis (data at grid size for `scale`)."""
         matrix = self._forward_matrix_device(scale, dtype)
         return ops_transforms.apply_matrix(matrix, data, axis)
 
-    def backward_transform(self, data, axis, scale, dtype):
+    def backward_transform(self, data, axis, scale, dtype, tensorsig=()):
         """coeff -> grid along axis."""
         matrix = self._backward_matrix_device(scale, dtype)
         return ops_transforms.apply_matrix(matrix, data, axis)
@@ -133,11 +135,11 @@ class Basis(metaclass=CachedClass):
 
     # --- validity (parity: reference valid_elements machinery) ---
 
-    def valid_coeff_mask(self):
+    def valid_coeff_mask(self, tensorsig=()):
         """Validity of each coefficient (full axis)."""
         return np.ones(self.coeff_size, dtype=bool)
 
-    def group_valid_mask(self, group):
+    def group_valid_mask(self, group, tensorsig=()):
         """Validity of each element within one mode group."""
         return np.ones(self.group_shape[0], dtype=bool)
 
@@ -154,6 +156,7 @@ class Basis(metaclass=CachedClass):
 
 
 class Jacobi(Basis):
+    ops_couple = True
     """
     Jacobi polynomial basis on an interval: coefficients of orthonormal
     P_n^{(a,b)} on native z in [-1,1], with an affine map to problem bounds.
@@ -390,7 +393,7 @@ class ComplexFourier(FourierBase):
         mat *= (np.abs(K) <= Kmax)
         return np.ascontiguousarray(mat.astype(dtype))
 
-    def valid_coeff_mask(self):
+    def valid_coeff_mask(self, tensorsig=()):
         # For even sizes the wrap-around slot k = KM+1 is the zeroed Nyquist mode
         mask = np.ones(self.size, dtype=bool)
         KM = (self.size - 1) // 2
@@ -398,7 +401,7 @@ class ComplexFourier(FourierBase):
             mask[KM + 1] = False
         return mask
 
-    def group_valid_mask(self, group):
+    def group_valid_mask(self, group, tensorsig=()):
         KM = (self.size - 1) // 2
         if self.size % 2 == 0 and group == KM + 1:
             return np.array([False])
@@ -501,12 +504,12 @@ class RealFourier(FourierBase):
         mat *= (self.wavenumbers_native[None, :] <= Kmax)
         return np.ascontiguousarray(mat.astype(dtype))
 
-    def valid_coeff_mask(self):
+    def valid_coeff_mask(self, tensorsig=()):
         mask = np.ones(self.size, dtype=bool)
         mask[1] = False  # b_0 (the k=0 minus-sine coefficient) is identically zero
         return mask
 
-    def group_valid_mask(self, group):
+    def group_valid_mask(self, group, tensorsig=()):
         if group == 0:
             return np.array([True, False])
         return np.array([True, True])

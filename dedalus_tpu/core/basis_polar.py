@@ -1,0 +1,332 @@
+"""
+Polar bases: annulus (and, later, disk).
+
+Parity target (behavior): dedalus/core/basis.py:2011-2305 (AnnulusBasis),
+:1561-1745 (spin recombination). TPU-first design: the radial transform is a
+single MMT matmul (weighted Jacobi in z = 2r/dR - rho with a (dR/r)^k radial
+factor), spin recombination is a small dense matrix over (component, parity
+pair) indices applied as one einsum, and the per-m covariant-derivative
+matrices batch over azimuthal groups on the MXU.
+
+An annulus field's coefficient layout is identical to RealFourier x Jacobi:
+(components..., m-pairs interleaved, n), so the whole Cartesian pencil/solver
+machinery applies with m-groups along the azimuth axis.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy import sparse
+
+from .basis import Basis, RealFourier, Jacobi, _maybe_device
+from .coords import PolarCoordinates
+from ..utils.caching import CachedMethod, CachedAttribute
+from ..spectral import jacobi as jacobi_lib
+from ..spectral import shell as shell_lib
+from ..spectral import clenshaw
+from ..ops import transforms as ops_transforms
+
+
+class AzimuthBasis(RealFourier):
+    """Periodic azimuth basis on [0, 2 pi) (RealFourier specialization)."""
+    pass
+
+
+class AnnulusRadialBasis(Basis):
+    """
+    Radial basis for the annulus: f(r) = (dR/r)^k sum_n c_n P_n^{(a,b)}(z),
+    z = 2r/dR - rho, a = alpha[0]+k, b = alpha[1]+k.
+    """
+
+    def __init__(self, coord, size, radii, k=0, alpha=(-0.5, -0.5), dealias=1,
+                 dtype=np.float64, parent=None):
+        super().__init__(coord, size, radii, dealias=dealias, dtype=dtype)
+        self.radii = tuple(map(float, radii))
+        self.k = int(k)
+        self.alpha = tuple(map(float, alpha))
+        self.parent = parent
+        self.dR = self.radii[1] - self.radii[0]
+        self.rho = (self.radii[1] + self.radii[0]) / self.dR
+        # Underlying Jacobi basis for the pure polynomial transform
+        self._jacobi = Jacobi(coord, size, radii,
+                              a=self.alpha[0] + self.k, b=self.alpha[1] + self.k,
+                              a0=self.alpha[0], b0=self.alpha[1],
+                              dealias=dealias, dtype=dtype)
+
+    # --- identity ---
+
+    def _key(self):
+        return ('AnnulusRadial', self.coord.name, self.size, self.radii, self.k,
+                self.alpha, self.dealias)
+
+    def __eq__(self, other):
+        if isinstance(other, AnnulusRadialBasis):
+            return self._key() == other._key()
+        return NotImplemented
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def clone_with(self, **kw):
+        args = dict(coord=self.coord, size=self.size, radii=self.radii, k=self.k,
+                    alpha=self.alpha, dealias=self.dealias[0], dtype=self.dtype,
+                    parent=self.parent)
+        args.update(kw)
+        return AnnulusRadialBasis(**args)
+
+    def derivative_basis(self, order=1):
+        return self.clone_with(k=self.k + order)
+
+    # --- grids ---
+
+    def global_grid(self, scale=1):
+        z = jacobi_lib.build_grid(self.grid_size(scale), self.alpha[0], self.alpha[1])
+        return (self.dR / 2) * (z + self.rho)
+
+    def global_weights(self, scale=1):
+        """Weights for integral f r dr (the 2D polar measure's radial part)."""
+        N = self.grid_size(scale)
+        z, w_ab = jacobi_lib.quadrature(N, self.alpha[0], self.alpha[1], dtype=np.longdouble)
+        # Integral weights against plain dr: project onto Legendre-exact rule
+        z0, w0 = jacobi_lib.quadrature(N, 0, 0, dtype=np.longdouble)
+        Q0 = jacobi_lib.polynomials(N, self.alpha[0], self.alpha[1], z0, dtype=np.longdouble)
+        Qp = jacobi_lib.polynomials(N, self.alpha[0], self.alpha[1], z, dtype=np.longdouble)
+        w_dr = (self.dR / 2) * ((Q0 @ w0).T @ (w_ab * Qp))
+        r = np.asarray(self.global_grid(scale))
+        return np.asarray(w_dr, dtype=np.float64) * r
+
+    def grid_spacing(self, scale=1):
+        r = np.asarray(self.global_grid(scale))
+        dr = np.gradient(r)
+        return np.abs(dr)
+
+    # --- transforms (tensorsig-aware: spin recombination + radial factor) ---
+
+    def forward_transform(self, data, axis, scale, dtype, tensorsig=()):
+        # data: (comps..., M_pairs, r_grid); azimuth already in coeff space
+        r = np.asarray(self.global_grid(scale))
+        if self.k:
+            shape = [1] * data.ndim
+            shape[axis] = r.size
+            data = data * jnp.asarray((r / self.dR)**self.k).reshape(shape)
+        data = spin_recombine(self.parent.coordsys, tensorsig, data, axis - 1,
+                              forward=True, real=(np.dtype(dtype).kind == 'f'))
+        return self._jacobi.forward_transform(data, axis, scale, dtype)
+
+    def backward_transform(self, data, axis, scale, dtype, tensorsig=()):
+        data = self._jacobi.backward_transform(data, axis, scale, dtype)
+        data = spin_recombine(self.parent.coordsys, tensorsig, data, axis - 1,
+                              forward=False, real=(np.dtype(dtype).kind == 'f'))
+        if self.k:
+            r = np.asarray(self.global_grid(scale))
+            shape = [1] * data.ndim
+            shape[axis] = r.size
+            data = data * jnp.asarray((self.dR / r)**self.k).reshape(shape)
+        return data
+
+    # --- operator matrices ---
+
+    @CachedMethod
+    def operator_matrix(self, op, m, spintotal, size=None):
+        """Per-(m, spin) radial operators: 'D+', 'D-', 'L', 'E', 'Z', 'R'
+        (parity: basis.py:2237 AnnulusBasis.operator_matrix)."""
+        n = size if size is not None else self.size
+        ms = m + spintotal
+        if op[-1] in '+-':
+            p = 1 if op[-1] == '+' else -1
+            if ms == 0:
+                p_eff, ms_eff = +1, 0
+            elif ms < 0:
+                p_eff, ms_eff = -p, -ms
+            else:
+                p_eff, ms_eff = p, ms
+            return shell_lib.operator(2, self.radii, 'D', n, self.k,
+                                      alpha=self.alpha, dl=p_eff, l=ms_eff)
+        if op == 'L':
+            # Laplacian: D(-/+) compositions at k+1 (pad to avoid truncation)
+            if ms < 0:
+                D1 = shell_lib.operator(2, self.radii, 'D', n + 2, self.k,
+                                        alpha=self.alpha, dl=-1, l=-ms)
+                D2 = shell_lib.operator(2, self.radii, 'D', n + 2, self.k + 1,
+                                        alpha=self.alpha, dl=+1, l=-ms - 1)
+            else:
+                D1 = shell_lib.operator(2, self.radii, 'D', n + 2, self.k,
+                                        alpha=self.alpha, dl=+1, l=ms)
+                D2 = shell_lib.operator(2, self.radii, 'D', n + 2, self.k + 1,
+                                        alpha=self.alpha, dl=-1, l=ms + 1)
+            return sparse.csr_matrix(D2 @ D1)[:n, :n]
+        if op in ('E', 'Z', 'R', 'AB', 'Id'):
+            return shell_lib.operator(2, self.radii, op, n, self.k, alpha=self.alpha)
+        raise ValueError(f"Unknown annulus operator: {op}")
+
+    def conversion_matrix(self, out_basis):
+        """k-raising conversion (m-independent)."""
+        dk = out_basis.k - self.k
+        if dk < 0:
+            raise ValueError("Annulus conversion must raise k")
+        mat = sparse.identity(self.size, format='csr')
+        for i in range(int(dk)):
+            E = shell_lib.operator(2, self.radii, 'E', self.size, self.k + i,
+                                   alpha=self.alpha)
+            mat = E @ mat
+        return sparse.csr_matrix(mat)
+
+    def interpolation_vector(self, position):
+        return shell_lib.interpolation(self.radii, self.size, self.k,
+                                       float(position), alpha=self.alpha)
+
+    def integration_vector(self):
+        """integral f(r) r dr over [r0, r1] as a row vector on k-coefficients."""
+        N = self.size + self.k + 2
+        z, w = jacobi_lib.quadrature(N, 0, 0, dtype=np.longdouble)  # Legendre in z
+        r = (self.dR / 2) * (z + self.rho)
+        a, b = self.alpha[0] + self.k, self.alpha[1] + self.k
+        P = jacobi_lib.polynomials(self.size, a, b, z, dtype=np.longdouble)
+        factor = (self.dR / r)**self.k * r * (self.dR / 2)
+        vec = (P * (w * factor)).sum(axis=1)
+        return sparse.csr_matrix(np.asarray(vec, dtype=np.float64)[None, :])
+
+    def lift_matrix(self, index):
+        col = np.zeros((self.size, 1))
+        col[index, 0] = 1
+        return sparse.csr_matrix(col)
+
+    def ncc_matrix(self, ncc_basis, out_basis, coeffs, m=0, spintotal=0, cutoff=1e-10):
+        """
+        Radial NCC multiplication (parity: basis.py:2272
+        AnnulusBasis._last_axis_component_ncc_matrix): Clenshaw in the ncc's
+        (a,b) family evaluated on the operand's Z matrix, with an AB^k_ncc
+        prefactor accounting for the ncc's radial weight.
+        """
+        N = self.size
+        a_ncc = ncc_basis.k + ncc_basis.alpha[0]
+        b_ncc = ncc_basis.k + ncc_basis.alpha[1]
+        Nmat = 3 * ((N + 1) // 2) + ncc_basis.k + 2
+        J = self.operator_matrix('Z', m, spintotal, size=Nmat)
+        S = clenshaw.matrix_clenshaw(np.ravel(coeffs)[:N], a_ncc, b_ncc, J, cutoff=cutoff)
+        prefactor = sparse.identity(Nmat, format='csr')
+        for i in range(ncc_basis.k):
+            AB = shell_lib.operator(2, self.radii, 'AB', Nmat, self.k + i, alpha=self.alpha)
+            prefactor = AB @ prefactor
+        return sparse.csr_matrix(prefactor @ S)[:N, :N]
+
+
+def spin_recombine(coordsys, tensorsig, data, azimuth_axis, forward, real):
+    """
+    Apply the coord<->spin unitary over each tensor rank belonging to
+    `coordsys` (parity: basis.py:1595-1663). For real dtype the complex
+    unitary acts on interleaved (cos, -sin) pairs via the standard
+    [[Re, -Im], [Im, Re]] expansion. `azimuth_axis` indexes the FULL data
+    array (tensor components included).
+    """
+    if not tensorsig:
+        return data
+    U = coordsys.U_forward(1)
+    if not forward:
+        U = U.T.conj()
+    for i, cs in enumerate(tensorsig):
+        if cs is not coordsys:
+            continue
+        if real:
+            M = data.shape[azimuth_axis]
+            # Reshape azimuth axis into (M/2 pairs, 2)
+            shape = data.shape
+            new_shape = (shape[:azimuth_axis] + (M // 2, 2)
+                         + shape[azimuth_axis + 1:])
+            d = data.reshape(new_shape)
+            pair_axis = azimuth_axis + 1
+            # Build real 4x4 on (comp, pairelem): kron(URe, I2) + kron(UIm, R90)
+            R90 = np.array([[0., -1.], [1., 0.]])
+            W = np.kron(U.real, np.eye(2)) + np.kron(U.imag, R90)
+            # Merge (comp i, pair) axes, apply W, split back
+            d = jnp.moveaxis(d, (i, pair_axis), (0, 1))
+            lead2 = d.shape[2:]
+            dim = U.shape[0]
+            d = d.reshape((dim * 2,) + lead2)
+            d = jnp.tensordot(jnp.asarray(W), d, axes=[[1], [0]])
+            d = d.reshape((dim, 2) + lead2)
+            d = jnp.moveaxis(d, (0, 1), (i, pair_axis))
+            data = d.reshape(shape)
+        else:
+            data = jnp.moveaxis(
+                jnp.tensordot(jnp.asarray(U), data, axes=[[1], [i]]), 0, i)
+    return data
+
+
+class AnnulusBasis:
+    """
+    Annulus basis facade spanning (azimuth, radius) axes
+    (parity: dedalus/core/basis.py:2011 AnnulusBasis).
+    """
+
+    dim = 2
+
+    def __init__(self, coordsys, shape, radii=(1, 2), k=0, alpha=(-0.5, -0.5),
+                 dealias=(1, 1), dtype=np.float64):
+        if not isinstance(coordsys, PolarCoordinates):
+            raise ValueError("Annulus requires PolarCoordinates")
+        self.coordsys = coordsys
+        self.shape = tuple(shape)
+        self.radii = tuple(map(float, radii))
+        self.k = int(k)
+        self.alpha = tuple(map(float, alpha))
+        if np.isscalar(dealias):
+            dealias = (dealias, dealias)
+        self.dealias = tuple(dealias)
+        self.dtype = dtype
+        self.volume = np.pi * (self.radii[1]**2 - self.radii[0]**2)
+        self.azimuth_basis = AzimuthBasis(
+            coordsys.azimuth, self.shape[0], bounds=(0, 2 * np.pi),
+            dealias=self.dealias[0], dtype=dtype)
+        self.radial_basis = AnnulusRadialBasis(
+            coordsys.radius, self.shape[1], self.radii, k=self.k,
+            alpha=self.alpha, dealias=self.dealias[1], dtype=dtype, parent=self)
+
+    @property
+    def sub_bases(self):
+        return (self.azimuth_basis, self.radial_basis)
+
+    def clone_with(self, **kw):
+        args = dict(coordsys=self.coordsys, shape=self.shape, radii=self.radii,
+                    k=self.k, alpha=self.alpha, dealias=self.dealias, dtype=self.dtype)
+        args.update(kw)
+        return AnnulusBasis(**args)
+
+    def derivative_basis(self, order=1):
+        return self.clone_with(k=self.k + order)
+
+    def S1_basis(self, radius=None):
+        """Edge basis (azimuth circle) for boundary conditions."""
+        return self.azimuth_basis
+
+    def global_grids(self, scales=None):
+        scales = scales or self.dealias
+        return (self.azimuth_basis.global_grid(scales[0]),
+                self.radial_basis.global_grid(scales[1]))
+
+    def __repr__(self):
+        return f"AnnulusBasis(shape={self.shape}, radii={self.radii}, k={self.k})"
+
+
+def _azimuth_tensor_all_valid(tensorsig, cs):
+    """Spin recombination binds components to parity pairs: tensors over the
+    polar system keep all m=0 slots (parity: basis.py:1780 valid_elements)."""
+    return any(getattr(t, 'coords', None) is not None and t is cs for t in tensorsig)
+
+
+def _azimuth_group_valid_mask(self, group, tensorsig=()):
+    if _azimuth_tensor_all_valid(tensorsig, self.coord.cs):
+        return np.ones(2, dtype=bool)
+    if group == 0:
+        return np.array([True, False])
+    return np.array([True, True])
+
+
+def _azimuth_valid_coeff_mask(self, tensorsig=()):
+    mask = np.ones(self.size, dtype=bool)
+    if not _azimuth_tensor_all_valid(tensorsig, self.coord.cs):
+        mask[1] = False
+    return mask
+
+
+AzimuthBasis.group_valid_mask = _azimuth_group_valid_mask
+AzimuthBasis.valid_coeff_mask = _azimuth_valid_coeff_mask

@@ -48,6 +48,65 @@ class Coordinate(CoordinateSystem):
         return self.name
 
 
+class AzimuthalCoordinate(Coordinate):
+    """Periodic azimuthal coordinate of a curvilinear system."""
+    pass
+
+
+class CurvilinearCoordinateSystem(CoordinateSystem):
+    """Base for curvilinear systems with spin-component machinery."""
+
+
+class PolarCoordinates(CurvilinearCoordinateSystem):
+    """
+    Polar coordinates (azimuth, radius); spin component ordering (-, +).
+    Parity: dedalus/core/coords.py:255-310.
+    """
+
+    spin_ordering = (-1, +1)
+    dim = 2
+
+    def __init__(self, azimuth, radius):
+        self.names = (azimuth, radius)
+        self.azimuth = AzimuthalCoordinate(azimuth, cs=self)
+        self.radius = Coordinate(radius, cs=self)
+        self.coords = (self.azimuth, self.radius)
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self.coords[self.names.index(key)]
+        return self.coords[key]
+
+    @classmethod
+    def U_forward(cls, order=1):
+        """Unitary coord->spin map: u_s = (u_r + s*1j*u_phi)/sqrt(2)."""
+        rows = [np.array([spin * 1j, 1]) / np.sqrt(2) for spin in cls.spin_ordering]
+        U = np.array(rows)
+        out = U
+        for _ in range(order - 1):
+            out = np.kron(out, U)
+        return out
+
+    @classmethod
+    def U_backward(cls, order=1):
+        return cls.U_forward(order).T.conj()
+
+    def spintotal(self, tensorsig, comp_index):
+        """Total spin weight of a tensor component (sum over ranks in this cs)."""
+        total = 0
+        for cs, idx in zip(tensorsig, comp_index):
+            if cs is self:
+                total += self.spin_ordering[idx]
+        return total
+
+    @staticmethod
+    def cartesian(phi, r):
+        return r * np.cos(phi), r * np.sin(phi)
+
+    def __repr__(self):
+        return f"PolarCoordinates{self.names}"
+
+
 class CartesianCoordinates(CoordinateSystem):
     """An ordered set of independent Cartesian coordinates."""
 

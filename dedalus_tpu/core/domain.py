@@ -32,9 +32,15 @@ class Domain:
         if not isinstance(bases, (tuple, list)):
             bases = (bases,)
         full = [None] * dist.dim
+        expanded = []
         for basis in bases:
             if basis is None:
                 continue
+            if hasattr(basis, 'sub_bases'):
+                expanded.extend(basis.sub_bases)  # multi-axis bases (annulus, ...)
+            else:
+                expanded.append(basis)
+        for basis in expanded:
             axis = basis.coord.axis
             if full[axis] is not None and full[axis] != basis:
                 raise ValueError(f"Multiple bases along axis {axis}")

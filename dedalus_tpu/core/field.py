@@ -160,7 +160,8 @@ class Field(Operand):
         basis = self.domain.bases[axis]
         data_axis = len(self.tensorsig) + axis
         if basis is not None:
-            self.data = basis.forward_transform(self.data, data_axis, self.scales[axis], self.dtype)
+            self.data = basis.forward_transform(self.data, data_axis, self.scales[axis],
+                                                self.dtype, tensorsig=self.tensorsig)
         gs[axis] = False
         self.layout = Layout(gs)
 
@@ -171,7 +172,8 @@ class Field(Operand):
         basis = self.domain.bases[axis]
         data_axis = len(self.tensorsig) + axis
         if basis is not None:
-            self.data = basis.backward_transform(self.data, data_axis, self.scales[axis], self.dtype)
+            self.data = basis.backward_transform(self.data, data_axis, self.scales[axis],
+                                                 self.dtype, tensorsig=self.tensorsig)
         else:
             # Constant axis: size-1 in both spaces
             pass

@@ -202,9 +202,19 @@ class Future(Operand):
     # --- evaluation ---
 
     def evaluate(self):
-        """Recursively evaluate to a Field (eager or traced)."""
-        arg_fields = [op.evaluate() if isinstance(op, Future) else op
-                      for op in self.args]
+        """
+        Recursively evaluate to a Field (eager or traced). Leaf Fields are
+        evaluated through shallow copies so layout moves never mutate user
+        fields (and never leave traced arrays behind after a jit trace).
+        """
+        arg_fields = []
+        for op in self.args:
+            if isinstance(op, Future):
+                arg_fields.append(op.evaluate())
+            elif isinstance(op, Field):
+                arg_fields.append(op.copy())
+            else:
+                arg_fields.append(op)
         return self.operate(arg_fields)
 
     def operate(self, arg_fields):

@@ -122,9 +122,9 @@ class SpectralOperator1D(LinearOperator):
     @property
     def axis_coupling(self):
         """Whether the matrix couples distinct groups along self.axis."""
-        from .basis import Jacobi
-        if isinstance(self.input_basis, Jacobi) or isinstance(self.output_basis, Jacobi):
-            return True
+        for basis in (self.input_basis, self.output_basis):
+            if basis is not None and getattr(basis, 'ops_couple', False):
+                return True
         return False
 
     # --- pencil matrices ---
@@ -235,8 +235,7 @@ class Convert1D(SpectralOperator1D):
 
     @property
     def axis_coupling(self):
-        from .basis import Jacobi
-        return isinstance(self.output_basis, Jacobi) and self.input_basis is not None
+        return getattr(self.output_basis, 'ops_couple', False) and self.input_basis is not None
 
 
 class Interpolate1D(SpectralOperator1D):
@@ -300,8 +299,7 @@ class Integrate1D(SpectralOperator1D):
 
     @property
     def axis_coupling(self):
-        from .basis import Jacobi
-        return isinstance(self.input_basis, Jacobi)
+        return getattr(self.input_basis, 'ops_couple', False)
 
     @property
     def separable_dependence(self):
@@ -316,6 +314,8 @@ class Lift(SpectralOperator1D):
     """
 
     def __init__(self, operand, out_basis, index):
+        if hasattr(out_basis, 'sub_bases'):
+            out_basis = out_basis.sub_bases[-1]  # multi-axis basis: lift radially
         self.out_basis_arg = out_basis
         self.index = index
         self.axis = out_basis.coord.axis
@@ -333,8 +333,7 @@ class Lift(SpectralOperator1D):
 
     @property
     def axis_coupling(self):
-        from .basis import Jacobi
-        return isinstance(self.output_basis, Jacobi)
+        return getattr(self.output_basis, 'ops_couple', False)
 
     @property
     def separable_dependence(self):
@@ -703,16 +702,24 @@ def Differentiate(operand, coord):
 
 
 def Gradient(operand, coordsys=None):
+    from .coords import PolarCoordinates
     if coordsys is None:
         coordsys = _infer_coordsys(operand)
+    if isinstance(coordsys, PolarCoordinates):
+        from .operators_polar import PolarGradient
+        return PolarGradient(operand, coordsys)
     comps = [Differentiate1D(operand, c) for c in coordsys.coords]
     return TensorStack(comps, coordsys)
 
 
 def Divergence(operand, index=0):
+    from .coords import PolarCoordinates
     if not operand.tensorsig:
         raise ValueError("Divergence requires a tensor operand")
     coordsys = operand.tensorsig[index]
+    if isinstance(coordsys, PolarCoordinates):
+        from .operators_polar import PolarDivergence
+        return PolarDivergence(operand, index)
     terms = []
     for i, c in enumerate(coordsys.coords):
         term = Differentiate1D(Component(operand, i), c)
@@ -724,8 +731,12 @@ def Divergence(operand, index=0):
 
 
 def Laplacian(operand, coordsys=None):
+    from .coords import PolarCoordinates
     if coordsys is None:
         coordsys = _infer_coordsys(operand)
+    if isinstance(coordsys, PolarCoordinates):
+        from .operators_polar import PolarLaplacian
+        return PolarLaplacian(operand, coordsys)
     return Divergence(Gradient(operand, coordsys))
 
 
@@ -758,8 +769,12 @@ def Skew(operand):
 
 
 def Trace(operand):
+    from .coords import PolarCoordinates
     if len(operand.tensorsig) < 2:
         raise ValueError("Trace requires a rank-2+ tensor")
+    if isinstance(operand.tensorsig[0], PolarCoordinates):
+        from .operators_polar import PolarTrace
+        return PolarTrace(operand)
     dim = operand.tensorsig[0].dim
     terms = [Component(Component(operand, i), i) for i in range(dim)]
     return Add(*terms) if len(terms) > 1 else terms[0]

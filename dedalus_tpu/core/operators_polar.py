@@ -1,0 +1,259 @@
+"""
+Vector calculus on polar coordinate systems (annulus; disk later).
+
+Parity target (behavior): dedalus/core/operators.py:2908-3065 (PolarMOperator,
+PolarGradient), :3606 (PolarDivergence), :4217 (PolarLaplacian), :1829
+(PolarTrace). TPU-first design: per-m covariant radial matrices are stacked
+over azimuthal mode groups and applied as ONE batched einsum on the MXU in
+eager/traced evaluation; pencil matrices assemble the same blocks per group.
+
+Spin conventions: component ordering (-, +); u_s = (u_r + s*1j*u_phi)/sqrt(2);
+coefficient data holds spin components, grid data holds coordinate components
+(the radial transform performs the recombination).
+"""
+
+import numbers
+import numpy as np
+import jax.numpy as jnp
+from scipy import sparse
+
+from .field import Field
+from .future import Future
+from .domain import Domain
+from .coords import PolarCoordinates
+from .operators import LinearOperator, device_matrix
+from .arithmetic import Add, Multiply
+from ..utils.general import prod
+
+
+class PolarMOperator(LinearOperator):
+    """
+    Base for operators built from per-(m, spin) radial matrices.
+    Subclasses define: out_tensorsig, spinindices_out(in_idx),
+    radial_matrix_name(in_idx, out_idx), scale_factor, dk (k increment).
+    """
+
+    def __init__(self, operand, coordsys):
+        self.coordsys = coordsys
+        self.azimuth_axis = coordsys.coords[0].axis
+        self.radius_axis = coordsys.coords[1].axis
+        self.radial_in = operand.domain.bases[self.radius_axis]
+        if self.radial_in is None:
+            raise ValueError("Polar operator requires a radial basis")
+        self.radial_out = self.radial_in.derivative_basis(self.dk)
+        super().__init__(operand)
+
+    def _init_metadata(self):
+        op = self.operand
+        self.tensorsig = self.out_tensorsig(op.tensorsig)
+        self.dtype = op.dtype
+        bases = list(op.domain.bases)
+        bases[self.radius_axis] = self.radial_out
+        self.domain = Domain(self.dist, tuple(b for b in bases if b is not None))
+
+    def matrix_dependence(self, *vars):
+        out = self.operand.matrix_dependence(*vars).copy()
+        out[self.azimuth_axis] = True
+        return out
+
+    def matrix_coupling(self, *vars):
+        out = self.operand.matrix_coupling(*vars).copy()
+        out[self.radius_axis] = True
+        return out
+
+    # --- spin bookkeeping ---
+
+    def _comp_indices(self, tensorsig):
+        shape = tuple(cs.dim for cs in tensorsig)
+        if not shape:
+            return [()]
+        return list(np.ndindex(*shape))
+
+    def _spintotal(self, tensorsig, idx):
+        return self.coordsys.spintotal(tensorsig, idx)
+
+    # --- matrices ---
+
+    def radial_matrix(self, in_idx, out_idx, m):
+        raise NotImplementedError
+
+    def subproblem_matrix(self, subproblem):
+        m = subproblem.group[self.azimuth_axis]
+        op = self.operand
+        in_idxs = self._comp_indices(op.tensorsig)
+        out_idxs = self._comp_indices(self.tensorsig)
+        nr_in = subproblem.axis_width(self.radial_in, self.radius_axis)
+        nr_out = subproblem.axis_width(self.radial_out, self.radius_axis)
+        az_w = subproblem.axis_width(op.domain.bases[self.azimuth_axis], self.azimuth_axis)
+        blocks = []
+        for oi in out_idxs:
+            row = []
+            for ii in in_idxs:
+                if oi in self.spinindices_out(ii):
+                    A = self.radial_matrix(ii, oi, m if m is not None else 0)
+                    blk = sparse.kron(sparse.identity(az_w), A)
+                else:
+                    blk = sparse.csr_matrix((az_w * nr_out, az_w * nr_in))
+                row.append(blk)
+            blocks.append(row)
+        if len(blocks) == 1 and len(blocks[0]) == 1:
+            return sparse.csr_matrix(blocks[0][0])
+        return sparse.bmat(blocks, format='csr')
+
+    def expression_matrices(self, subproblem, vars, **kw):
+        op_mats = self.operand.expression_matrices(subproblem, vars, **kw)
+        mat = self.subproblem_matrix(subproblem)
+        return {var: mat @ m for var, m in op_mats.items()}
+
+    # --- eager/traced evaluation ---
+
+    def _matrix_stack(self, in_idx, out_idx):
+        """Device stack (KM+1, n_out, n_in) of per-m radial matrices."""
+        az_basis = self.operand.domain.bases[self.azimuth_axis]
+        KM = (az_basis.size - 1) // 2
+        key = (type(self).__name__, self.radial_in._key(), in_idx, out_idx, KM)
+
+        def build():
+            mats = [self.radial_matrix(in_idx, out_idx, m).toarray()
+                    for m in range(KM + 1)]
+            return np.ascontiguousarray(np.stack(mats))
+
+        return device_matrix(key, build)
+
+    def operate(self, arg_fields):
+        field = arg_fields[0]
+        field.require_coeff_space()
+        data = field.data
+        nt_in = len(field.tensorsig)
+        out_shape = tuple(cs.dim for cs in self.tensorsig)
+        M = data.shape[nt_in + self.azimuth_axis]
+        n_out = self.radial_out.coeff_size
+        spatial = list(data.shape[nt_in:])
+        spatial[self.radius_axis] = n_out
+        out = jnp.zeros(out_shape + tuple(spatial), dtype=self.dtype)
+        # Polar systems occupy two adjacent axes (azimuth, radius) = last two
+        for ii in self._comp_indices(field.tensorsig):
+            comp = data[ii]
+            lead = comp.shape[:self.azimuth_axis]
+            cm = comp.reshape(lead + (M // 2, 2, comp.shape[-1]))
+            for oi in self.spinindices_out(ii):
+                stack = self._matrix_stack(ii, oi)
+                res = jnp.einsum('moi,...mpi->...mpo', stack, cm)
+                res = res.reshape(lead + (M, n_out))
+                out = out.at[oi].add(res)
+        return self._build_output(self.dist.coeff_layout, out, scales=field.scales)
+
+
+class PolarGradient(PolarMOperator):
+    """grad on polar coords (parity: operators.py:3053)."""
+
+    dk = 1
+
+    def out_tensorsig(self, in_tensorsig):
+        return (self.coordsys,) + in_tensorsig
+
+    def spinindices_out(self, in_idx):
+        return ((0,) + tuple(in_idx), (1,) + tuple(in_idx))
+
+    def new_operands(self, operand):
+        return PolarGradient(operand, self.coordsys)
+
+    def radial_matrix(self, in_idx, out_idx, m):
+        s_in = self._spintotal(self.operand.tensorsig, in_idx)
+        op = 'D-' if out_idx[0] == 0 else 'D+'
+        return sparse.csr_matrix(
+            (1 / np.sqrt(2)) * self.radial_in.operator_matrix(op, m, s_in))
+
+
+class PolarDivergence(PolarMOperator):
+    """div on polar coords (parity: operators.py:3606)."""
+
+    dk = 1
+
+    def __init__(self, operand, index=0):
+        if not operand.tensorsig:
+            raise ValueError("Divergence requires a tensor operand")
+        coordsys = operand.tensorsig[index]
+        super().__init__(operand, coordsys)
+
+    def out_tensorsig(self, in_tensorsig):
+        return in_tensorsig[1:]
+
+    def spinindices_out(self, in_idx):
+        return (tuple(in_idx[1:]),)
+
+    def new_operands(self, operand):
+        return PolarDivergence(operand)
+
+    def radial_matrix(self, in_idx, out_idx, m):
+        s_in = self._spintotal(self.operand.tensorsig, in_idx)
+        op = 'D+' if in_idx[0] == 0 else 'D-'
+        return sparse.csr_matrix(
+            (1 / np.sqrt(2)) * self.radial_in.operator_matrix(op, m, s_in))
+
+
+class PolarLaplacian(PolarMOperator):
+    """lap on polar coords (parity: operators.py:4217)."""
+
+    dk = 2
+
+    def out_tensorsig(self, in_tensorsig):
+        return in_tensorsig
+
+    def spinindices_out(self, in_idx):
+        return (tuple(in_idx),)
+
+    def new_operands(self, operand):
+        return PolarLaplacian(operand, self.coordsys)
+
+    def radial_matrix(self, in_idx, out_idx, m):
+        s_in = self._spintotal(self.operand.tensorsig, in_idx)
+        return sparse.csr_matrix(self.radial_in.operator_matrix('L', m, s_in))
+
+
+class PolarTrace(LinearOperator):
+    """
+    Trace of a rank-2 polar tensor. In spin components:
+    tr(T_coord) = T_{-+} + T_{+-} (parity: operators.py:1829).
+    """
+
+    def __init__(self, operand):
+        self.coordsys = operand.tensorsig[0]
+        super().__init__(operand)
+
+    def _init_metadata(self):
+        op = self.operand
+        if len(op.tensorsig) < 2 or op.tensorsig[0] is not op.tensorsig[1]:
+            raise ValueError("PolarTrace requires leading rank-2 polar indices")
+        self.tensorsig = op.tensorsig[2:]
+        self.dtype = op.dtype
+        self.domain = op.domain
+
+    def new_operands(self, operand):
+        return PolarTrace(operand)
+
+    def operate(self, arg_fields):
+        field = arg_fields[0]
+        field.require_coeff_space()
+        data = field.data
+        out = data[0, 1] + data[1, 0]
+        return self._build_output(self.dist.coeff_layout, out, scales=field.scales)
+
+    def expression_matrices(self, subproblem, vars, **kw):
+        op = self.operand
+        op_mats = op.expression_matrices(subproblem, vars, **kw)
+        space = subproblem.spatial_size(op.domain)
+        rest = prod(tuple(cs.dim for cs in op.tensorsig[2:])) or 1
+        dim = self.coordsys.dim
+        sel = sparse.lil_matrix((rest * space, dim * dim * rest * space))
+        for (i, j) in ((0, 1), (1, 0)):
+            start = (i * dim + j) * rest * space
+            sel[:, start:start + rest * space] += sparse.identity(rest * space)
+        sel = sparse.csr_matrix(sel)
+        return {v: sel @ m for v, m in op_mats.items()}
+
+    def matrix_dependence(self, *vars):
+        return self.operand.matrix_dependence(*vars)
+
+    def matrix_coupling(self, *vars):
+        return self.operand.matrix_coupling(*vars)

@@ -67,9 +67,9 @@ class Subproblem:
                     # Constant along a separable axis: valid only in group 0
                     axis_masks.append(np.array([self.group[axis] == 0]))
             elif self.coupled[axis]:
-                axis_masks.append(basis.valid_coeff_mask())
+                axis_masks.append(basis.valid_coeff_mask(tensorsig))
             else:
-                axis_masks.append(basis.group_valid_mask(self.group[axis]))
+                axis_masks.append(basis.group_valid_mask(self.group[axis], tensorsig))
         mask = axis_masks[0]
         for m in axis_masks[1:]:
             mask = np.outer(mask, m).ravel()

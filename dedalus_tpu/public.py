@@ -4,7 +4,7 @@ Public API, star-importable as `import dedalus_tpu.public as d3`.
 Parity target: dedalus/public.py:1-17.
 """
 
-from .core.coords import Coordinate, CartesianCoordinates
+from .core.coords import Coordinate, CartesianCoordinates, PolarCoordinates
 from .core.distributor import Distributor
 from .core.domain import Domain
 from .core.basis import (
@@ -12,6 +12,7 @@ from .core.basis import (
     RealFourier, ComplexFourier,
 )
 from .core.field import Field, LockedField
+from .core.basis_polar import AnnulusBasis
 from .core import future  # installs the Field expression protocol
 from .core.operators import (
     Differentiate, Gradient, Divergence, Laplacian, Curl, Skew, Trace,
