@@ -36,10 +36,14 @@ def merge_bases(b1, b2):
         if (a, b) == (b2.a, b2.b):
             return b2
         return b1.clone_with(a=a, b=b)
-    from .basis_polar import AnnulusRadialBasis
+    from .basis_polar import AnnulusRadialBasis, DiskRadialBasis
     if isinstance(b1, AnnulusRadialBasis) and isinstance(b2, AnnulusRadialBasis):
         if (b1.coord, b1.size, b1.radii, b1.alpha) != (b2.coord, b2.size, b2.radii, b2.alpha):
             raise ValueError(f"Incompatible annulus radial bases: {b1} {b2}")
+        return b1 if b1.k >= b2.k else b2
+    if isinstance(b1, DiskRadialBasis) and isinstance(b2, DiskRadialBasis):
+        if (b1.coord, b1.size, b1.radius, b1.alpha) != (b2.coord, b2.size, b2.radius, b2.alpha):
+            raise ValueError(f"Incompatible disk radial bases: {b1} {b2}")
         return b1 if b1.k >= b2.k else b2
     raise ValueError(f"Cannot merge bases: {b1} {b2}")
 

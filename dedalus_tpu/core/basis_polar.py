@@ -22,6 +22,7 @@ from .coords import PolarCoordinates
 from ..utils.caching import CachedMethod, CachedAttribute
 from ..spectral import jacobi as jacobi_lib
 from ..spectral import shell as shell_lib
+from ..spectral import zernike as zernike_lib
 from ..spectral import clenshaw
 from ..ops import transforms as ops_transforms
 
@@ -330,3 +331,302 @@ def _azimuth_valid_coeff_mask(self, tensorsig=()):
 
 AzimuthBasis.group_valid_mask = _azimuth_group_valid_mask
 AzimuthBasis.valid_coeff_mask = _azimuth_valid_coeff_mask
+
+
+class DiskRadialBasis(Basis):
+    """
+    Radial basis for the disk: per-m generalized Zernike polynomials
+    Q_n^{(alpha+k, |m+s|)}(z), z = 2(r/R)^2 - 1 (parity: basis.py:2305
+    DiskBasis). TPU-first design: RECTANGULAR coefficient storage (n = 0..Nmax
+    for every m) with the reference's triangular truncation expressed through
+    validity masks, so the per-(m, s) transforms batch as one (M/2, n, Nr)
+    einsum on the MXU instead of ragged per-m loops.
+    """
+
+    ops_couple = True
+
+    def __init__(self, coord, size, radius=1.0, k=0, alpha=0.0, dealias=1,
+                 dtype=np.float64, parent=None):
+        super().__init__(coord, size, (0, float(radius)), dealias=dealias, dtype=dtype)
+        self.radius = float(radius)
+        self.k = int(k)
+        self.alpha = float(alpha)
+        self.parent = parent
+
+    # --- identity ---
+
+    def _key(self):
+        return ('DiskRadial', self.coord.name, self.size, self.radius, self.k,
+                self.alpha, self.dealias)
+
+    def __eq__(self, other):
+        if isinstance(other, DiskRadialBasis):
+            return self._key() == other._key()
+        return NotImplemented
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def clone_with(self, **kw):
+        args = dict(coord=self.coord, size=self.size, radius=self.radius, k=self.k,
+                    alpha=self.alpha, dealias=self.dealias[0], dtype=self.dtype,
+                    parent=self.parent)
+        args.update(kw)
+        return DiskRadialBasis(**args)
+
+    def derivative_basis(self, order=1):
+        return self.clone_with(k=self.k + order)
+
+    # --- truncation ---
+
+    @staticmethod
+    def nmin(m):
+        return abs(m) // 2
+
+    def n_size(self, m):
+        return self.size - self.nmin(m)
+
+    # --- grids ---
+
+    def _native_z(self, scale=1):
+        z, w = zernike_lib.quadrature(2, self.grid_size(scale), k=self.alpha)
+        return z, w
+
+    def global_grid(self, scale=1):
+        z, _ = self._native_z(scale)
+        return self.radius * np.sqrt((1 + np.asarray(z, dtype=np.float64)) / 2)
+
+    def global_weights(self, scale=1):
+        """Weights for integral f(r) r dr on [0, R] (for alpha=0 these are the
+        Zernike dV weights scaled by R^2)."""
+        z, w = self._native_z(scale)
+        return np.asarray(w, dtype=np.float64) * self.radius**2 * 2
+
+    def grid_spacing(self, scale=1):
+        r = np.asarray(self.global_grid(scale))
+        return np.abs(np.gradient(r))
+
+    # --- transforms: batched per-(m, s) Zernike MMT ---
+
+    @CachedMethod
+    def _transform_stacks(self, scale, s, direction):
+        """Host stacks (KM+1, n, Nrg) / (KM+1, Nrg, n) of per-m matrices."""
+        Nrg = self.grid_size(scale)
+        M = self.parent.azimuth_basis.size
+        KM = (M - 1) // 2
+        z, w = zernike_lib.quadrature(2, Nrg, k=self.alpha)
+        n = self.size
+        fwd = np.zeros((KM + 1, n, Nrg))
+        bwd = np.zeros((KM + 1, Nrg, n))
+        for m in range(KM + 1):
+            l = abs(m + s)
+            ns = self.n_size(m)
+            if ns <= 0:
+                continue
+            Q0 = zernike_lib.polynomials(2, ns, self.alpha, l, z)      # grid params
+            proj = Q0 * np.asarray(w)
+            if self.k:
+                conv = sparse.identity(ns, format='csr')
+                for i in range(self.k):
+                    E = zernike_lib.operator(2, 'E', +1, ns, self.alpha + i, l)
+                    conv = E @ conv
+                proj = conv @ proj
+            fwd[m, :ns, :] = proj
+            Qk = zernike_lib.polynomials(2, ns, self.alpha + self.k, l, z)
+            bwd[m, :, :ns] = Qk.T
+        return np.ascontiguousarray(fwd if direction == 'f' else bwd)
+
+    def _apply_stack(self, data, axis, stack_np, out_size, tensorsig, comp_spins):
+        """Apply per-m matrices batched over azimuthal pairs, per spin comp."""
+        from .operators import device_matrix
+        n_tens = len(tensorsig)
+        M = data.shape[n_tens + 0] if False else data.shape[axis - 1]
+        lead = data.shape[:axis - 1]
+        outs = []
+        # data: (comps..., M, nr_in); iterate components with their spins
+        if n_tens == 0:
+            stack = _stack_device(stack_np[0])
+            cm = data.reshape(lead[:0] + (M // 2, 2, data.shape[-1])) if n_tens == 0 else None
+            res = jnp.einsum('mon,mpn->mpo', stack, data.reshape((M // 2, 2, data.shape[-1])))
+            return res.reshape((M, out_size))
+        flat_comps = list(np.ndindex(*[cs.dim for cs in tensorsig]))
+        out = jnp.zeros(tuple(cs.dim for cs in tensorsig) + (M, out_size), dtype=data.dtype)
+        for idx in flat_comps:
+            s = comp_spins[idx]
+            stack = _stack_device(stack_np[s])
+            comp = data[idx]
+            res = jnp.einsum('mon,mpn->mpo', stack, comp.reshape((M // 2, 2, comp.shape[-1])))
+            out = out.at[idx].set(res.reshape((M, out_size)))
+        return out
+
+    def forward_transform(self, data, axis, scale, dtype, tensorsig=()):
+        data = spin_recombine(self.parent.coordsys, tensorsig, data, axis - 1,
+                              forward=True, real=(np.dtype(dtype).kind == 'f'))
+        stacks = {s: self._transform_stacks(scale, s, 'f')
+                  for s in _spins_present(self.parent.coordsys, tensorsig)}
+        spins = _comp_spin_map(self.parent.coordsys, tensorsig)
+        return self._apply_stack(data, axis, stacks, self.size, tensorsig, spins)
+
+    def backward_transform(self, data, axis, scale, dtype, tensorsig=()):
+        stacks = {s: self._transform_stacks(scale, s, 'b')
+                  for s in _spins_present(self.parent.coordsys, tensorsig)}
+        spins = _comp_spin_map(self.parent.coordsys, tensorsig)
+        data = self._apply_stack(data, axis, stacks, self.grid_size(scale), tensorsig, spins)
+        data = spin_recombine(self.parent.coordsys, tensorsig, data, axis - 1,
+                              forward=False, real=(np.dtype(dtype).kind == 'f'))
+        return data
+
+    # --- validity ---
+
+    def group_valid_for_m(self, m, tensorsig=()):
+        """Radial validity for azimuthal group m (rectangular storage)."""
+        mask = np.zeros(self.size, dtype=bool)
+        mask[:self.n_size(m)] = True
+        return mask
+
+    # --- operator matrices ---
+
+    @CachedMethod
+    def operator_matrix(self, op, m, spintotal, size=None):
+        """Per-(m, spin) radial operators (parity: DiskBasis.operator_matrix),
+        padded to rectangular size with zero rows/cols outside n_size(m)."""
+        n = size if size is not None else self.size
+        ms = m + spintotal
+        l = abs(ms)
+        kk = self.alpha + self.k
+        if op[-1] in '+-':
+            p = 1 if op[-1] == '+' else -1
+            if ms == 0:
+                p = +1
+            elif ms < 0:
+                p = -p
+            base = op[:-1]
+            mat = zernike_lib.operator(2, base, p, n, kk, l, radius=self.radius)
+        elif op == 'L':
+            if ms < 0:
+                D1 = zernike_lib.operator(2, 'D', -1, n + 2, kk, l, radius=self.radius)
+                D2 = zernike_lib.operator(2, 'D', +1, n + 2, kk + 1, l - 1, radius=self.radius)
+            else:
+                D1 = zernike_lib.operator(2, 'D', +1, n + 2, kk, l, radius=self.radius)
+                D2 = zernike_lib.operator(2, 'D', -1, n + 2, kk + 1, l + 1, radius=self.radius)
+            mat = sparse.csr_matrix(D2 @ D1)[:n, :n]
+        elif op == 'E':
+            mat = zernike_lib.operator(2, 'E', +1, n, kk, l)
+        elif op in ('Z', 'Id'):
+            mat = zernike_lib.operator(2, op, 0, n, kk, l)
+        else:
+            raise ValueError(f"Unknown disk operator: {op}")
+        return sparse.csr_matrix(mat)
+
+    @CachedMethod
+    def conversion_matrix_m(self, m, spintotal, dk):
+        l = abs(m + spintotal)
+        mat = sparse.identity(self.size, format='csr')
+        for i in range(dk):
+            E = zernike_lib.operator(2, 'E', +1, self.size, self.alpha + self.k + i, l)
+            mat = E @ mat
+        return sparse.csr_matrix(mat)
+
+    @CachedMethod
+    def interpolation_m(self, m, spintotal, position):
+        znat = 2 * (float(position) / self.radius)**2 - 1
+        Q = zernike_lib.polynomials(2, self.size, self.alpha + self.k,
+                                    abs(m + spintotal), np.array([znat]))
+        return sparse.csr_matrix(Q[:, 0][None, :])
+
+    def integration_vector(self):
+        """m=0 radial integral: integral f r dr on [0, R]."""
+        Nq = self.size + self.k + 2
+        z, w = zernike_lib.quadrature(2, Nq, k=0)
+        Q = zernike_lib.polynomials(2, self.size, self.alpha + self.k, 0, z)
+        vec = (Q * np.asarray(w)).sum(axis=1) * self.radius**2 * 2
+        return sparse.csr_matrix(np.asarray(vec, dtype=np.float64)[None, :])
+
+    def lift_matrix(self, index):
+        col = np.zeros((self.size, 1))
+        col[index, 0] = 1
+        return sparse.csr_matrix(col)
+
+
+def _spins_present(cs, tensorsig):
+    if not tensorsig:
+        return (0,)
+    spins = set()
+    for idx in np.ndindex(*[t.dim for t in tensorsig]):
+        spins.add(cs.spintotal(tensorsig, idx))
+    return tuple(sorted(spins))
+
+
+def _comp_spin_map(cs, tensorsig):
+    out = {}
+    for idx in np.ndindex(*[t.dim for t in tensorsig]):
+        out[idx] = cs.spintotal(tensorsig, idx)
+    return out
+
+
+_STACK_DEVICE_CACHE = {}
+
+
+def _stack_device(np_stack):
+    from .basis import _tracing
+    if _tracing():
+        return np_stack
+    key = id(np_stack)
+    if key not in _STACK_DEVICE_CACHE:
+        _STACK_DEVICE_CACHE[key] = (np_stack, jnp.asarray(np_stack))
+    return _STACK_DEVICE_CACHE[key][1]
+
+
+class DiskBasis:
+    """Disk basis facade spanning (azimuth, radius) (parity: basis.py:2305)."""
+
+    dim = 2
+
+    def __init__(self, coordsys, shape, radius=1.0, k=0, alpha=0.0,
+                 dealias=(1, 1), dtype=np.float64):
+        if not isinstance(coordsys, PolarCoordinates):
+            raise ValueError("Disk requires PolarCoordinates")
+        self.coordsys = coordsys
+        self.shape = tuple(shape)
+        self.radius = float(radius)
+        self.k = int(k)
+        self.alpha = float(alpha)
+        if np.isscalar(dealias):
+            dealias = (dealias, dealias)
+        self.dealias = tuple(dealias)
+        self.dtype = dtype
+        self.volume = np.pi * radius**2
+        self.azimuth_basis = AzimuthBasis(
+            coordsys.azimuth, self.shape[0], bounds=(0, 2 * np.pi),
+            dealias=self.dealias[0], dtype=dtype)
+        self.radial_basis = DiskRadialBasis(
+            coordsys.radius, self.shape[1], radius=self.radius, k=self.k,
+            alpha=self.alpha, dealias=self.dealias[1], dtype=dtype, parent=self)
+
+    @property
+    def sub_bases(self):
+        return (self.azimuth_basis, self.radial_basis)
+
+    @property
+    def edge(self):
+        return self.azimuth_basis
+
+    def S1_basis(self, radius=None):
+        return self.azimuth_basis
+
+    def clone_with(self, **kw):
+        args = dict(coordsys=self.coordsys, shape=self.shape, radius=self.radius,
+                    k=self.k, alpha=self.alpha, dealias=self.dealias, dtype=self.dtype)
+        args.update(kw)
+        return DiskBasis(**args)
+
+    def derivative_basis(self, order=1):
+        return self.clone_with(k=self.k + order)
+
+    def global_grids(self, scales=None):
+        scales = scales or self.dealias
+        return (self.azimuth_basis.global_grid(scales[0]),
+                self.radial_basis.global_grid(scales[1]))
+
+    def __repr__(self):
+        return f"DiskBasis(shape={self.shape}, radius={self.radius}, k={self.k})"

@@ -10,13 +10,13 @@ import numpy as np
 
 
 class CoordinateSystem:
-    """Base class for coordinate systems (an ordered set of coordinates)."""
+    """
+    Base class for coordinate systems (an ordered set of coordinates).
 
-    def __eq__(self, other):
-        return type(self) is type(other) and self.names == other.names
-
-    def __hash__(self):
-        return hash((type(self).__name__,) + tuple(self.names))
+    Identity is by OBJECT, not by name: two sessions' PolarCoordinates('phi','r')
+    are distinct systems. (Name-based equality let cached bases alias across
+    distributors, leaving stale coordinate references.)
+    """
 
     @property
     def first_axis(self):

@@ -313,6 +313,14 @@ class Lift(SpectralOperator1D):
     basis (parity: basis.py:790 LiftJacobi; operators.py:4264).
     """
 
+    def __new__(cls, operand, out_basis, index):
+        if hasattr(out_basis, 'sub_bases'):
+            out_basis = out_basis.sub_bases[-1]
+        if hasattr(out_basis, 'interpolation_m'):
+            from .operators_polar import PolarLift
+            return PolarLift(operand, out_basis.coord.cs, out_basis, index)
+        return super().__new__(cls)
+
     def __init__(self, operand, out_basis, index):
         if hasattr(out_basis, 'sub_bases'):
             out_basis = out_basis.sub_bases[-1]  # multi-axis basis: lift radially
@@ -685,7 +693,11 @@ def convert(expr, bases):
         current = expr.domain.bases[axis]
         if target is None or current == target:
             continue
-        expr = Convert1D(expr, target.coord, target)
+        if hasattr(target, 'conversion_matrix_m'):
+            from .operators_polar import PolarConvert
+            expr = PolarConvert(expr, target.coord.cs, target)
+        else:
+            expr = Convert1D(expr, target.coord, target)
     return expr
 
 
@@ -795,6 +807,10 @@ def TransposeComponents(operand, indices=(0, 1)):
 def Interpolate(operand, coord, position):
     if isinstance(coord, str):
         raise ValueError("Interpolate requires a coordinate object")
+    basis = operand.domain.bases[coord.axis]
+    if hasattr(basis, 'interpolation_m'):
+        from .operators_polar import PolarInterpolate
+        return PolarInterpolate(operand, coord.cs, position)
     return Interpolate1D(operand, coord, position)
 
 
@@ -854,7 +870,7 @@ def _operand_call(self, **kw):
                 break
         if coord is None:
             raise ValueError(f"Unknown coordinate: {name}")
-        out = Interpolate1D(out, coord, position)
+        out = Interpolate(out, coord, position)
     return out
 
 

@@ -257,3 +257,155 @@ class PolarTrace(LinearOperator):
 
     def matrix_coupling(self, *vars):
         return self.operand.matrix_coupling(*vars)
+
+
+class PolarConvert(PolarMOperator):
+    """Per-m k-conversion for m-dependent radial bases (disk)."""
+
+    def __init__(self, operand, coordsys, out_basis):
+        self.dk = out_basis.k - operand.domain.bases[coordsys.coords[1].axis].k
+        self._out_basis = out_basis
+        super().__init__(operand, coordsys)
+        self.radial_out = out_basis
+
+    def _init_metadata(self):
+        self.radial_out = self._out_basis
+        super()._init_metadata()
+
+    def out_tensorsig(self, in_tensorsig):
+        return in_tensorsig
+
+    def spinindices_out(self, in_idx):
+        return (tuple(in_idx),)
+
+    def new_operands(self, operand):
+        return PolarConvert(operand, self.coordsys, self._out_basis)
+
+    def radial_matrix(self, in_idx, out_idx, m):
+        s = self._spintotal(self.operand.tensorsig, in_idx)
+        return self.radial_in.conversion_matrix_m(m, s, self.dk)
+
+
+class PolarInterpolate(PolarMOperator):
+    """Per-m radial interpolation (disk boundary rows)."""
+
+    dk = 0
+
+    def __init__(self, operand, coordsys, position):
+        self.position = position
+        super().__init__(operand, coordsys)
+        self.radial_out = None
+
+    def _init_metadata(self):
+        self.radial_out = None
+        op = self.operand
+        self.tensorsig = op.tensorsig
+        self.dtype = op.dtype
+        bases = list(op.domain.bases)
+        bases[self.radius_axis] = None
+        self.domain = Domain(self.dist, tuple(b for b in bases if b is not None))
+
+    def out_tensorsig(self, in_tensorsig):
+        return in_tensorsig
+
+    def spinindices_out(self, in_idx):
+        return (tuple(in_idx),)
+
+    def new_operands(self, operand):
+        return PolarInterpolate(operand, self.coordsys, self.position)
+
+    def radial_matrix(self, in_idx, out_idx, m):
+        s = self._spintotal(self.operand.tensorsig, in_idx)
+        return self.radial_in.interpolation_m(m, s, self.position)
+
+    def operate(self, arg_fields):
+        field = arg_fields[0]
+        field.require_coeff_space()
+        data = field.data
+        out_shape = tuple(cs.dim for cs in self.tensorsig)
+        M = data.shape[len(field.tensorsig) + self.azimuth_axis]
+        spatial = list(data.shape[len(field.tensorsig):])
+        spatial[self.radius_axis] = 1
+        out = jnp.zeros(out_shape + tuple(spatial), dtype=self.dtype)
+        for ii in self._comp_indices(field.tensorsig):
+            comp = data[ii]
+            cm = comp.reshape((M // 2, 2, comp.shape[-1]))
+            stack = self._matrix_stack(ii, tuple(ii))
+            res = jnp.einsum('moi,mpi->mpo', stack, cm).reshape((M, 1))
+            out = out.at[ii].add(res)
+        return self._build_output(self.dist.coeff_layout, out, scales=field.scales)
+
+
+class PolarLift(PolarMOperator):
+    """Per-m tau lift onto the highest valid radial mode (disk)."""
+
+    dk = 0
+
+    def __init__(self, operand, coordsys, out_basis, index):
+        self.index = index
+        self._out_basis = out_basis
+        self.coordsys = coordsys
+        self.azimuth_axis = coordsys.coords[0].axis
+        self.radius_axis = coordsys.coords[1].axis
+        if operand.domain.bases[self.radius_axis] is not None:
+            raise NotImplementedError("PolarLift requires an edge operand")
+        self.radial_in = None
+        self.radial_out = out_basis
+        LinearOperator.__init__(self, operand)
+
+    def _init_metadata(self):
+        op = self.operand
+        self.tensorsig = op.tensorsig
+        self.dtype = op.dtype
+        bases = list(op.domain.bases)
+        bases[self.radius_axis] = self.radial_out
+        self.domain = Domain(self.dist, tuple(b for b in bases if b is not None))
+
+    def out_tensorsig(self, in_tensorsig):
+        return in_tensorsig
+
+    def spinindices_out(self, in_idx):
+        return (tuple(in_idx),)
+
+    def new_operands(self, operand):
+        return PolarLift(operand, self.coordsys, self._out_basis, self.index)
+
+    def radial_matrix(self, in_idx, out_idx, m):
+        s = self._spintotal(self.operand.tensorsig, in_idx)
+        basis = self.radial_out
+        col = np.zeros((basis.size, 1))
+        if hasattr(basis, 'n_size'):
+            ns = basis.n_size(m)
+            pos = ns + self.index if self.index < 0 else self.index
+        else:
+            pos = basis.size + self.index if self.index < 0 else self.index
+        if 0 <= pos < basis.size:
+            col[pos, 0] = 1
+        return sparse.csr_matrix(col)
+
+    def operate(self, arg_fields):
+        field = arg_fields[0]
+        field.require_coeff_space()
+        data = field.data
+        out_shape = tuple(cs.dim for cs in self.tensorsig)
+        M = data.shape[len(field.tensorsig) + self.azimuth_axis]
+        spatial = list(data.shape[len(field.tensorsig):])
+        spatial[self.radius_axis] = self.radial_out.size
+        out = jnp.zeros(out_shape + tuple(spatial), dtype=self.dtype)
+        for ii in self._comp_indices(field.tensorsig):
+            comp = data[ii]
+            cm = comp.reshape((M // 2, 2, 1))
+            stack = self._matrix_stack(ii, tuple(ii))
+            res = jnp.einsum('moi,mpi->mpo', stack, cm).reshape((M, self.radial_out.size))
+            out = out.at[ii].add(res)
+        return self._build_output(self.dist.coeff_layout, out, scales=field.scales)
+
+    def matrix_dependence(self, *vars):
+        out = self.operand.matrix_dependence(*vars).copy()
+        out[self.azimuth_axis] = True
+        return out
+
+    def matrix_coupling(self, *vars):
+        out = self.operand.matrix_coupling(*vars).copy()
+        out[self.radius_axis] = True
+        return out

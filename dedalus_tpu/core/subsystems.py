@@ -67,7 +67,13 @@ class Subproblem:
                     # Constant along a separable axis: valid only in group 0
                     axis_masks.append(np.array([self.group[axis] == 0]))
             elif self.coupled[axis]:
-                axis_masks.append(basis.valid_coeff_mask(tensorsig))
+                if hasattr(basis, 'group_valid_for_m'):
+                    # m-dependent radial truncation (disk/ball): use the
+                    # azimuthal group of this subproblem
+                    m = self.group[axis - 1] or 0
+                    axis_masks.append(basis.group_valid_for_m(m, tensorsig))
+                else:
+                    axis_masks.append(basis.valid_coeff_mask(tensorsig))
             else:
                 axis_masks.append(basis.group_valid_mask(self.group[axis], tensorsig))
         mask = axis_masks[0]

@@ -12,7 +12,7 @@ from .core.basis import (
     RealFourier, ComplexFourier,
 )
 from .core.field import Field, LockedField
-from .core.basis_polar import AnnulusBasis
+from .core.basis_polar import AnnulusBasis, DiskBasis
 from .core import future  # installs the Field expression protocol
 from .core.operators import (
     Differentiate, Gradient, Divergence, Laplacian, Curl, Skew, Trace,
