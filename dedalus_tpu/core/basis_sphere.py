@@ -1,0 +1,224 @@
+"""
+Sphere-surface (S2) basis: spin-weighted spherical harmonics.
+
+Parity target (behavior): dedalus/core/basis.py:2672 (SphereBasis) with the
+SWSH colatitude transform (transforms.py:1252). TPU-first design, mirroring
+the disk: RECTANGULAR (m, ell-slot) coefficient storage with component-
+dependent validity (slot j holds ell = max(|m|,|s|) + j), per-(m, s) SWSH
+transform matrices batched as one (M/2, n, Ntheta) MXU einsum, and spin
+recombination as a dense (component, parity-pair) einsum.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy import sparse
+
+from .basis import Basis
+from .basis_polar import AzimuthBasis, spin_recombine, _spins_present, \
+    _comp_spin_map, _stack_device
+from .coords import S2Coordinates
+from ..utils.caching import CachedMethod
+from ..spectral import sphere as sphere_lib
+
+
+class ColatitudeBasis(Basis):
+    """
+    Per-m SWSH colatitude basis: coefficient slot j of azimuthal mode m and
+    spin s holds the ell = max(|m|,|s|) + j harmonic amplitude.
+    """
+
+    ops_couple = True
+
+    def __init__(self, coord, size, radius=1.0, dealias=1, dtype=np.float64,
+                 parent=None):
+        super().__init__(coord, size, (0, np.pi), dealias=dealias, dtype=dtype)
+        self.radius = float(radius)
+        self.parent = parent
+        self.Lmax = self.size - 1
+
+    def _key(self):
+        return ('Colatitude', self.coord.name, self.size, self.radius, self.dealias)
+
+    def __eq__(self, other):
+        if isinstance(other, ColatitudeBasis):
+            return self._key() == other._key()
+        return NotImplemented
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def derivative_basis(self, order=1):
+        return self  # SWSH operators stay in the same basis
+
+    def n_size(self, m, s=0):
+        return max(self.Lmax + 1 - max(abs(m), abs(s)), 0)
+
+    # --- grids ---
+
+    def global_grid(self, scale=1):
+        """Colatitude grid theta (decreasing z = cos theta ordering)."""
+        N = self.grid_size(scale)
+        z, w = sphere_lib.quadrature(N - 1)
+        return np.arccos(np.asarray(z, dtype=np.float64))[::-1]
+
+    def _zw(self, scale):
+        N = self.grid_size(scale)
+        z, w = sphere_lib.quadrature(N - 1)
+        return np.asarray(z, dtype=np.float64), np.asarray(w, dtype=np.float64)
+
+    def global_weights(self, scale=1):
+        """Weights for integral f(theta) sin(theta) dtheta (times radius^2)."""
+        _, w = self._zw(scale)
+        return w[::-1] * self.radius**2
+
+    def grid_spacing(self, scale=1):
+        th = np.asarray(self.global_grid(scale))
+        return np.abs(np.gradient(th)) * self.radius
+
+    # --- transforms ---
+
+    @CachedMethod
+    def _transform_stacks(self, scale, s, direction):
+        Ng = self.grid_size(scale)
+        M = self.parent.azimuth_basis.size
+        KM = (M - 1) // 2
+        z, w = self._zw(scale)
+        n = self.size
+        Lmax_g = Ng - 1
+        fwd = np.zeros((KM + 1, n, Ng))
+        bwd = np.zeros((KM + 1, Ng, n))
+        for m in range(KM + 1):
+            ns = self.n_size(m, s)
+            if ns <= 0:
+                continue
+            Y = sphere_lib.harmonics(max(Lmax_g, self.Lmax), m, s, z)
+            Y = Y[:ns, :]
+            # theta ordering: grid stored with increasing theta = decreasing z
+            fwd[m, :ns, :] = (Y * w)[:, ::-1]
+            bwd[m, :, :ns] = Y[:, ::-1].T
+        return np.ascontiguousarray(fwd if direction == 'f' else bwd)
+
+    def _apply_stack(self, data, stack_np, out_size, tensorsig, comp_spins):
+        M = data.shape[-2]
+        if not tensorsig:
+            stack = _stack_device(stack_np[0])
+            res = jnp.einsum('mon,mpn->mpo', stack,
+                             data.reshape((M // 2, 2, data.shape[-1])))
+            return res.reshape((M, out_size))
+        out = jnp.zeros(tuple(cs.dim for cs in tensorsig) + (M, out_size),
+                        dtype=data.dtype)
+        for idx in np.ndindex(*[cs.dim for cs in tensorsig]):
+            s = comp_spins[idx]
+            stack = _stack_device(stack_np[s])
+            comp = data[idx]
+            res = jnp.einsum('mon,mpn->mpo', stack,
+                             comp.reshape((M // 2, 2, comp.shape[-1])))
+            out = out.at[idx].set(res.reshape((M, out_size)))
+        return out
+
+    def forward_transform(self, data, axis, scale, dtype, tensorsig=()):
+        data = spin_recombine(self.parent.coordsys, tensorsig, data, axis - 1,
+                              forward=True, real=(np.dtype(dtype).kind == 'f'))
+        stacks = {s: self._transform_stacks(scale, s, 'f')
+                  for s in _spins_present(self.parent.coordsys, tensorsig)}
+        spins = _comp_spin_map(self.parent.coordsys, tensorsig)
+        return self._apply_stack(data, stacks, self.size, tensorsig, spins)
+
+    def backward_transform(self, data, axis, scale, dtype, tensorsig=()):
+        stacks = {s: self._transform_stacks(scale, s, 'b')
+                  for s in _spins_present(self.parent.coordsys, tensorsig)}
+        spins = _comp_spin_map(self.parent.coordsys, tensorsig)
+        data = self._apply_stack(data, stacks, self.grid_size(scale), tensorsig, spins)
+        data = spin_recombine(self.parent.coordsys, tensorsig, data, axis - 1,
+                              forward=False, real=(np.dtype(dtype).kind == 'f'))
+        return data
+
+    # --- validity (component-dependent) ---
+
+    def component_valid_for_m(self, m, tensorsig, comp_idx):
+        s = self.parent.coordsys.spintotal(tensorsig, comp_idx) if tensorsig else 0
+        mask = np.zeros(self.size, dtype=bool)
+        mask[:self.n_size(m, s)] = True
+        return mask
+
+    def group_valid_for_m(self, m, tensorsig=()):
+        # Scalar fallback (per-component masks are used when tensorsig present)
+        return self.component_valid_for_m(m, (), ())
+
+    # --- operator matrices (per m, s) ---
+
+    @CachedMethod
+    def operator_matrix(self, op, m, s, size=None):
+        n = size if size is not None else self.size
+        Lmax = self.Lmax
+        if op == 'Cos':
+            mat = sphere_lib.operator('Cos', 0, Lmax, m, s, radius=self.radius)
+        elif op in ('D+', 'D-'):
+            ds = 1 if op == 'D+' else -1
+            mat = sphere_lib.operator('D', ds, Lmax, m, s, radius=self.radius)
+        elif op == 'L2':
+            # Spin-weighted Laplacian eigenvalues: -(l(l+1) - s^2)/R^2
+            Lmin = max(abs(m), abs(s))
+            ells = np.arange(Lmin, Lmax + 1, dtype=np.float64)
+            vals = -(ells * (ells + 1) - s**2) / self.radius**2
+            mat = sparse.diags(vals, format='csr')
+        elif op == 'Id':
+            mat = sparse.identity(self.n_size(m, s), format='csr')
+        else:
+            raise ValueError(f"Unknown sphere operator: {op}")
+        mat = sparse.csr_matrix(mat)
+        # Pad to rectangular (n x n) slot storage
+        r, c = mat.shape
+        out = sparse.lil_matrix((n, n))
+        out[:min(r, n), :min(c, n)] = mat[:min(r, n), :min(c, n)]
+        return sparse.csr_matrix(out)
+
+    def lift_matrix(self, index):
+        col = np.zeros((self.size, 1))
+        col[index, 0] = 1
+        return sparse.csr_matrix(col)
+
+
+class SphereBasis:
+    """Sphere-surface basis facade (parity: basis.py:2672 SphereBasis)."""
+
+    dim = 2
+
+    def __init__(self, coordsys, shape, radius=1.0, dealias=(1, 1), dtype=np.float64):
+        if not isinstance(coordsys, S2Coordinates):
+            raise ValueError("SphereBasis requires S2Coordinates")
+        self.coordsys = coordsys
+        self.shape = tuple(shape)
+        self.radius = float(radius)
+        if np.isscalar(dealias):
+            dealias = (dealias, dealias)
+        self.dealias = tuple(dealias)
+        self.dtype = dtype
+        self.volume = 4 * np.pi * radius**2
+        self.azimuth_basis = AzimuthBasis(
+            coordsys.azimuth, self.shape[0], bounds=(0, 2 * np.pi),
+            dealias=self.dealias[0], dtype=dtype)
+        self.colatitude_basis = ColatitudeBasis(
+            coordsys.colatitude, self.shape[1], radius=self.radius,
+            dealias=self.dealias[1], dtype=dtype, parent=self)
+
+    @property
+    def sub_bases(self):
+        return (self.azimuth_basis, self.colatitude_basis)
+
+    def clone_with(self, **kw):
+        args = dict(coordsys=self.coordsys, shape=self.shape, radius=self.radius,
+                    dealias=self.dealias, dtype=self.dtype)
+        args.update(kw)
+        return SphereBasis(**args)
+
+    def derivative_basis(self, order=1):
+        return self
+
+    def global_grids(self, scales=None):
+        scales = scales or self.dealias
+        return (self.azimuth_basis.global_grid(scales[0]),
+                self.colatitude_basis.global_grid(scales[1]))
+
+    def __repr__(self):
+        return f"SphereBasis(shape={self.shape}, radius={self.radius})"

@@ -57,6 +57,51 @@ class CurvilinearCoordinateSystem(CoordinateSystem):
     """Base for curvilinear systems with spin-component machinery."""
 
 
+class S2Coordinates(CurvilinearCoordinateSystem):
+    """
+    Sphere-surface coordinates (azimuth, colatitude); spin ordering (-, +).
+    Parity: dedalus/core/coords.py:199-250.
+    """
+
+    spin_ordering = (-1, +1)
+    dim = 2
+
+    def __init__(self, azimuth, colatitude):
+        self.names = (azimuth, colatitude)
+        self.azimuth = AzimuthalCoordinate(azimuth, cs=self)
+        self.colatitude = Coordinate(colatitude, cs=self)
+        self.coords = (self.azimuth, self.colatitude)
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self.coords[self.names.index(key)]
+        return self.coords[key]
+
+    @classmethod
+    def U_forward(cls, order=1):
+        """Unitary coord->spin map: u_s = (u_theta + s*1j*u_phi)/sqrt(2)."""
+        rows = [np.array([spin * 1j, 1]) / np.sqrt(2) for spin in cls.spin_ordering]
+        U = np.array(rows)
+        out = U
+        for _ in range(order - 1):
+            out = np.kron(out, U)
+        return out
+
+    @classmethod
+    def U_backward(cls, order=1):
+        return cls.U_forward(order).T.conj()
+
+    def spintotal(self, tensorsig, comp_index):
+        total = 0
+        for cs, idx in zip(tensorsig, comp_index):
+            if cs is self:
+                total += self.spin_ordering[idx]
+        return total
+
+    def __repr__(self):
+        return f"S2Coordinates{self.names}"
+
+
 class PolarCoordinates(CurvilinearCoordinateSystem):
     """
     Polar coordinates (azimuth, radius); spin component ordering (-, +).

@@ -714,9 +714,12 @@ def Differentiate(operand, coord):
 
 
 def Gradient(operand, coordsys=None):
-    from .coords import PolarCoordinates
+    from .coords import PolarCoordinates, S2Coordinates
     if coordsys is None:
         coordsys = _infer_coordsys(operand)
+    if isinstance(coordsys, S2Coordinates):
+        from .operators_sphere import SphereGradient
+        return SphereGradient(operand, coordsys)
     if isinstance(coordsys, PolarCoordinates):
         from .operators_polar import PolarGradient
         return PolarGradient(operand, coordsys)
@@ -729,6 +732,10 @@ def Divergence(operand, index=0):
     if not operand.tensorsig:
         raise ValueError("Divergence requires a tensor operand")
     coordsys = operand.tensorsig[index]
+    from .coords import S2Coordinates as _S2
+    if isinstance(coordsys, _S2):
+        from .operators_sphere import SphereDivergence
+        return SphereDivergence(operand, index)
     if isinstance(coordsys, PolarCoordinates):
         from .operators_polar import PolarDivergence
         return PolarDivergence(operand, index)
@@ -743,9 +750,12 @@ def Divergence(operand, index=0):
 
 
 def Laplacian(operand, coordsys=None):
-    from .coords import PolarCoordinates
+    from .coords import PolarCoordinates, S2Coordinates
     if coordsys is None:
         coordsys = _infer_coordsys(operand)
+    if isinstance(coordsys, S2Coordinates):
+        from .operators_sphere import SphereLaplacian
+        return SphereLaplacian(operand, coordsys)
     if isinstance(coordsys, PolarCoordinates):
         from .operators_polar import PolarLaplacian
         return PolarLaplacian(operand, coordsys)
@@ -774,6 +784,10 @@ def Curl(operand, index=0):
 def Skew(operand):
     """90-degree rotation of a 2D vector: skew(u) = (-u[1], u[0])."""
     coordsys = operand.tensorsig[0]
+    from .coords import CurvilinearCoordinateSystem
+    if isinstance(coordsys, CurvilinearCoordinateSystem):
+        from .operators_sphere import SpinSkew
+        return SpinSkew(operand)
     if coordsys.dim != 2:
         raise ValueError("Skew requires 2D vectors")
     return TensorStack([Multiply(-1, Component(operand, 1)), Component(operand, 0)],
@@ -815,6 +829,11 @@ def Interpolate(operand, coord, position):
 
 
 def Integrate(operand, coord=None):
+    from .coords import S2Coordinates
+    for b in operand.domain.bases:
+        if b is not None and isinstance(getattr(b.coord, 'cs', None), S2Coordinates):
+            from .operators_sphere import SphereIntegrate
+            return SphereIntegrate(operand)
     if coord is None:
         coords = [b.coord for b in operand.domain.bases if b is not None]
     elif isinstance(coord, (CartesianCoordinates,)):
@@ -830,6 +849,11 @@ def Integrate(operand, coord=None):
 
 
 def Average(operand, coord=None):
+    from .coords import S2Coordinates
+    for b in operand.domain.bases:
+        if b is not None and isinstance(getattr(b.coord, 'cs', None), S2Coordinates):
+            from .operators_sphere import SphereAverage
+            return SphereAverage(operand)
     if coord is None:
         coords = [b.coord for b in operand.domain.bases if b is not None]
     elif isinstance(coord, (tuple, list)):

@@ -21,6 +21,10 @@ parseables = {name: getattr(operators, name) for name in operators.__all__}
 parseables.update({name: getattr(arithmetic, name) for name in arithmetic.__all__})
 parseables['np'] = np
 
+from . import operators_sphere as _ops_sphere
+parseables['MulCosine'] = _ops_sphere.MulCosine
+parseables['SpinSkew'] = _ops_sphere.SpinSkew
+
 
 class UnsupportedEquationError(ValueError):
     pass

@@ -56,31 +56,40 @@ class Subproblem:
     # --- validity ---
 
     def valid_mask(self, domain, tensorsig):
-        """Boolean mask over the pencil entries of a field/equation."""
-        axis_masks = []
-        for axis in range(self.dist.dim):
-            basis = domain.bases[axis]
-            if basis is None:
-                if self.coupled[axis] or self.group[axis] is None:
-                    axis_masks.append(np.ones(1, dtype=bool))
+        """Boolean mask over the pencil entries of a field/equation
+        (component-major, matching the pencil layout)."""
+        comp_indices = [()]
+        if tensorsig:
+            comp_indices = list(np.ndindex(*[cs.dim for cs in tensorsig]))
+        comp_masks = []
+        for cidx in comp_indices:
+            axis_masks = []
+            for axis in range(self.dist.dim):
+                basis = domain.bases[axis]
+                if basis is None:
+                    if self.coupled[axis] or self.group[axis] is None:
+                        axis_masks.append(np.ones(1, dtype=bool))
+                    else:
+                        # Constant along a separable axis: valid only in group 0
+                        axis_masks.append(np.array([self.group[axis] == 0]))
+                elif self.coupled[axis]:
+                    if hasattr(basis, 'component_valid_for_m') and tensorsig:
+                        # Spin-dependent truncation (sphere): per-component
+                        m = self.group[axis - 1] or 0
+                        axis_masks.append(basis.component_valid_for_m(m, tensorsig, cidx))
+                    elif hasattr(basis, 'group_valid_for_m'):
+                        # m-dependent radial truncation (disk/ball)
+                        m = self.group[axis - 1] or 0
+                        axis_masks.append(basis.group_valid_for_m(m, tensorsig))
+                    else:
+                        axis_masks.append(basis.valid_coeff_mask(tensorsig))
                 else:
-                    # Constant along a separable axis: valid only in group 0
-                    axis_masks.append(np.array([self.group[axis] == 0]))
-            elif self.coupled[axis]:
-                if hasattr(basis, 'group_valid_for_m'):
-                    # m-dependent radial truncation (disk/ball): use the
-                    # azimuthal group of this subproblem
-                    m = self.group[axis - 1] or 0
-                    axis_masks.append(basis.group_valid_for_m(m, tensorsig))
-                else:
-                    axis_masks.append(basis.valid_coeff_mask(tensorsig))
-            else:
-                axis_masks.append(basis.group_valid_mask(self.group[axis], tensorsig))
-        mask = axis_masks[0]
-        for m in axis_masks[1:]:
-            mask = np.outer(mask, m).ravel()
-        ncomp = prod(tuple(cs.dim for cs in tensorsig)) or 1
-        return np.tile(mask, ncomp)
+                    axis_masks.append(basis.group_valid_mask(self.group[axis], tensorsig))
+            mask = axis_masks[0]
+            for m in axis_masks[1:]:
+                mask = np.outer(mask, m).ravel()
+            comp_masks.append(mask)
+        return np.concatenate(comp_masks)
 
 
 def enumerate_subproblems(dist, domains, coupling):

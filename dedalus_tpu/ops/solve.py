@@ -81,9 +81,6 @@ class FactorizedStack:
 
     def __init__(self, A, method='lu'):
         self.method = method
-        if np.iscomplexobj(A):
-            # Complex pencils: factor on host; device solve only on CPU backend
-            self.method = method = 'lu'
         if method == 'lu':
             self.lu, self.perm = host_lu_factor_stack(A)
         elif method in ('inverse', 'inverse_refined'):

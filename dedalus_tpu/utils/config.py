@@ -35,7 +35,7 @@ DEFAULTS = {
         # 'lu' (host LU factors, device triangular solves)
         # 'inverse' (host inverse, device batched matmul — fastest on MXU)
         # 'inverse_refined' (inverse matmul + one iterative-refinement pass)
-        'matrix_factorizer': 'lu',
+        'matrix_factorizer': 'inverse_refined',
         'matrix_solver': 'lu',
         'evp_solver': 'scipy_dense',
     },
