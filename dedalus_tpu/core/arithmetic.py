@@ -367,6 +367,8 @@ def _constant_embedding(basis):
     """Column embedding a constant value into basis coefficients."""
     from .basis import Jacobi, RealFourier, ComplexFourier
     from ..spectral import jacobi as jacobi_lib
+    if hasattr(basis, 'constant_column'):
+        return basis.constant_column(0)
     col = np.zeros((basis.size, 1), dtype=complex if type(basis).__name__ == 'ComplexFourier' else float)
     if isinstance(basis, Jacobi):
         col[0, 0] = float(np.sqrt(jacobi_lib.mass(basis.a, basis.b)))

@@ -191,6 +191,16 @@ class AnnulusRadialBasis(Basis):
         col[index, 0] = 1
         return sparse.csr_matrix(col)
 
+    @CachedMethod
+    def constant_column(self, m=0):
+        """Expansion of the constant function 1 in this k-weighted basis."""
+        if m != 0:
+            return sparse.csr_matrix((self.size, 1))
+        r = np.asarray(self.global_grid(1))
+        fwd = self._jacobi.forward_matrix(1, np.float64)
+        col = fwd @ (r / self.dR)**self.k
+        return sparse.csr_matrix(col[:, None])
+
     def ncc_matrix(self, ncc_basis, out_basis, coeffs, m=0, spintotal=0, cutoff=1e-10):
         """
         Radial NCC multiplication (parity: basis.py:2272
@@ -546,6 +556,15 @@ class DiskRadialBasis(Basis):
         col = np.zeros((self.size, 1))
         col[index, 0] = 1
         return sparse.csr_matrix(col)
+
+    @CachedMethod
+    def constant_column(self, m=0):
+        """Expansion of the constant function 1 (m = 0 only)."""
+        if m != 0:
+            return sparse.csr_matrix((self.size, 1))
+        fwd = self._transform_stacks(1, 0, 'f')[0]
+        col = fwd @ np.ones(fwd.shape[1])
+        return sparse.csr_matrix(col[:, None])
 
 
 def _spins_present(cs, tensorsig):

@@ -260,17 +260,27 @@ class PolarTrace(LinearOperator):
 
 
 class PolarConvert(PolarMOperator):
-    """Per-m k-conversion for m-dependent radial bases (disk)."""
+    """Per-m k-conversion for m-dependent radial bases (disk); also embeds
+    operands constant along the radius (the ConvertConstant analog)."""
 
     def __init__(self, operand, coordsys, out_basis):
-        self.dk = out_basis.k - operand.domain.bases[coordsys.coords[1].axis].k
+        radial_in = operand.domain.bases[coordsys.coords[1].axis]
+        self.dk = (out_basis.k - radial_in.k) if radial_in is not None else None
         self._out_basis = out_basis
-        super().__init__(operand, coordsys)
+        self.coordsys = coordsys
+        self.azimuth_axis = coordsys.coords[0].axis
+        self.radius_axis = coordsys.coords[1].axis
+        self.radial_in = radial_in
         self.radial_out = out_basis
+        LinearOperator.__init__(self, operand)
 
     def _init_metadata(self):
-        self.radial_out = self._out_basis
-        super()._init_metadata()
+        op = self.operand
+        self.tensorsig = op.tensorsig
+        self.dtype = op.dtype
+        bases = list(op.domain.bases)
+        bases[self.radius_axis] = self._out_basis
+        self.domain = Domain(self.dist, tuple(b for b in bases if b is not None))
 
     def out_tensorsig(self, in_tensorsig):
         return in_tensorsig
@@ -282,8 +292,31 @@ class PolarConvert(PolarMOperator):
         return PolarConvert(operand, self.coordsys, self._out_basis)
 
     def radial_matrix(self, in_idx, out_idx, m):
+        if self.radial_in is None:
+            return self._out_basis.constant_column(m)
         s = self._spintotal(self.operand.tensorsig, in_idx)
         return self.radial_in.conversion_matrix_m(m, s, self.dk)
+
+    def operate(self, arg_fields):
+        if self.radial_in is not None:
+            return super().operate(arg_fields)
+        # Constant embedding: per-m columns (only m = 0 is nonzero)
+        field = arg_fields[0]
+        field.require_coeff_space()
+        data = field.data
+        out_shape = tuple(cs.dim for cs in self.tensorsig)
+        M = data.shape[len(field.tensorsig) + self.azimuth_axis]
+        n_out = self._out_basis.size
+        spatial = list(data.shape[len(field.tensorsig):])
+        spatial[self.radius_axis] = n_out
+        out = jnp.zeros(out_shape + tuple(spatial), dtype=self.dtype)
+        for ii in self._comp_indices(field.tensorsig):
+            comp = data[ii]
+            cm = comp.reshape((M // 2, 2, 1))
+            stack = self._matrix_stack(ii, tuple(ii))
+            res = jnp.einsum('moi,mpi->mpo', stack, cm).reshape((M, n_out))
+            out = out.at[ii].add(res)
+        return self._build_output(self.dist.coeff_layout, out, scales=field.scales)
 
 
 class PolarInterpolate(PolarMOperator):

@@ -54,12 +54,51 @@ def batched_lu_solve(lu, perm, R):
     return X[..., 0]
 
 
+_HOST_INV_IMPL = None
+
+
+def _scipy_inverse_stack(A):
+    out = np.empty_like(A)
+    for g in range(A.shape[0]):
+        out[g] = sla.inv(A[g], check_finite=False)
+    return out
+
+
+def _pick_host_inverse():
+    """One-shot autotune between the native C++/LAPACK kernel and scipy.
+    (On single-core images scipy's in-process OpenBLAS usually wins; on
+    multi-core deployments the native batched path avoids per-matrix Python
+    overhead.)"""
+    global _HOST_INV_IMPL
+    if _HOST_INV_IMPL is not None:
+        return _HOST_INV_IMPL
+    import time
+    from ..native import batched_inverse as native_inverse
+    probe = np.random.default_rng(0).standard_normal((4, 96, 96)) + 4 * np.eye(96)
+    try:
+        t0 = time.perf_counter()
+        native_inverse(probe)
+        t_native = time.perf_counter() - t0
+    except Exception:
+        t_native = np.inf
+    t0 = time.perf_counter()
+    _scipy_inverse_stack(probe)
+    t_scipy = time.perf_counter() - t0
+    if t_native < t_scipy:
+        _HOST_INV_IMPL = native_inverse
+    else:
+        _HOST_INV_IMPL = _scipy_inverse_stack
+    return _HOST_INV_IMPL
+
+
 def host_inverse_stack(A):
     """Dense inverses on host: (G,P,P) -> device (G,P,P)."""
-    G = A.shape[0]
-    out = np.empty_like(A)
-    for g in range(G):
-        out[g] = sla.inv(A[g], check_finite=False)
+    if np.iscomplexobj(A):
+        return jnp.asarray(_scipy_inverse_stack(A))
+    impl = _pick_host_inverse()
+    out = impl(A)
+    if out is None:
+        out = _scipy_inverse_stack(A)
     return jnp.asarray(out)
 
 
