@@ -24,6 +24,11 @@ import numpy as np
 
 def main():
     import jax
+    # Persistent compilation cache: the axon remote compiler takes minutes per
+    # program; cached executables make reruns (and the driver's bench) fast.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import dedalus_tpu  # noqa: F401 (x64 on)
     import dedalus_tpu.public as d3
     from dedalus_tpu.models.rbc import build_rbc_problem

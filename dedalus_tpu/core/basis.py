@@ -424,6 +424,11 @@ class ComplexFourier(FourierBase):
         I[0] = self.length
         return sparse.csr_matrix(I[None, :])
 
+    @CachedMethod
+    def hilbert_matrix(self):
+        """Hilbert transform: multiply coefficients by -1j sign(k)."""
+        return sparse.diags(-1j * np.sign(self.wavenumbers_native), format='csr')
+
     def ncc_matrix(self, ncc_basis, out_basis, coeffs, cutoff=1e-6):
         """Multiplication by NCC = convolution over wavenumbers."""
         M = self.size
@@ -542,6 +547,18 @@ class RealFourier(FourierBase):
         I = np.zeros(self.size)
         I[0] = self.length
         return sparse.csr_matrix(I[None, :])
+
+    @CachedMethod
+    def hilbert_matrix(self):
+        """Hilbert transform H(exp(ikx)) = -1j sign(k) exp(ikx): pair blocks
+        [[0, 1], [-1, 0]] for k > 0 (parity: operators.py:1433)."""
+        M = self.size
+        upper = np.zeros(M - 1)
+        lower = np.zeros(M - 1)
+        k = self.wavenumbers_native[0::2]
+        upper[0::2] = (k > 0).astype(float)
+        lower[0::2] = -(k > 0).astype(float)
+        return sparse.diags([lower, upper], [-1, 1], shape=(M, M), format='csr')
 
     def ncc_matrix(self, ncc_basis, out_basis, coeffs, cutoff=1e-6):
         """

@@ -167,6 +167,8 @@ class H5FileHandler(Handler):
                     dset = tasks_group.create_dataset(
                         task.name, shape=(1,) + data.shape,
                         maxshape=(None,) + data.shape, dtype=data.dtype)
+                    dset.attrs['layout'] = 'g' if task.layout in ('g', 'grid') else 'c'
+                    dset.attrs['scales'] = task.scales
                     # Attach grid dimension scales for the spatial axes
                     nt = len(out.tensorsig)
                     for i, basis in enumerate(out.domain.bases):
@@ -236,8 +238,15 @@ def load_state_from_file(solver, path, index=-1):
         solver.iteration = solver.initial_iteration = iteration
         for field in solver.state:
             if field.name in f['tasks']:
-                data = np.asarray(f['tasks'][field.name][index])
+                dset = f['tasks'][field.name]
+                data = np.asarray(dset[index])
+                layout = dset.attrs.get('layout')
+                scales = dset.attrs.get('scales', 1)
+                field.change_scales(scales)
+                if layout is None:
+                    grid_shape = tuple(field.required_shape(field.dist.grid_layout, field.scales))
+                    layout = 'g' if data.shape == grid_shape else 'c'
+                field[layout] = data
                 field.change_scales(1)
-                field[ 'g' if data.shape == tuple(field.required_shape(field.dist.grid_layout, field.scales)) else 'c'] = data
     logger.info(f"Loaded state from {path} (write {write_num}, t={sim_time})")
     return write_num, sim_time

@@ -352,6 +352,75 @@ class Lift(SpectralOperator1D):
         return (self.index,)
 
 
+class HilbertTransform1D(SpectralOperator1D):
+    """Hilbert transform along a Fourier axis (parity: operators.py:1433)."""
+
+    def __init__(self, operand, coord):
+        self.coord = coord
+        self.axis = coord.axis
+        self.input_basis = operand.domain.bases[self.axis]
+        self.output_basis = self.input_basis
+        super().__init__(operand)
+
+    def new_operands(self, operand):
+        return HilbertTransform1D(operand, self.coord)
+
+    def full_matrix(self):
+        return self.input_basis.hilbert_matrix()
+
+
+def HilbertTransform(operand, coord):
+    return HilbertTransform1D(operand, coord)
+
+
+class GridSpace(LinearOperator):
+    """Force evaluation in grid space (parity: operators.py:787 Grid)."""
+
+    def __init__(self, operand):
+        super().__init__(operand)
+
+    def _init_metadata(self):
+        op = self.operand
+        self.tensorsig = op.tensorsig
+        self.dtype = op.dtype
+        self.domain = op.domain
+
+    def new_operands(self, operand):
+        return GridSpace(operand)
+
+    def operate(self, arg_fields):
+        field = arg_fields[0].copy()
+        field.change_scales(field.domain.dealias)
+        field.require_grid_space()
+        return field
+
+
+class CoeffSpace(LinearOperator):
+    """Force evaluation in coefficient space (parity: operators.py:787 Coeff)."""
+
+    def __init__(self, operand):
+        super().__init__(operand)
+
+    def _init_metadata(self):
+        op = self.operand
+        self.tensorsig = op.tensorsig
+        self.dtype = op.dtype
+        self.domain = op.domain
+
+    def new_operands(self, operand):
+        return CoeffSpace(operand)
+
+    def operate(self, arg_fields):
+        field = arg_fields[0].copy()
+        field.require_coeff_space()
+        field.change_scales(1)
+        return field
+
+
+Grid = GridSpace
+Coeff = CoeffSpace
+
+
 class TimeDerivative(LinearOperator):
     """Marker for d/dt; matrices pass through (parity: operators.py:999)."""
 
@@ -919,5 +988,6 @@ __all__ = ['Differentiate', 'Gradient', 'Divergence', 'Laplacian', 'Curl', 'Skew
            'Trace', 'TransposeComponents', 'Interpolate', 'Integrate', 'Average',
            'Lift', 'TimeDerivative', 'Component', 'TensorStack', 'Power',
            'UnaryGridFunction', 'GeneralFunction', 'convert',
+           'HilbertTransform', 'Grid', 'Coeff',
            'grad', 'div', 'curl', 'lap', 'skew', 'trace', 'transpose',
            'integ', 'ave', 'interp', 'dt', 'lift']

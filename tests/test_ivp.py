@@ -162,3 +162,63 @@ def test_run_steps_scan_matches_step_loop(scheme):
     b, tb = solve(True)
     assert abs(ta - tb) < 1e-14
     assert np.abs(a - b).max() < 1e-13
+
+
+def test_checkpoint_resume(tmp_path):
+    # Save state via a file handler, restore with load_state, continue exactly
+    import os
+    def build():
+        c = d3.Coordinate('x')
+        dist = d3.Distributor(c, dtype=np.float64)
+        xb = d3.RealFourier(c, size=32, bounds=(0, 2 * np.pi), dealias=1.5)
+        u = dist.Field(name='u', bases=xb)
+        nu = 0.05
+        dx = lambda A: d3.Differentiate(A, c)
+        problem = d3.IVP([u], namespace=locals())
+        problem.add_equation("dt(u) - nu*dx(dx(u)) = - u*dx(u)")
+        solver = problem.build_solver(d3.SBDF1)
+        x = dist.local_grid(xb, scale=1).ravel()
+        u['g'] = np.sin(x)
+        return solver, u
+    solver, u = build()
+    chk = solver.evaluator.add_file_handler(str(tmp_path / 'chk'), iter=10)
+    chk.add_task(u, name='u', layout='c')
+    for _ in range(15):
+        solver.step(1e-3)
+    for _ in range(10):
+        solver.step(1e-3)
+    final_a = np.array(u['g', 1])
+    # Restart from the write at iteration 20 and continue 5 steps
+    solver2, u2 = build()
+    from dedalus_tpu.post import list_sets
+    path = list_sets(tmp_path / 'chk')[-1]
+    solver2.load_state(path, index=-1)
+    assert solver2.iteration == 20
+    for _ in range(5):
+        solver2.step(1e-3)
+    final_b = np.array(u2['g', 1])
+    assert np.abs(final_a - final_b).max() < 1e-10
+
+
+def test_build_evp_from_ivp():
+    # Linearize dt(u) = -nu*dxx(u) about zero: eigenvalues lam = -nu k^2
+    c = d3.Coordinate('x')
+    dist = d3.Distributor(c, dtype=np.complex128)
+    xb = d3.ComplexFourier(c, size=16, bounds=(0, 2 * np.pi))
+    u = dist.Field(name='u', bases=xb)
+    nu = 0.3
+    dx = lambda A: d3.Differentiate(A, c)
+    problem = d3.IVP([u], namespace=locals())
+    problem.add_equation("dt(u) - nu*dx(dx(u)) = 0")
+    evp = problem.build_EVP()
+    solver = evp.build_solver()
+    # Each Fourier mode is its own subproblem: collect one eigenvalue per k
+    evals = []
+    for g, sp in enumerate(solver.subproblems):
+        solver.solve_dense(sp_index=g)
+        vals = solver.eigenvalues[np.isfinite(solver.eigenvalues)]
+        evals.extend(vals.real.tolist())
+    # lam*M + L = 0 with M = identity, L = -nu dxx -> lam = -nu k^2
+    expect = np.sort([-nu * k**2 for k in range(-7, 8)])
+    got = np.sort(evals)[:len(expect)]
+    assert np.abs(got - expect).max() < 1e-10
