@@ -82,12 +82,13 @@ class MultistepIMEX(TimestepperBase):
     def _build_compiled(self):
         solver = self.solver
         pencil = self.pencil
-        M = pencil.matrices['M']
-        L = pencil.matrices['L']
         rv = pencil.row_valid_dev
         solve_fn, self._fact_args = self._solve_fn_and_args()
 
-        def step_impl(state_flat, t, MXh, LXh, Fh, a, b, c, s1, s2):
+        # Large matrix stacks are ARGUMENTS (not closure constants) so they are
+        # not serialized into the compiled program (the axon remote compiler
+        # rejects oversized request bodies).
+        def step_impl(state_flat, t, MXh, LXh, Fh, a, b, c, s1, s2, M, L):
             X = state_flat[pencil.var_index_map_dev]
             MX0 = jnp.einsum('grc,gc->gr', M, X)
             LX0 = jnp.einsum('grc,gc->gr', L, X)
@@ -130,7 +131,8 @@ class MultistepIMEX(TimestepperBase):
         s1, s2 = self._fact_args(fact)
         new_state, self.MX, self.LX, self.F = self._compiled(
             state_flat, t, self.MX, self.LX, self.F,
-            jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), s1, s2)
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), s1, s2,
+            pencil.matrices['M'], pencil.matrices['L'])
         pencil.unflatten_fields(new_state, solver.state)
         solver.sim_time = solver.sim_time + dt
 
@@ -166,11 +168,11 @@ class MultistepIMEX(TimestepperBase):
         if n_steps not in self._scan_cache:
             step_impl = self._build_compiled()
 
-            def run(state, t0, MXh, LXh, Fh, av, bv, cv, sa, sb, dtv):
+            def run(state, t0, MXh, LXh, Fh, av, bv, cv, sa, sb, dtv, Mm, Lm):
                 def body(carry, _):
                     st, t, MXc, LXc, Fc = carry
                     st, MXc, LXc, Fc = step_impl(st, t, MXc, LXc, Fc,
-                                                 av, bv, cv, sa, sb)
+                                                 av, bv, cv, sa, sb, Mm, Lm)
                     return (st, t + dtv, MXc, LXc, Fc), None
                 carry, _ = jax.lax.scan(body, (state, t0, MXh, LXh, Fh),
                                         None, length=n_steps)
@@ -180,7 +182,8 @@ class MultistepIMEX(TimestepperBase):
         state_flat = solver.state_flat()
         t0 = jnp.asarray(solver.sim_time)
         state, t, self.MX, self.LX, self.F = self._scan_cache[n_steps](
-            state_flat, t0, self.MX, self.LX, self.F, a, b, c, s1, s2, dt)
+            state_flat, t0, self.MX, self.LX, self.F, a, b, c, s1, s2, dt,
+            pencil.matrices['M'], pencil.matrices['L'])
         pencil.unflatten_fields(state, solver.state)
         solver.sim_time = solver.sim_time + dt * n_steps
         solver.iteration += n_steps
@@ -386,15 +389,13 @@ class RungeKuttaIMEX(TimestepperBase):
     def _build_compiled(self):
         solver = self.solver
         pencil = self.pencil
-        Mmat = pencil.matrices['M']
-        Lmat = pencil.matrices['L']
         rv = pencil.row_valid_dev
         A, H, c = self.A, self.H, self.c
         stages = self.stages
         gather_map = pencil.var_index_map_dev
         solve_fn, self._fact_args = self._solve_fn_and_args()
 
-        def step_impl(state_flat, t0, k, stage_s1, stage_s2):
+        def step_impl(state_flat, t0, k, stage_s1, stage_s2, Mmat, Lmat):
             X = state_flat[gather_map]
             MX0 = jnp.einsum('grc,gc->gr', Mmat, X)
             LX = [jnp.einsum('grc,gc->gr', Lmat, X)]
@@ -439,10 +440,10 @@ class RungeKuttaIMEX(TimestepperBase):
         if n_steps not in self._scan_cache:
             step_impl = self._build_compiled()
 
-            def run(state, t0, sa, sb, dtv):
+            def run(state, t0, sa, sb, dtv, Mm, Lm):
                 def body(carry, _):
                     st, t = carry
-                    st = step_impl(st, t, dtv, sa, sb)
+                    st = step_impl(st, t, dtv, sa, sb, Mm, Lm)
                     return (st, t + dtv), None
                 carry, _ = jax.lax.scan(body, (state, t0), None, length=n_steps)
                 return carry
@@ -450,7 +451,8 @@ class RungeKuttaIMEX(TimestepperBase):
             self._scan_cache[n_steps] = jax.jit(run)
         state_flat = solver.state_flat()
         t0 = jnp.asarray(solver.sim_time)
-        state, t = self._scan_cache[n_steps](state_flat, t0, s1, s2, k)
+        state, t = self._scan_cache[n_steps](state_flat, t0, s1, s2, k,
+                                             pencil.matrices['M'], pencil.matrices['L'])
         pencil.unflatten_fields(state, solver.state)
         solver.sim_time = solver.sim_time + k * n_steps
         solver.iteration += n_steps
@@ -474,7 +476,8 @@ class RungeKuttaIMEX(TimestepperBase):
                 iteration=solver.iteration, wall_time=wall_time,
                 sim_time=solver.sim_time, timestep=dt)
         state_flat = solver.state_flat()
-        new_state = self._compiled(state_flat, jnp.asarray(solver.sim_time), k, s1, s2)
+        new_state = self._compiled(state_flat, jnp.asarray(solver.sim_time), k, s1, s2,
+                                   pencil.matrices['M'], pencil.matrices['L'])
         pencil.unflatten_fields(new_state, solver.state)
         solver.sim_time = solver.sim_time + dt
 
