@@ -37,6 +37,7 @@ def main():
     Nz = int(os.environ.get('BENCH_NZ', 64))
     n_warm = int(os.environ.get('BENCH_WARMUP', 5))
     n_steps = int(os.environ.get('BENCH_STEPS', 100))
+    matsolver = os.environ.get('BENCH_SOLVER', 'inverse_refined')
     dt = 1e-3
 
     t0 = time.perf_counter()
@@ -52,7 +53,7 @@ def main():
         b.fill_random('g', seed=42, distribution='normal', scale=1e-3)
         b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
         b.require_coeff_space()
-    solver = problem.build_solver(d3.SBDF2)
+    solver = problem.build_solver(d3.SBDF2, matsolver=matsolver)
     # Commit all state data to the accelerator
     for f in solver.state:
         f.data = jax.device_put(np.asarray(f.data), device)
@@ -75,7 +76,7 @@ def main():
     throughput = dof * n_steps / run_time
     baseline = 2.6e5  # estimated reference CPU anchor (see module docstring)
     result = {
-        "metric": f"RBC {Nx}x{Nz} f64 DOF*steps/sec/chip",
+        "metric": f"RBC {Nx}x{Nz} f64 DOF*steps/sec/chip ({matsolver})",
         "value": round(throughput, 1),
         "unit": "DOF*steps/sec",
         "vs_baseline": round(throughput / baseline, 3),

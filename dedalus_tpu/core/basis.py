@@ -187,10 +187,17 @@ class Jacobi(Basis):
         z = jacobi_lib.build_grid(N, self.a0, self.b0)
         return self.COV.problem_coord(z)
 
+    @CachedMethod
     def global_weights(self, scale=1):
+        """Plain-measure integration weights: sum w_i f(x_i) ~ integral f dx
+        (exact for polynomials up to the grid degree), built by projecting the
+        quadrature rule through the integration vector."""
         N = self.grid_size(scale)
-        w = jacobi_lib.build_weights(N, self.a0, self.b0)
-        return w / self.COV.stretch
+        z, w_ab = jacobi_lib.quadrature(N, self.a0, self.b0, dtype=np.longdouble)
+        I = jacobi_lib.integration_vector(N, self.a0, self.b0).astype(np.longdouble)
+        P = jacobi_lib.polynomials(N, self.a0, self.b0, z, dtype=np.longdouble)
+        w_plain = w_ab * (I @ P)
+        return np.asarray(w_plain, dtype=np.float64) / self.COV.stretch
 
     @CachedMethod
     def forward_matrix(self, scale, dtype):

@@ -58,6 +58,9 @@ class TimestepperBase:
         if method == 'inverse_refined':
             return (lambda s1, s2, R: ops_solve.batched_refined_solve(s1, s2, R),
                     lambda f: (f.Ainv, f.A))
+        if method == 'mixed':
+            return (lambda s1, s2, R: ops_solve.batched_mixed_solve(s1, s2, R),
+                    lambda f: (f.Ainv, f.A))
         raise ValueError(f"Unknown matsolver: {method}")
 
 
