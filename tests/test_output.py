@@ -1,0 +1,56 @@
+"""
+File handler and post-processing tests (mirrors dedalus/tests/test_output.py):
+round-trips saved HDF5 data against re-evaluated tasks, set merging.
+"""
+
+import numpy as np
+import pytest
+
+import dedalus_tpu.public as d3
+from dedalus_tpu import post
+
+
+def test_file_handler_roundtrip(tmp_path):
+    c = d3.Coordinate('x')
+    dist = d3.Distributor(c, dtype=np.float64)
+    xb = d3.RealFourier(c, size=32, bounds=(0, 2 * np.pi), dealias=1.5)
+    u = dist.Field(name='u', bases=xb)
+    nu = 0.1
+    dx = lambda A: d3.Differentiate(A, c)
+    problem = d3.IVP([u], namespace=locals())
+    problem.add_equation("dt(u) - nu*dx(dx(u)) = 0")
+    solver = problem.build_solver(d3.SBDF1)
+    x = dist.local_grid(xb, scale=1).ravel()
+    u['g'] = np.sin(x)
+    h = solver.evaluator.add_file_handler(str(tmp_path / 'out'), iter=5, max_writes=2)
+    h.add_task(u, name='u')
+    h.add_task(dx(u), name='ux')
+    for _ in range(20):
+        solver.step(1e-3)
+    sets = post.list_sets(tmp_path / 'out')
+    assert len(sets) >= 2  # max_writes=2 rolls sets
+    times, data = post.load_task(tmp_path / 'out', 'u')
+    assert data.shape[1] == 32  # saved on the scales=1 grid
+    # Check last saved write matches the state at that iteration: re-derive
+    scales = post.load_scales(tmp_path / 'out')
+    assert len(scales['sim_time']) == len(times)
+    # ux task: derivative consistency at the final write
+    _, ux_data = post.load_task(tmp_path / 'out', 'ux')
+    # spectral derivative of the saved u
+    from dedalus_tpu.ops import transforms as T
+    # check on the grid: du/dx of sin decays like u; compare numerically
+    du_fd = np.gradient(data[-1], x, axis=0)
+    assert np.abs(ux_data[-1] - du_fd).max() < 5e-2  # FD reference tolerance (one-sided endpoints)
+    # Merge sets
+    merged = post.merge_sets(tmp_path / 'out', tmp_path / 'merged.h5')
+    import h5py
+    with h5py.File(merged) as f:
+        assert f['tasks/u'].shape[0] == len(times)
+
+
+def test_quad_mesh():
+    from dedalus_tpu.extras.plot_tools import quad_mesh
+    x = np.linspace(0, 1, 5)
+    y = np.linspace(0, 2, 7)
+    xe, ye = quad_mesh(x, y)
+    assert xe.shape == (6, 8)
