@@ -53,7 +53,7 @@ class TimestepperBase:
             return (lambda s1, s2, R: ops_solve.batched_lu_solve(s1, s2, R),
                     lambda f: (f.lu, f.perm))
         if method == 'inverse':
-            return (lambda s1, s2, R: jnp.einsum('gij,gj->gi', s1, R),
+            return (lambda s1, s2, R: ops_solve.batched_matvec(s1, R),
                     lambda f: (f.Ainv, f.Ainv))
         if method == 'inverse_refined':
             return (lambda s1, s2, R: ops_solve.batched_refined_solve(s1, s2, R),
@@ -93,8 +93,8 @@ class MultistepIMEX(TimestepperBase):
         # rejects oversized request bodies).
         def step_impl(state_flat, t, MXh, LXh, Fh, a, b, c, s1, s2, M, L):
             X = state_flat[pencil.var_index_map_dev]
-            MX0 = jnp.einsum('grc,gc->gr', M, X)
-            LX0 = jnp.einsum('grc,gc->gr', L, X)
+            MX0 = ops_solve.batched_matvec(M, X)
+            LX0 = ops_solve.batched_matvec(L, X)
             F0 = solver.traced_F(state_flat, t)
             # Push new entries (index 0 most recent)
             MXh = jnp.concatenate([MX0[None], MXh[:-1]])
@@ -400,14 +400,14 @@ class RungeKuttaIMEX(TimestepperBase):
 
         def step_impl(state_flat, t0, k, stage_s1, stage_s2, Mmat, Lmat):
             X = state_flat[gather_map]
-            MX0 = jnp.einsum('grc,gc->gr', Mmat, X)
-            LX = [jnp.einsum('grc,gc->gr', Lmat, X)]
+            MX0 = ops_solve.batched_matvec(Mmat, X)
+            LX = [ops_solve.batched_matvec(Lmat, X)]
             F = []
             state = state_flat
             for i in range(1, stages + 1):
                 if i > 1:
                     Xi = state[gather_map]
-                    LX.append(jnp.einsum('grc,gc->gr', Lmat, Xi))
+                    LX.append(ops_solve.batched_matvec(Lmat, Xi))
                 F.append(solver.traced_F(state, t0 + k * c[i - 1]))
                 RHS = MX0
                 for j in range(i):

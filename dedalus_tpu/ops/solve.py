@@ -17,8 +17,12 @@ from functools import partial
 
 
 def batched_matvec(A, X):
-    """(G, R, C) @ (G, C) -> (G, R)."""
-    return jnp.einsum('grc,gc->gr', A, X)
+    """(G, R, C) @ (G, C) -> (G, R).
+
+    Uses the explicit batched-matmul form (k=1): XLA's TPU lowering of the
+    einsum/GEMV contraction is pathologically slow (~600x) for large f64
+    stacks, while the matmul form compiles to the fast path."""
+    return jnp.matmul(A, X[..., None])[..., 0]
 
 
 def host_lu_factor_stack(A):
@@ -104,15 +108,15 @@ def host_inverse_stack(A):
 
 @jax.jit
 def batched_inverse_solve(Ainv, R):
-    return jnp.einsum('gij,gj->gi', Ainv, R)
+    return batched_matvec(Ainv, R)
 
 
 @jax.jit
 def batched_refined_solve(Ainv, A, R):
     """One step of iterative refinement: X1 = X0 + Ainv (R - A X0)."""
-    X0 = jnp.einsum('gij,gj->gi', Ainv, R)
-    resid = R - jnp.einsum('gij,gj->gi', A, X0)
-    return X0 + jnp.einsum('gij,gj->gi', Ainv, resid)
+    X0 = batched_matvec(Ainv, R)
+    resid = R - batched_matvec(A, X0)
+    return X0 + batched_matvec(Ainv, resid)
 
 
 @jax.jit
@@ -123,11 +127,11 @@ def batched_mixed_solve(Ainv32, A, R):
     per pass, recovering near-f64 solutions at ~1/3 the f64-matmul cost.
     """
     def apply_inv(V):
-        return jnp.einsum('gij,gj->gi', Ainv32, V.astype(jnp.float32)).astype(R.dtype)
+        return batched_matvec(Ainv32, V.astype(jnp.float32)).astype(R.dtype)
 
     X = apply_inv(R)
     for _ in range(2):
-        resid = R - jnp.einsum('gij,gj->gi', A, X)
+        resid = R - batched_matvec(A, X)
         X = X + apply_inv(resid)
     return X
 

@@ -178,8 +178,8 @@ class DistributedRBC:
         def spmd_step(X, MX1, LX1, F1, abc, lu, perm, Fs, Mm, Lm, rvm):
             """One multistep IMEX step on local shards (coefficients abc: (3,3))."""
             a, b, c = abc[0], abc[1], abc[2]
-            MX0 = jnp.einsum('grc,gc->gr', Mm, X)
-            LX0 = jnp.einsum('grc,gc->gr', Lm, X)
+            MX0 = ops_solve.batched_matvec(Mm, X)
+            LX0 = ops_solve.batched_matvec(Lm, X)
             F0 = rhs_nonlinear(X) + Fs
             RHS = (c[1] * F0 + c[2] * F1
                    - a[1] * MX0 - a[2] * MX1
