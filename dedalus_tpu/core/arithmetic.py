@@ -128,9 +128,18 @@ class Add(Future):
         return shape + grid
 
     def expression_matrices(self, subproblem, vars, **kw):
+        # Operands may output in different bases (e.g. dx(ux) in T(a,b) vs
+        # dz(uz) in T(a+1,b+1)); their matrices only agree row-for-row after
+        # conversion to this Add's merged output bases. Wrapping here keeps
+        # the invariant "matrices output in self.domain.bases" regardless of
+        # whether problem parsing reached this node with convert() (it does
+        # not reach Adds nested under Multiply, e.g. -nu*lap(u)).
+        # Parity: reference requires pre-expanded operands (arithmetic.py:214).
+        from .operators import convert as _convert
         out = {}
         for op in self._operands:
-            mats = op.expression_matrices(subproblem, vars, **kw)
+            wrapped = _convert(op, self.domain.bases)
+            mats = wrapped.expression_matrices(subproblem, vars, **kw)
             for var, mat in mats.items():
                 out[var] = out[var] + mat if var in out else mat
         return out
@@ -317,6 +326,10 @@ def build_ncc_blocks(ncc, operand, out_domain, subproblem):
     blocks = []
     for i in range(ncomp_ncc):
         axis_mats = []
+        # Track whether any axis consumed the coefficient magnitudes; if the
+        # NCC is constant along every axis, its component VALUE must scale the
+        # block explicitly.
+        coeffs_consumed = False
         scalar = 1.0
         for axis in range(dist.dim):
             ncc_basis = ncc_field.domain.bases[axis]
@@ -340,15 +353,19 @@ def build_ncc_blocks(ncc, operand, out_domain, subproblem):
                         axis_mats.append(op_basis.conversion_matrix(out_basis))
                 else:
                     c_i = _axis_coeffs(coeffs[i], axis, spatial_shape)
+                    coeffs_consumed = True
                     if op_basis is None:
                         # NCC varying, operand constant: column of ncc coeffs
                         # times conversion of the constant into the out basis
-                        col = _constant_embedding(out_basis)
                         mat = _ncc_times_constant(ncc_basis, out_basis, c_i)
                         axis_mats.append(mat)
                     else:
                         axis_mats.append(op_basis.ncc_matrix(ncc_basis, out_basis, c_i,
                                                              cutoff=1e-10))
+        if not coeffs_consumed:
+            # Fully constant NCC: the component value scales the block
+            scalar = complex(coeffs[i].ravel()[0]) if np.iscomplexobj(coeffs) \
+                else float(coeffs[i].ravel()[0])
         mat = axis_mats[0]
         for m in axis_mats[1:]:
             mat = sparse.kron(mat, m)

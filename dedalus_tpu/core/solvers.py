@@ -82,6 +82,31 @@ class SolverBase:
             datas.append(F.data)
         return self.pencil.gather_eq_data(datas)
 
+    def traced_matrix_apply(self, name, state_flat):
+        """
+        Matrix-free application of the named LHS operator (M/L/dF): bind the
+        state and evaluate the structured expression trees — many small
+        per-axis matmuls instead of one huge dense (G,P,P) batched apply
+        (XLA's batched f64 matmuls run far off roofline on TPU).
+        Returns (G, R) pencils, identical to batched_matvec(matrices[name], X)
+        up to roundoff.
+        """
+        self.pencil.unflatten_fields(state_flat, self.state)
+        datas = []
+        for eq in self.problem.equations:
+            expr = eq.get(name)
+            if expr is None:
+                datas.append(jnp.zeros(
+                    tuple(cs.dim for cs in eq['tensorsig'])
+                    + tuple(b.coeff_size if b is not None else 1
+                            for b in eq['domain'].bases), dtype=self.dtype))
+                continue
+            out = expr.evaluate()
+            out.require_coeff_space()
+            out.change_scales(1)
+            datas.append(out.data)
+        return self.pencil.gather_eq_data(datas)
+
     def evaluate_F(self, wall_time=0.0, timestep=0.0, schedule=True):
         """Evaluate all equation RHS expressions and gather (G, R) pencils."""
         if schedule and getattr(self, 'evaluator', None) is not None:

@@ -61,6 +61,12 @@ class TimestepperBase:
         if method == 'mixed':
             return (lambda s1, s2, R: ops_solve.batched_mixed_solve(s1, s2, R),
                     lambda f: (f.Ainv, f.A))
+        if method == 'matrix_free':
+            # Placeholder solve (f32 inverse apply); refinement happens in the
+            # matrix-free step via structured operator applications.
+            return (lambda s1, s2, R: ops_solve.batched_matvec(
+                        s1, R.astype(jnp.float32)).astype(R.dtype),
+                    lambda f: (f.Ainv, f.Ainv))
         raise ValueError(f"Unknown matsolver: {method}")
 
 
@@ -88,13 +94,22 @@ class MultistepIMEX(TimestepperBase):
         rv = pencil.row_valid_dev
         solve_fn, self._fact_args = self._solve_fn_and_args()
 
+        matrix_free = (solver.matsolver == 'matrix_free')
+        refinements = getattr(solver, 'refinements', 1)
+
         # Large matrix stacks are ARGUMENTS (not closure constants) so they are
         # not serialized into the compiled program (the axon remote compiler
         # rejects oversized request bodies).
         def step_impl(state_flat, t, MXh, LXh, Fh, a, b, c, s1, s2, M, L):
-            X = state_flat[pencil.var_index_map_dev]
-            MX0 = ops_solve.batched_matvec(M, X)
-            LX0 = ops_solve.batched_matvec(L, X)
+            if matrix_free:
+                # Structured operator applications: many small per-axis
+                # matmuls, avoiding XLA's slow dense batched f64 applies
+                MX0 = solver.traced_matrix_apply('M', state_flat)
+                LX0 = solver.traced_matrix_apply('L', state_flat)
+            else:
+                X = state_flat[pencil.var_index_map_dev]
+                MX0 = ops_solve.batched_matvec(M, X)
+                LX0 = ops_solve.batched_matvec(L, X)
             F0 = solver.traced_F(state_flat, t)
             # Push new entries (index 0 most recent)
             MXh = jnp.concatenate([MX0[None], MXh[:-1]])
@@ -105,7 +120,21 @@ class MultistepIMEX(TimestepperBase):
                    - jnp.einsum('j,jgr->gr', a[1:], MXh)
                    - jnp.einsum('j,jgr->gr', b[1:], LXh))
             RHS = RHS * rv
-            Xnew = solve_fn(s1, s2, RHS)
+            if matrix_free:
+                # f32 inverse apply + f64 matrix-free iterative refinement
+                def inv32(V):
+                    return ops_solve.batched_matvec(
+                        s1, V.astype(jnp.float32)).astype(V.dtype)
+                Xnew = inv32(RHS)
+                for _ in range(refinements):
+                    sX = jnp.zeros_like(state_flat).at[pencil.var_index_map_dev].add(Xnew)
+                    AX = (a[0] * solver.traced_matrix_apply('M', sX)
+                          + b[0] * solver.traced_matrix_apply('L', sX)) * rv
+                    # Identity pivots: invalid entries of Xnew must pass through
+                    AX = AX + Xnew * (1.0 - rv)
+                    Xnew = Xnew + inv32(RHS - AX)
+            else:
+                Xnew = solve_fn(s1, s2, RHS)
             out = jnp.zeros_like(state_flat)
             out = out.at[pencil.var_index_map_dev].add(Xnew)
             return out, MXh, LXh, Fh

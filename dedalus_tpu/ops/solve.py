@@ -143,9 +143,9 @@ class FactorizedStack:
         self.method = method
         if method == 'lu':
             self.lu, self.perm = host_lu_factor_stack(A)
-        elif method in ('inverse', 'inverse_refined', 'mixed'):
+        elif method in ('inverse', 'inverse_refined', 'mixed', 'matrix_free'):
             self.Ainv = host_inverse_stack(A)
-            if method == 'mixed':
+            if method in ('mixed', 'matrix_free'):
                 self.Ainv = self.Ainv.astype(jnp.float32)
             if method in ('inverse_refined', 'mixed'):
                 self.A = jnp.asarray(A)
