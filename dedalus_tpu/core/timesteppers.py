@@ -88,28 +88,91 @@ class MultistepIMEX(TimestepperBase):
         self._iteration = 0
         self._compiled = None
 
+    def _poly_ml(self):
+        """Host-fit separable (GEMM) forms of the M and L stacks (cached)."""
+        if not hasattr(self, '_poly_ml_cache'):
+            pm = ops_solve.fit_separable_stack(np.asarray(self.pencil.matrices['M']))
+            pl = ops_solve.fit_separable_stack(np.asarray(self.pencil.matrices['L']))
+            if pm is None or pl is None:
+                raise ValueError("M/L stacks are not separable in the group index")
+            self._poly_ml_cache = (pm, pl)
+        return self._poly_ml_cache
+
+    def _prepare(self, a0, b0):
+        """Resolve the factorization BEFORE compiling, falling back from the
+        poly matsolver to inverse_refined when the problem has no separable
+        structure (curvilinear m-dependent stacks, tiny group counts)."""
+        solver = self.solver
+        while True:
+            try:
+                fact = self._get_factorized(a0, b0)
+                if solver.matsolver == 'poly':
+                    self._poly_ml()
+                    refs = fact.refinements
+                    if refs > getattr(self, '_poly_refinements', 0):
+                        self._poly_refinements = refs
+                        self._compiled = None
+                        self._scan_cache = {}
+                return fact
+            except ValueError as exc:
+                if solver.matsolver == 'poly':
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "poly matsolver unavailable (%s); using inverse_refined", exc)
+                    solver.matsolver = 'inverse_refined'
+                    self._factorized.clear()
+                    self._compiled = None
+                    self._scan_cache = {}
+                    continue
+                raise
+
+    def _step_mats(self, fact):
+        """Arrays handed to the compiled step as ARGUMENTS (pytree), so the
+        large stacks are not serialized into the program (the axon remote
+        compiler rejects oversized request bodies)."""
+        if self.solver.matsolver == 'poly':
+            pm, pl = self._poly_ml()
+            pa, pr = fact.polyA, fact.pre
+            return {'wM': pm['weights'], 'BM': pm['Bcat'], 'CM': pm['Abad'],
+                    'wL': pl['weights'], 'BL': pl['Bcat'], 'CL': pl['Abad'],
+                    'wA': pa['weights'], 'BA': pa['Bcat'], 'CA': pa['Abad'],
+                    'wP': pr['weights'], 'BP': pr['Bcat'], 'CP': pr['Abad']}
+        s1, s2 = self._fact_args(fact)
+        return {'s1': s1, 's2': s2,
+                'M': self.pencil.matrices['M'], 'L': self.pencil.matrices['L']}
+
     def _build_compiled(self):
         solver = self.solver
         pencil = self.pencil
         rv = pencil.row_valid_dev
-        solve_fn, self._fact_args = self._solve_fn_and_args()
-
         matrix_free = (solver.matsolver == 'matrix_free')
-        refinements = getattr(solver, 'refinements', 1)
+        poly = (solver.matsolver == 'poly')
+        if poly:
+            pm, pl = self._poly_ml()
+            badM, badL = pm['bad_idx'], pl['bad_idx']
+            fact0 = next(iter(self._factorized.values()))
+            badA, badP = fact0.polyA['bad_idx'], fact0.pre['bad_idx']
+            refinements = self._poly_refinements
+            self._fact_args = None
+        else:
+            solve_fn, self._fact_args = self._solve_fn_and_args()
+            refinements = getattr(solver, 'refinements', 1)
+        sep = ops_solve.separable_apply
 
-        # Large matrix stacks are ARGUMENTS (not closure constants) so they are
-        # not serialized into the compiled program (the axon remote compiler
-        # rejects oversized request bodies).
-        def step_impl(state_flat, t, MXh, LXh, Fh, a, b, c, s1, s2, M, L):
+        def step_impl(state_flat, t, MXh, LXh, Fh, a, b, c, mats):
             if matrix_free:
                 # Structured operator applications: many small per-axis
                 # matmuls, avoiding XLA's slow dense batched f64 applies
                 MX0 = solver.traced_matrix_apply('M', state_flat)
                 LX0 = solver.traced_matrix_apply('L', state_flat)
+            elif poly:
+                X = state_flat[pencil.var_index_map_dev]
+                MX0 = sep(X, mats['wM'], mats['BM'], badM, mats['CM'])
+                LX0 = sep(X, mats['wL'], mats['BL'], badL, mats['CL'])
             else:
                 X = state_flat[pencil.var_index_map_dev]
-                MX0 = ops_solve.batched_matvec(M, X)
-                LX0 = ops_solve.batched_matvec(L, X)
+                MX0 = ops_solve.batched_matvec(mats['M'], X)
+                LX0 = ops_solve.batched_matvec(mats['L'], X)
             F0 = solver.traced_F(state_flat, t)
             # Push new entries (index 0 most recent)
             MXh = jnp.concatenate([MX0[None], MXh[:-1]])
@@ -120,11 +183,21 @@ class MultistepIMEX(TimestepperBase):
                    - jnp.einsum('j,jgr->gr', a[1:], MXh)
                    - jnp.einsum('j,jgr->gr', b[1:], LXh))
             RHS = RHS * rv
-            if matrix_free:
+            if poly:
+                # Chebyshev-interpolated inverse preconditioner + f64
+                # refinement with the exact separable A: all GEMMs, no
+                # batched GEMV anywhere in the solve.
+                def pre(V):
+                    return sep(V, mats['wP'], mats['BP'], badP, mats['CP'])
+                Xnew = pre(RHS)
+                for _ in range(refinements):
+                    AX = sep(Xnew, mats['wA'], mats['BA'], badA, mats['CA'])
+                    Xnew = Xnew + pre(RHS - AX)
+            elif matrix_free:
                 # f32 inverse apply + f64 matrix-free iterative refinement
                 def inv32(V):
                     return ops_solve.batched_matvec(
-                        s1, V.astype(jnp.float32)).astype(V.dtype)
+                        mats['s1'], V.astype(jnp.float32)).astype(V.dtype)
                 Xnew = inv32(RHS)
                 for _ in range(refinements):
                     sX = jnp.zeros_like(state_flat).at[pencil.var_index_map_dev].add(Xnew)
@@ -134,7 +207,7 @@ class MultistepIMEX(TimestepperBase):
                     AX = AX + Xnew * (1.0 - rv)
                     Xnew = Xnew + inv32(RHS - AX)
             else:
-                Xnew = solve_fn(s1, s2, RHS)
+                Xnew = solve_fn(mats['s1'], mats['s2'], RHS)
             out = jnp.zeros_like(state_flat)
             out = out.at[pencil.var_index_map_dev].add(Xnew)
             return out, MXh, LXh, Fh
@@ -144,15 +217,15 @@ class MultistepIMEX(TimestepperBase):
     def step(self, dt, wall_time=0.0):
         solver = self.solver
         pencil = self.pencil
-        if self._compiled is None:
-            self._compiled = jax.jit(self._build_compiled())
         # Cycle timestep history and compute scheme coefficients (host)
         self.dt_hist.appendleft(dt)
         a, b, c = self.compute_coefficients(list(self.dt_hist), self._iteration)
         self._iteration += 1
         n = self.steps + 1
         a, b, c = _pad(a, n), _pad(b, n), _pad(c, n)
-        fact = self._get_factorized(a[0], b[0])
+        fact = self._prepare(a[0], b[0])
+        if self._compiled is None:
+            self._compiled = jax.jit(self._build_compiled())
         # Run scheduled analysis handlers (host-side, eager) before stepping
         if getattr(solver, 'evaluator', None) is not None and solver.evaluator.handlers:
             solver.evaluator.evaluate_scheduled(
@@ -160,11 +233,10 @@ class MultistepIMEX(TimestepperBase):
                 sim_time=solver.sim_time, timestep=dt)
         state_flat = solver.state_flat()
         t = jnp.asarray(solver.sim_time)
-        s1, s2 = self._fact_args(fact)
         new_state, self.MX, self.LX, self.F = self._compiled(
             state_flat, t, self.MX, self.LX, self.F,
-            jnp.asarray(a), jnp.asarray(b), jnp.asarray(c), s1, s2,
-            pencil.matrices['M'], pencil.matrices['L'])
+            jnp.asarray(a), jnp.asarray(b), jnp.asarray(c),
+            self._step_mats(fact))
         pencil.unflatten_fields(new_state, solver.state)
         solver.sim_time = solver.sim_time + dt
 
@@ -193,18 +265,17 @@ class MultistepIMEX(TimestepperBase):
         self._iteration += n_steps
         n = self.steps + 1
         a, b, c = jnp.asarray(_pad(a, n)), jnp.asarray(_pad(b, n)), jnp.asarray(_pad(c, n))
-        fact = self._get_factorized(float(a[0]), float(b[0]))
-        s1, s2 = self._fact_args(fact)
+        fact = self._prepare(float(a[0]), float(b[0]))
         if not hasattr(self, '_scan_cache'):
             self._scan_cache = {}
         if n_steps not in self._scan_cache:
             step_impl = self._build_compiled()
 
-            def run(state, t0, MXh, LXh, Fh, av, bv, cv, sa, sb, dtv, Mm, Lm):
+            def run(state, t0, MXh, LXh, Fh, av, bv, cv, dtv, mats):
                 def body(carry, _):
                     st, t, MXc, LXc, Fc = carry
                     st, MXc, LXc, Fc = step_impl(st, t, MXc, LXc, Fc,
-                                                 av, bv, cv, sa, sb, Mm, Lm)
+                                                 av, bv, cv, mats)
                     return (st, t + dtv, MXc, LXc, Fc), None
                 carry, _ = jax.lax.scan(body, (state, t0, MXh, LXh, Fh),
                                         None, length=n_steps)
@@ -214,8 +285,8 @@ class MultistepIMEX(TimestepperBase):
         state_flat = solver.state_flat()
         t0 = jnp.asarray(solver.sim_time)
         state, t, self.MX, self.LX, self.F = self._scan_cache[n_steps](
-            state_flat, t0, self.MX, self.LX, self.F, a, b, c, s1, s2, dt,
-            pencil.matrices['M'], pencil.matrices['L'])
+            state_flat, t0, self.MX, self.LX, self.F, a, b, c, dt,
+            self._step_mats(fact))
         pencil.unflatten_fields(state, solver.state)
         solver.sim_time = solver.sim_time + dt * n_steps
         solver.iteration += n_steps

@@ -136,6 +136,129 @@ def batched_mixed_solve(Ainv32, A, R):
     return X
 
 
+# ---------------------------------------------------------------------------
+# Separable (GEMM-form) stack applications.
+#
+# For Fourier-uncoupled problems, every entry of the assembled pencil stacks
+# M, L (and A = a0 M + b0 L) is a POLYNOMIAL in the group wavenumber (degree =
+# max derivative order along the Fourier axis). A (G,P,P) stack therefore
+# compresses to d+1 shared (P,P) matrices plus per-group scalar weights:
+#
+#     Y[g] = A[g] X[g] = sum_p  w[g,p] * (B_p X[g])
+#
+# which evaluates as ONE (G,P)@(P,(d+1)P) GEMM — the ideal MXU shape — instead
+# of a batched GEMV, whose XLA lowering on TPU is bandwidth-pathological
+# (~128x more HBM traffic: each group reads its own P^2 matrix).
+#
+# The inverse A^-1 is not polynomial but is smooth in k, so it is approximated
+# the same way via Chebyshev interpolation over the group range and used as a
+# preconditioner; f64 iterative refinement with the EXACT separable A then
+# recovers machine-precision solves. Groups whose validity pattern breaks the
+# polynomial structure (e.g. the mean mode with its tau_p/integ rows) get
+# small dense corrections.
+# ---------------------------------------------------------------------------
+
+
+def fit_separable_stack(A, max_degree=6, tol=1e-9, max_bad_frac=0.25):
+    """
+    Fit A[g] ~= sum_p ghat^p B_p exactly (host, numpy).
+    Returns dict(weights (G,d+1), Bcat (P,(d+1)P), bad_idx, Abad) or None.
+    """
+    A = np.asarray(A)
+    G, P, _ = A.shape
+    if G < 4:
+        return None
+    scale = max(np.abs(A).max(), 1e-300)
+    ghat = np.linspace(-1, 1, G) if G > 1 else np.zeros(1)
+    max_bad = max(2, int(G * max_bad_frac))
+    # Candidate sample groups: interior (group 0 and the last group commonly
+    # carry special validity patterns: mean mode, Nyquist)
+    interior = list(range(1, G - 1))
+    for d in range(1, min(max_degree, len(interior) - 1) + 1):
+        samples = [interior[int(round(i * (len(interior) - 1) / d))]
+                   for i in range(d + 1)]
+        samples = sorted(set(samples))
+        if len(samples) < d + 1:
+            continue
+        V = np.vander(ghat[samples], d + 1, increasing=True)
+        try:
+            Vi = np.linalg.inv(V)
+        except np.linalg.LinAlgError:
+            continue
+        B = np.einsum('pj,jab->pab', Vi, A[samples])
+        W = np.vander(ghat, d + 1, increasing=True)
+        recon = np.einsum('gp,pab->gab', W, B)
+        err = np.abs(recon - A).max(axis=(1, 2))
+        bad = np.where(err > tol * scale)[0]
+        if len(bad) <= max_bad:
+            Bcat = np.concatenate([B[p].T for p in range(d + 1)], axis=1)
+            return dict(weights=jnp.asarray(W),
+                        Bcat=jnp.asarray(Bcat),
+                        bad_idx=tuple(int(g) for g in bad),
+                        Abad=jnp.asarray(A[bad]),
+                        B_host=B, ghat=ghat)
+    return None
+
+
+def fit_chebyshev_inverse(A_eval, G, n_nodes=16, bad_idx=()):
+    """
+    Chebyshev-interpolated inverse preconditioner (host, numpy).
+
+    A_eval(ghat) -> (P,P) evaluates the exact separable stack at a continuous
+    normalized group coordinate ghat = -1 + 2g/(G-1). The polynomial extension
+    of A is typically SINGULAR at the mean mode (g=0 is only regular through
+    its special tau/gauge rows, which land in bad_idx), so the inverse is
+    interpolated in u = log(g) over the good groups only -- the k=0 resolvent
+    pole is then far outside the interpolation interval and convergence is
+    geometric. Returns dict(weights (G,q), Bcat (P,qP), bad_idx, ...) with
+    sum_j weights[g,j] B_j ~= A[g]^-1 for good g; exceptional groups get their
+    exact dense inverses (caller fills 'Abad').
+    """
+    q = n_nodes
+    good = [g for g in range(G) if g not in bad_idx]
+    gmin = min(good)
+
+    def u_of(g):
+        return np.log(g - gmin + 1.0)
+
+    u_lo, u_hi = u_of(good[0]), u_of(good[-1])
+    span = max(u_hi - u_lo, 1e-12)
+    t_nodes = np.cos((2 * np.arange(q) + 1) * np.pi / (2 * q))  # Chebyshev pts
+    u_nodes = u_lo + (t_nodes + 1) * span / 2
+    g_nodes = gmin - 1.0 + np.exp(u_nodes)
+    ghat_nodes = (-1 + 2 * g_nodes / (G - 1)) if G > 1 else np.zeros(q)
+    inv_nodes = np.stack([np.linalg.inv(A_eval(x)) for x in ghat_nodes])
+    # Nodal -> Chebyshev coefficients (DCT-like projection)
+    Tn = np.cos(np.outer(np.arange(q), np.arccos(t_nodes)))    # (q coeff, q node)
+    coeffs = (2.0 / q) * np.einsum('cn,nab->cab', Tn, inv_nodes)
+    coeffs[0] /= 2.0
+    # Evaluation weights per group (zero rows for bad groups: overridden)
+    W = np.zeros((G, q))
+    for g in good:
+        t = np.clip(2 * (u_of(g) - u_lo) / span - 1, -1, 1)
+        W[g] = np.cos(np.arange(q) * np.arccos(t))
+    Bcat = np.concatenate([coeffs[j].T for j in range(q)], axis=1)
+    return dict(weights=jnp.asarray(W), Bcat=jnp.asarray(Bcat),
+                bad_idx=tuple(int(g) for g in bad_idx),
+                coeffs_host=coeffs, W_host=W)
+
+
+def separable_apply(X, weights, Bcat, bad_idx=(), Abad=None):
+    """
+    Y[g] = sum_p weights[g,p] * (B_p X[g]) as one GEMM, with dense overrides
+    for exceptional groups. X: (G,P); weights: (G,q); Bcat: (P,qP).
+    """
+    G, P = X.shape
+    q = weights.shape[1]
+    T = (X @ Bcat).reshape(G, q, P)           # (G,P)@(P,qP): the MXU GEMM
+    Y = jnp.einsum('gq,gqp->gp', weights, T)
+    if len(bad_idx):
+        idx = jnp.asarray(bad_idx)
+        Yb = jnp.matmul(Abad, X[idx][..., None])[..., 0]
+        Y = Y.at[idx].set(Yb)
+    return Y
+
+
 class FactorizedStack:
     """A factorized (G,P,P) stack with a device solve method."""
 
@@ -149,8 +272,67 @@ class FactorizedStack:
                 self.Ainv = self.Ainv.astype(jnp.float32)
             if method in ('inverse_refined', 'mixed'):
                 self.A = jnp.asarray(A)
+        elif method == 'poly':
+            self._build_poly(np.asarray(A))
         else:
             raise ValueError(f"Unknown solve method: {method}")
+
+    def _build_poly(self, A, target=1e-15, max_refinements=12):
+        """
+        Separable GEMM-form solve: exact polynomial fit of A + Chebyshev-
+        interpolated inverse preconditioner + f64 iterative refinement.
+        Raises ValueError when the stack has no separable structure (the
+        caller falls back to a dense method).
+        """
+        if np.iscomplexobj(A):
+            raise ValueError("poly solve requires a real stack")
+        fit = fit_separable_stack(A)
+        if fit is None:
+            raise ValueError("stack is not separable (not polynomial in group index)")
+        self.polyA = fit
+        G = A.shape[0]
+        B = fit['B_host']
+        bad = fit['bad_idx']
+
+        def A_eval(x):
+            return sum(x**p * B[p] for p in range(len(B)))
+
+        good = [g for g in range(G) if g not in bad]
+        probes = good[:: max(1, len(good) // 4)][:5]
+        rho = None
+        for q in (16, 24, 32, 48):
+            if q >= 2 * G:
+                q = max(4, G)
+            pre = fit_chebyshev_inverse(A_eval, G, n_nodes=q, bad_idx=bad)
+            # Contraction factor of refinement: rho = max ||I - P(g) A[g]||
+            coeffs, W = pre['coeffs_host'], pre['W_host']
+            rho = 0.0
+            for g in probes:
+                Pg = np.einsum('q,qab->ab', W[g], coeffs)
+                R = np.eye(A.shape[1]) - Pg @ A[g]
+                rho = max(rho, np.linalg.norm(R, 2))
+            if rho < 0.3:
+                break
+        if rho >= 1.0:
+            raise ValueError(f"Chebyshev inverse preconditioner diverges (rho={rho:.2f})")
+        if bad:
+            pre['Abad'] = jnp.asarray(np.stack([np.linalg.inv(A[g]) for g in bad]))
+        else:
+            pre['Abad'] = jnp.zeros((0,) + A.shape[1:])
+        self.pre = pre
+        self.refinements = int(np.clip(
+            np.ceil(np.log(target) / np.log(max(rho, 1e-12))), 1, max_refinements))
+        self.rho = rho
+
+    def poly_solve(self, R):
+        """Preconditioned, refined separable solve (jit-safe)."""
+        pa, pr = self.polyA, self.pre
+        X = separable_apply(R, pr['weights'], pr['Bcat'], pr['bad_idx'], pr['Abad'])
+        for _ in range(self.refinements):
+            AX = separable_apply(X, pa['weights'], pa['Bcat'], pa['bad_idx'], pa['Abad'])
+            X = X + separable_apply(R - AX, pr['weights'], pr['Bcat'],
+                                    pr['bad_idx'], pr['Abad'])
+        return X
 
     def solve(self, R):
         if self.method == 'lu':
@@ -159,4 +341,6 @@ class FactorizedStack:
             return batched_inverse_solve(self.Ainv, R)
         if self.method == 'mixed':
             return batched_mixed_solve(self.Ainv, self.A, R)
+        if self.method == 'poly':
+            return self.poly_solve(R)
         return batched_refined_solve(self.Ainv, self.A, R)

@@ -114,6 +114,54 @@ def test_rayleigh_benard_smoke():
     assert np.abs(np.array(uu['g'])).max() < 1e-10
 
 
+@pytest.mark.parametrize('matsolver', ['inverse_refined', 'poly'])
+def test_rbc_matsolvers_match_lu(matsolver):
+    # All matsolvers must reproduce the LU reference trajectory. 'poly' is the
+    # separable GEMM-form solve (polynomial stack fit + Chebyshev-interpolated
+    # inverse preconditioner + f64 refinement).
+    from dedalus_tpu.models.rbc import build_rbc_problem
+    import jax.numpy as jnp
+
+    def run(ms, steps=20):
+        prob, kw = build_rbc_problem(Nx=16, Nz=12, Rayleigh=2e4)
+        solver = prob.build_solver(d3.SBDF2, matsolver=ms)
+        b = kw['b']; Lz = kw['Lz']
+        b.change_scales(1)
+        zg = kw['dist'].local_grid(kw['zbasis'], scale=1)
+        noise = np.random.default_rng(42).standard_normal((16, 12))
+        b.preset_data(kw['dist'].grid_layout,
+                      jnp.asarray(Lz - zg + 1e-3 * noise * zg * (Lz - zg)))
+        solver.run_steps(1e-3, steps)
+        assert solver.matsolver == ms  # no silent fallback on this problem
+        out = {}
+        for f in solver.state:
+            f.require_coeff_space(); f.change_scales(1)
+            out[f.name] = np.asarray(f.data)
+        return out
+
+    ref = run('lu')
+    got = run(matsolver)
+    for k in ref:
+        assert np.abs(got[k] - ref[k]).max() < 1e-11
+
+
+def test_poly_factorized_stack_solve():
+    # Direct separable-solve check on an assembled pencil stack
+    from dedalus_tpu.models.rbc import build_rbc_problem
+    from dedalus_tpu.ops import solve as ops_solve
+    import jax.numpy as jnp
+    prob, kw = build_rbc_problem(Nx=32, Nz=12)
+    solver = prob.build_solver(d3.SBDF2, matsolver='lu')
+    ps = solver.pencil
+    ps.build_matrices(['M', 'L'])
+    A = np.asarray(ps.combined_with_pivots({'M': 1000.0, 'L': 0.5}))
+    fact = ops_solve.FactorizedStack(A, 'poly')
+    X = np.random.default_rng(0).standard_normal(A.shape[:2])
+    R = np.einsum('gij,gj->gi', A, X)
+    Xs = np.asarray(fact.poly_solve(jnp.asarray(R)))
+    assert np.abs(Xs - X).max() / np.abs(X).max() < 1e-10
+
+
 def test_complex_fourier_ivp():
     # Advection with complex dtype: dt(u) + v*dx(u) = 0; exact phase rotation
     c = d3.Coordinate('x')
