@@ -247,14 +247,19 @@ def separable_apply(X, weights, Bcat, bad_idx=(), Abad=None):
     """
     Y[g] = sum_p weights[g,p] * (B_p X[g]) as one GEMM, with dense overrides
     for exceptional groups. X: (G,P); weights: (G,q); Bcat: (P,qP).
+
+    Computes in Bcat's dtype: storing a PRECONDITIONER's Bcat in f32 runs the
+    GEMM on the fast MXU path while iterative refinement (whose residuals stay
+    f64) still converges to the f64 floor.
     """
     G, P = X.shape
     q = weights.shape[1]
-    T = (X @ Bcat).reshape(G, q, P)           # (G,P)@(P,qP): the MXU GEMM
-    Y = jnp.einsum('gq,gqp->gp', weights, T)
+    Xc = X.astype(Bcat.dtype)
+    T = (Xc @ Bcat).reshape(G, q, P)          # (G,P)@(P,qP): the MXU GEMM
+    Y = jnp.einsum('gq,gqp->gp', weights.astype(Bcat.dtype), T).astype(X.dtype)
     if len(bad_idx):
         idx = jnp.asarray(bad_idx)
-        Yb = jnp.matmul(Abad, X[idx][..., None])[..., 0]
+        Yb = jnp.matmul(Abad, Xc[idx][..., None])[..., 0].astype(X.dtype)
         Y = Y.at[idx].set(Yb)
     return Y
 
@@ -319,9 +324,18 @@ class FactorizedStack:
             pre['Abad'] = jnp.asarray(np.stack([np.linalg.inv(A[g]) for g in bad]))
         else:
             pre['Abad'] = jnp.zeros((0,) + A.shape[1:])
+        # The preconditioner runs in f32 (fast MXU path); refinement residuals
+        # are f64 against the EXACT separable A, so the solve still converges
+        # to the f64 floor -- the f32 noise only caps the per-pass contraction.
+        pre['Bcat'] = pre['Bcat'].astype(jnp.float32)
+        pre['Abad'] = pre['Abad'].astype(jnp.float32)
         self.pre = pre
+        # Initial apply already lands at relative error ~rho; each refinement
+        # multiplies by ~max(rho, f32 apply noise), so error after n
+        # refinements ~ rate^(n+1).
+        rate = max(rho, 1e-6)
         self.refinements = int(np.clip(
-            np.ceil(np.log(target) / np.log(max(rho, 1e-12))), 1, max_refinements))
+            np.ceil(np.log(target) / np.log(rate)) - 1, 1, max_refinements))
         self.rho = rho
 
     def poly_solve(self, R):
