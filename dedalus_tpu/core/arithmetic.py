@@ -45,6 +45,15 @@ def merge_bases(b1, b2):
         if (b1.coord, b1.size, b1.radius, b1.alpha) != (b2.coord, b2.size, b2.radius, b2.alpha):
             raise ValueError(f"Incompatible disk radial bases: {b1} {b2}")
         return b1 if b1.k >= b2.k else b2
+    from .basis_ball import BallRadialBasis, SphericalShellRadialBasis
+    if isinstance(b1, BallRadialBasis) and isinstance(b2, BallRadialBasis):
+        if (b1.coord, b1.size, b1.radius, b1.alpha) != (b2.coord, b2.size, b2.radius, b2.alpha):
+            raise ValueError(f"Incompatible ball radial bases: {b1} {b2}")
+        return b1 if b1.k >= b2.k else b2
+    if isinstance(b1, SphericalShellRadialBasis) and isinstance(b2, SphericalShellRadialBasis):
+        if (b1.coord, b1.size, b1.radii, b1.alpha) != (b2.coord, b2.size, b2.radii, b2.alpha):
+            raise ValueError(f"Incompatible shell radial bases: {b1} {b2}")
+        return b1 if b1.k >= b2.k else b2
     raise ValueError(f"Cannot merge bases: {b1} {b2}")
 
 
@@ -257,10 +266,18 @@ class Multiply(Future):
 
     def matrix_coupling(self, *vars):
         out = super().matrix_coupling(*vars)
-        # An NCC factor varying along an axis couples mode groups along it
+        # An NCC factor varying along an axis couples mode groups along it.
+        # Curvilinear azimuth axes stay separable: supported NCCs are
+        # axisymmetric there (enforced when the blocks are built), matching
+        # the reference's m-independent NCC treatment.
+        from .basis_polar import AzimuthBasis
         for op in self._operands:
             if not op.has(*vars):
-                out |= np.array(op.domain.nonconstant)
+                ncc_vary = np.array(op.domain.nonconstant)
+                for ax in range(len(ncc_vary)):
+                    if isinstance(op.domain.bases[ax], AzimuthBasis):
+                        ncc_vary[ax] = False
+                out |= ncc_vary
         return out
 
     # --- NCC matrices ---
@@ -323,6 +340,11 @@ def build_ncc_blocks(ncc, operand, out_domain, subproblem):
     ncomp_ncc = prod(tuple(cs.dim for cs in ncc_field.tensorsig)) or 1
     spatial_shape = coeffs.shape[len(ncc_field.tensorsig):]
     coeffs = coeffs.reshape((ncomp_ncc,) + spatial_shape)
+    from .basis_ball import SphericalRadialBasis
+    ball_axis = None
+    for ax in range(dist.dim):
+        if isinstance(operand.domain.bases[ax], SphericalRadialBasis):
+            ball_axis = ax
     blocks = []
     for i in range(ncomp_ncc):
         axis_mats = []
@@ -337,10 +359,45 @@ def build_ncc_blocks(ncc, operand, out_domain, subproblem):
             out_basis = out_domain.bases[axis]
             coupled = subproblem.coupled[axis]
             op_width = subproblem.axis_width(op_basis, axis)
+            if ball_axis is not None and axis == ball_axis - 1:
+                # Colatitude of a ball operand: absorbed into the joint
+                # (ell, n) radial block below
+                axis_mats.append(sparse.identity(1))
+                continue
+            if ball_axis is not None and axis == ball_axis:
+                # Joint (colatitude x radius) multiplication block. Round-1:
+                # spherically symmetric NCCs (ell=0 content only), for which
+                # multiplication is block-diagonal over ell (parity:
+                # basis.py:4088 ball NCC matrices).
+                m = subproblem.group[ball_axis - 2] or 0
+                dk_out = out_basis.k - op_basis.k
+                if ncc_basis is None:
+                    axis_mats.append(op_basis.conversion_block_m(m, dk_out)
+                                     if dk_out else
+                                     sparse.identity(op_width * subproblem.axis_width(
+                                         operand.domain.bases[axis - 1], axis - 1)))
+                    continue
+                c = coeffs[i]  # (M, L, n)
+                tail = np.abs(c[1:]).max() if c.shape[0] > 1 else 0.0
+                tail = max(tail, np.abs(c[0, 1:]).max() if c.shape[1] > 1 else 0.0)
+                if tail > 1e-12 * max(np.abs(c).max(), 1e-300):
+                    raise NotImplementedError(
+                        "Ball NCCs must be spherically symmetric (round 1)")
+                coeffs_consumed = True
+                # Undo the angular (Y_00) normalization carried by the
+                # spectral coefficients: coeff_00(r) = ncc(r) / Y00_value
+                y00 = ncc_field.domain.bases[axis - 1].constant_mode_value()
+                axis_mats.append(op_basis.ncc_block_m(
+                    m, c[0, 0, :] * y00, ncc_basis.k, ncc_basis.alpha, dk_out))
+                continue
             if not coupled:
                 if ncc_basis is not None:
-                    raise NotImplementedError(
-                        "NCCs varying along separable axes are not supported yet")
+                    from .basis_polar import AzimuthBasis
+                    if not isinstance(ncc_basis, AzimuthBasis):
+                        raise NotImplementedError(
+                            "NCCs varying along separable axes are not supported yet")
+                    # Axisymmetric NCC: the azimuth factor is the m=0 value
+                    # (constancy enforced by the curvilinear block builders)
                 axis_mats.append(sparse.identity(op_width))
             else:
                 if ncc_basis is None:

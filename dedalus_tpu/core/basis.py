@@ -478,7 +478,7 @@ class RealFourier(FourierBase):
     @CachedAttribute
     def wavenumbers_native(self):
         KM = (self.size - 1) // 2
-        return np.repeat(np.arange(KM + 1), 2)
+        return np.repeat(np.arange(KM + 1), 2)[:max(self.size, 2)]
 
     @CachedAttribute
     def wavenumbers(self):
@@ -486,7 +486,8 @@ class RealFourier(FourierBase):
 
     @property
     def group_shape(self):
-        return (2,)
+        # (cos, -sin) pairs; a size-1 basis holds only the constant mode
+        return (min(self.size, 2),)
 
     @CachedMethod
     def forward_matrix(self, scale, dtype):
@@ -501,6 +502,7 @@ class RealFourier(FourierBase):
         mat[0] = 1 / N
         mat[1] = 0
         mat *= (self.wavenumbers_native[:, None] <= Kmax)
+        mat = mat[:self.size]  # size-1 basis keeps only the mean row
         return np.ascontiguousarray(mat.astype(dtype))
 
     @CachedMethod
@@ -514,17 +516,20 @@ class RealFourier(FourierBase):
         mat[:, 0::2] = np.cos(K * X)
         mat[:, 1::2] = -np.sin(K * X)
         mat *= (self.wavenumbers_native[None, :] <= Kmax)
+        mat = mat[:, :self.size]
         return np.ascontiguousarray(mat.astype(dtype))
 
     def valid_coeff_mask(self, tensorsig=()):
         mask = np.ones(self.size, dtype=bool)
-        mask[1] = False  # b_0 (the k=0 minus-sine coefficient) is identically zero
+        if self.size > 1:
+            mask[1] = False  # b_0 (the k=0 minus-sine coeff) is identically zero
         return mask
 
     def group_valid_mask(self, group, tensorsig=()):
+        width = min(self.size, 2)
         if group == 0:
-            return np.array([True, False])
-        return np.array([True, True])
+            return np.array([True, False])[:width]
+        return np.ones(width, dtype=bool)
 
     # --- operator matrices (acting on interleaved (cos, -sin) pairs) ---
 

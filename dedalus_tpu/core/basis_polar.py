@@ -325,16 +325,17 @@ def _azimuth_tensor_all_valid(tensorsig, cs):
 
 
 def _azimuth_group_valid_mask(self, group, tensorsig=()):
+    width = min(self.size, 2)
     if _azimuth_tensor_all_valid(tensorsig, self.coord.cs):
-        return np.ones(2, dtype=bool)
+        return np.ones(width, dtype=bool)
     if group == 0:
-        return np.array([True, False])
-    return np.array([True, True])
+        return np.array([True, False])[:width]
+    return np.ones(width, dtype=bool)
 
 
 def _azimuth_valid_coeff_mask(self, tensorsig=()):
     mask = np.ones(self.size, dtype=bool)
-    if not _azimuth_tensor_all_valid(tensorsig, self.coord.cs):
+    if self.size > 1 and not _azimuth_tensor_all_valid(tensorsig, self.coord.cs):
         mask[1] = False
     return mask
 

@@ -98,23 +98,35 @@ class ColatitudeBasis(Basis):
             bwd[m, :, :ns] = Y[:, ::-1].T
         return np.ascontiguousarray(fwd if direction == 'f' else bwd)
 
-    def _apply_stack(self, data, stack_np, out_size, tensorsig, comp_spins):
-        M = data.shape[-2]
+    @staticmethod
+    def _apply_one(comp, stack, ax, out_size):
+        """Apply a (KM+1, out, n) per-m stack along axis `ax` of `comp`
+        (azimuth pairs at axis ax-1); trailing axes (e.g. a ball's radius)
+        batch through the einsum ellipsis."""
+        d = jnp.moveaxis(comp, ax, -1)            # colatitude to last
+        d = jnp.moveaxis(d, ax - 1, 0)            # azimuth to front
+        M = d.shape[0]
+        P = max(M // 2, 1)
+        d = d.reshape((P, M // P) + d.shape[1:])
+        res = jnp.einsum('mon,mp...n->mp...o', stack, d)
+        res = res.reshape((M,) + res.shape[2:])
+        res = jnp.moveaxis(res, 0, ax - 1)
+        return jnp.moveaxis(res, -1, ax)
+
+    def _apply_stack(self, data, stack_np, out_size, tensorsig, comp_spins, axis):
+        nt = len(tensorsig)
+        ax = axis - nt  # axis within the spatial dims of one component
         if not tensorsig:
-            stack = _stack_device(stack_np[0])
-            res = jnp.einsum('mon,mpn->mpo', stack,
-                             data.reshape((M // 2, 2, data.shape[-1])))
-            return res.reshape((M, out_size))
-        out = jnp.zeros(tuple(cs.dim for cs in tensorsig) + (M, out_size),
-                        dtype=data.dtype)
+            return self._apply_one(data, _stack_device(stack_np[0]), ax, out_size)
+        outs = None
         for idx in np.ndindex(*[cs.dim for cs in tensorsig]):
             s = comp_spins[idx]
-            stack = _stack_device(stack_np[s])
-            comp = data[idx]
-            res = jnp.einsum('mon,mpn->mpo', stack,
-                             comp.reshape((M // 2, 2, comp.shape[-1])))
-            out = out.at[idx].set(res.reshape((M, out_size)))
-        return out
+            res = self._apply_one(data[idx], _stack_device(stack_np[s]), ax, out_size)
+            if outs is None:
+                outs = jnp.zeros(tuple(cs.dim for cs in tensorsig) + res.shape,
+                                 dtype=data.dtype)
+            outs = outs.at[idx].set(res)
+        return outs
 
     def forward_transform(self, data, axis, scale, dtype, tensorsig=()):
         data = spin_recombine(self.parent.coordsys, tensorsig, data, axis - 1,
@@ -122,13 +134,14 @@ class ColatitudeBasis(Basis):
         stacks = {s: self._transform_stacks(scale, s, 'f')
                   for s in _spins_present(self.parent.coordsys, tensorsig)}
         spins = _comp_spin_map(self.parent.coordsys, tensorsig)
-        return self._apply_stack(data, stacks, self.size, tensorsig, spins)
+        return self._apply_stack(data, stacks, self.size, tensorsig, spins, axis)
 
     def backward_transform(self, data, axis, scale, dtype, tensorsig=()):
         stacks = {s: self._transform_stacks(scale, s, 'b')
                   for s in _spins_present(self.parent.coordsys, tensorsig)}
         spins = _comp_spin_map(self.parent.coordsys, tensorsig)
-        data = self._apply_stack(data, stacks, self.grid_size(scale), tensorsig, spins)
+        data = self._apply_stack(data, stacks, self.grid_size(scale), tensorsig,
+                                 spins, axis)
         data = spin_recombine(self.parent.coordsys, tensorsig, data, axis - 1,
                               forward=False, real=(np.dtype(dtype).kind == 'f'))
         return data
@@ -177,6 +190,14 @@ class ColatitudeBasis(Basis):
         col = np.zeros((self.size, 1))
         col[index, 0] = 1
         return sparse.csr_matrix(col)
+
+    @CachedMethod
+    def constant_mode_value(self):
+        """Grid value of the ell=0 harmonic (normalization of the constant
+        mode; a constant function f has coeff_00 = f / this value)."""
+        z, _ = self._zw(1)
+        Y = sphere_lib.harmonics(0, 0, 0, z)
+        return float(np.asarray(Y)[0, 0])
 
 
 class SphereBasis:

@@ -152,6 +152,76 @@ class PolarCoordinates(CurvilinearCoordinateSystem):
         return f"PolarCoordinates{self.names}"
 
 
+class SphericalCoordinates(CurvilinearCoordinateSystem):
+    """
+    Spherical coordinates (azimuth, colatitude, radius); component order
+    (phi, theta, r) with spin ordering (-, +, 0).
+    Parity: dedalus/core/coords.py:313-413 (SphericalCoordinates).
+    """
+
+    spin_ordering = (-1, +1, 0)
+    # Regularity component ordering matches spin ordering (reference
+    # spin_operators indexing=(-1,+1,0), regorder=[-1,1,0])
+    reg_ordering = (-1, +1, 0)
+    dim = 3
+
+    def __init__(self, azimuth, colatitude, radius):
+        self.names = (azimuth, colatitude, radius)
+        self.azimuth = AzimuthalCoordinate(azimuth, cs=self)
+        self.colatitude = Coordinate(colatitude, cs=self)
+        self.radius = Coordinate(radius, cs=self)
+        self.coords = (self.azimuth, self.colatitude, self.radius)
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self.coords[self.names.index(key)]
+        return self.coords[key]
+
+    @classmethod
+    def U_forward(cls, order=1):
+        """Unitary coord->spin map: u_s = (u_theta + s*1j*u_phi)/sqrt(2) for
+        s = +-1; u_0 = u_r."""
+        U = np.zeros((3, 3), dtype=complex)
+        for row, spin in enumerate(cls.spin_ordering):
+            if spin == 0:
+                U[row, 2] = 1
+            else:
+                U[row, 0] = spin * 1j / np.sqrt(2)
+                U[row, 1] = 1 / np.sqrt(2)
+        out = U
+        for _ in range(order - 1):
+            out = np.kron(out, U)
+        return out
+
+    @classmethod
+    def U_backward(cls, order=1):
+        return cls.U_forward(order).T.conj()
+
+    def spintotal(self, tensorsig, comp_index):
+        total = 0
+        for cs, idx in zip(tensorsig, comp_index):
+            if cs is self:
+                total += self.spin_ordering[idx]
+        return total
+
+    def regtotal(self, tensorsig, comp_index):
+        total = 0
+        for cs, idx in zip(tensorsig, comp_index):
+            if cs is self:
+                total += self.reg_ordering[idx]
+        return total
+
+    @staticmethod
+    def cartesian(phi, theta, r):
+        x = r * np.sin(theta) * np.cos(phi)
+        y = r * np.sin(theta) * np.sin(phi)
+        z = r * np.cos(theta)
+        return x, y, z
+
+    def __repr__(self):
+        return f"SphericalCoordinates{self.names}"
+
+
 class CartesianCoordinates(CoordinateSystem):
     """An ordered set of independent Cartesian coordinates."""
 

@@ -93,8 +93,15 @@ class Distributor:
         return grid.reshape(shape)
 
     def local_grids(self, *bases, scales=None):
-        out = []
+        # Expand multi-axis facades (ball/annulus/sphere) into their sub-bases
+        expanded = []
         for basis in bases:
+            if hasattr(basis, 'sub_bases'):
+                expanded.extend(basis.sub_bases)
+            else:
+                expanded.append(basis)
+        out = []
+        for basis in expanded:
             scale = None
             if scales is not None:
                 scale = scales if np.isscalar(scales) else scales[basis.coord.axis]

@@ -314,6 +314,10 @@ class Lift(SpectralOperator1D):
     """
 
     def __new__(cls, operand, out_basis, index):
+        from .basis_ball import BallBasis, ShellBasis
+        if isinstance(out_basis, (BallBasis, ShellBasis)):
+            from .operators_ball import BallLift
+            return BallLift(operand, out_basis, index)
         if hasattr(out_basis, 'sub_bases'):
             out_basis = out_basis.sub_bases[-1]
         if hasattr(out_basis, 'interpolation_m'):
@@ -762,7 +766,11 @@ def convert(expr, bases):
         current = expr.domain.bases[axis]
         if target is None or current == target:
             continue
-        if hasattr(target, 'conversion_matrix_m'):
+        from .basis_ball import SphericalRadialBasis
+        if isinstance(target, SphericalRadialBasis):
+            from .operators_ball import BallConvert
+            expr = BallConvert(expr, target.coord.cs, target)
+        elif hasattr(target, 'conversion_matrix_m'):
             from .operators_polar import PolarConvert
             expr = PolarConvert(expr, target.coord.cs, target)
         else:
@@ -819,9 +827,12 @@ def Divergence(operand, index=0):
 
 
 def Laplacian(operand, coordsys=None):
-    from .coords import PolarCoordinates, S2Coordinates
+    from .coords import PolarCoordinates, S2Coordinates, SphericalCoordinates
     if coordsys is None:
         coordsys = _infer_coordsys(operand)
+    if isinstance(coordsys, SphericalCoordinates):
+        from .operators_ball import BallLaplacian
+        return BallLaplacian(operand, coordsys)
     if isinstance(coordsys, S2Coordinates):
         from .operators_sphere import SphereLaplacian
         return SphereLaplacian(operand, coordsys)
@@ -891,6 +902,10 @@ def Interpolate(operand, coord, position):
     if isinstance(coord, str):
         raise ValueError("Interpolate requires a coordinate object")
     basis = operand.domain.bases[coord.axis]
+    from .basis_ball import SphericalRadialBasis
+    if isinstance(basis, SphericalRadialBasis):
+        from .operators_ball import BallInterpolate
+        return BallInterpolate(operand, coord.cs, position)
     if hasattr(basis, 'interpolation_m'):
         from .operators_polar import PolarInterpolate
         return PolarInterpolate(operand, coord.cs, position)

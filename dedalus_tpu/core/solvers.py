@@ -171,6 +171,7 @@ class NonlinearBoundaryValueSolver(SolverBase):
             var.change_scales(1)
             var.preset_data(var.layout, var.data + damping * pert.data)
         self.iteration += 1
+        return float(jnp.sqrt(jnp.sum(dX * dX)))
 
 
 class EigenvalueSolver(SolverBase):

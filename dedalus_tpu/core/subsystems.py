@@ -73,7 +73,15 @@ class Subproblem:
                         # Constant along a separable axis: valid only in group 0
                         axis_masks.append(np.array([self.group[axis] == 0]))
                 elif self.coupled[axis]:
-                    if hasattr(basis, 'component_valid_for_m') and tensorsig:
+                    if hasattr(basis, 'joint_valid_for_m'):
+                        # Validity joint over (colatitude, radius): the radial
+                        # truncation depends on ell = |m| + colatitude slot
+                        # (ball). The hook returns the flattened joint mask;
+                        # the preceding colatitude mask is absorbed into it.
+                        m = self.group[axis - 2] or 0
+                        axis_masks[-1] = np.ones(1, dtype=bool)
+                        axis_masks.append(basis.joint_valid_for_m(m, tensorsig, cidx))
+                    elif hasattr(basis, 'component_valid_for_m') and tensorsig:
                         # Spin-dependent truncation (sphere): per-component
                         m = self.group[axis - 1] or 0
                         axis_masks.append(basis.component_valid_for_m(m, tensorsig, cidx))

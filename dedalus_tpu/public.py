@@ -4,7 +4,7 @@ Public API, star-importable as `import dedalus_tpu.public as d3`.
 Parity target: dedalus/public.py:1-17.
 """
 
-from .core.coords import Coordinate, CartesianCoordinates, PolarCoordinates, S2Coordinates
+from .core.coords import Coordinate, CartesianCoordinates, PolarCoordinates, S2Coordinates, SphericalCoordinates
 from .core.distributor import Distributor
 from .core.domain import Domain
 from .core.basis import (
@@ -14,6 +14,7 @@ from .core.basis import (
 from .core.field import Field, LockedField
 from .core.basis_polar import AnnulusBasis, DiskBasis
 from .core.basis_sphere import SphereBasis
+from .core.basis_ball import BallBasis, ShellBasis
 from .core.operators_sphere import MulCosine
 from .core import future  # installs the Field expression protocol
 from .core.operators import (

@@ -41,9 +41,14 @@ def polynomials(dim, n, k, l, z, dtype=np.float64):
     """Radial Zernike values Q[i, j] = Q_{i,l}(r_j), z = 2r^2-1."""
     z = np.asarray(z, dtype=INTERNAL)
     b = l + dim / 2 - 1
-    # Envelope: sqrt((1+z)^l / (mass(k,b) 2^{-(k+d/2+1)}))
-    log_env = l * np.log1p(z) - np.log(jacobi.mass(k, b)) + \
-        np.log(INTERNAL(2)) * (k + dim / 2 + 1)
+    # Envelope: sqrt((1+z)^l / (mass(k,b) 2^{-(k+d/2+1)})). At the origin
+    # (z = -1) the r^l envelope vanishes for l > 0; handle the log safely.
+    const = -np.log(jacobi.mass(k, b)) + np.log(INTERNAL(2)) * (k + dim / 2 + 1)
+    if l == 0:
+        log_env = const + 0 * z
+    else:
+        with np.errstate(divide='ignore'):
+            log_env = l * np.log1p(z) + const
     init = np.exp(0.5 * log_env)
     return jacobi.polynomials(n, k, b, z, dtype=dtype, init=init)
 

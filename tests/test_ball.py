@@ -1,0 +1,210 @@
+"""
+Ball basis tests: transforms, scalar calculus, solves, and the Lane-Emden
+gating configuration (reference examples/nlbvp_ball_lane_emden).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import dedalus_tpu.public as d3
+
+
+@pytest.fixture()
+def ball_setup():
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    ball = d3.BallBasis(coords, (8, 4, 12), radius=1.0, dtype=np.float64,
+                        dealias=(1.5, 1.5, 1.5))
+    return coords, dist, ball
+
+
+def _set_grid(dist, field, vals, shape):
+    field.change_scales(1)
+    field.preset_data(dist.grid_layout, jnp.asarray(np.broadcast_to(vals, shape).copy()))
+
+
+def test_ball_transform_roundtrip(ball_setup):
+    coords, dist, ball = ball_setup
+    f = dist.Field(name='f', bases=ball)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    x = r * np.sin(theta) * np.cos(phi)
+    zc = r * np.cos(theta)
+    fg = 1.0 + x * (1 - r**2) + zc**2
+    _set_grid(dist, f, fg, (8, 4, 12))
+    f.require_coeff_space()
+    c0 = np.asarray(f.data).copy()
+    # Band-limited function: spectrally sharp representation
+    assert (np.abs(c0) > 1e-12).sum() == 5
+    f.require_grid_space()
+    assert np.abs(np.asarray(f.data) - fg).max() < 1e-13
+    f.require_coeff_space()
+    assert np.abs(np.asarray(f.data) - c0).max() < 1e-14
+
+
+def test_ball_scalar_laplacian(ball_setup):
+    coords, dist, ball = ball_setup
+    f = dist.Field(name='f', bases=ball)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    x = r * np.sin(theta) * np.cos(phi)
+    zc = r * np.cos(theta)
+    _set_grid(dist, f, 1.0 + x * (1 - r**2) + zc**2, (8, 4, 12))
+    g = d3.lap(f).evaluate()
+    g.change_scales(1)
+    g.require_grid_space()
+    # lap(x(1-r^2)) = -10x; lap(z^2) = 2
+    assert np.abs(np.asarray(g.data) - (2.0 - 10.0 * x)).max() < 1e-8
+
+
+def test_ball_interpolation(ball_setup):
+    coords, dist, ball = ball_setup
+    f = dist.Field(name='f', bases=ball)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    zc = r * np.cos(theta)
+    _set_grid(dist, f, 1.0 + zc**2, (8, 4, 12))
+    h = f(r=1).evaluate()
+    h.change_scales(1)
+    h.require_grid_space()
+    hv = np.asarray(h.data)
+    assert hv.shape == (8, 4, 1)
+    assert np.abs(hv[..., 0] - (1.0 + np.cos(theta[:, :, 0])**2)).max() < 1e-13
+
+
+def test_ball_lbvp_manufactured():
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    Nr = 16
+    ball = d3.BallBasis(coords, (1, 1, Nr), radius=1, dtype=np.float64, dealias=2)
+    f = dist.Field(name='f', bases=ball)
+    tau = dist.Field(name='tau', bases=ball.surface)
+    g = dist.Field(name='g', bases=ball)
+    lift = lambda A: d3.Lift(A, ball, -1)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    fstar = 2 - r**2 - r**4
+    _set_grid(dist, g, -6 - 20 * r**2, (1, 1, Nr))
+    problem = d3.LBVP([f, tau], namespace=locals())
+    problem.add_equation("lap(f) + lift(tau) = g")
+    problem.add_equation("f(r=1) = 0")
+    problem.build_solver().solve()
+    f.require_grid_space(); f.change_scales(1)
+    assert np.abs(np.asarray(f.data) - fstar).max() < 1e-13
+
+
+def test_ball_ncc_lbvp():
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    Nr = 16
+    ball = d3.BallBasis(coords, (1, 1, Nr), radius=1, dtype=np.float64, dealias=2)
+    f = dist.Field(name='f', bases=ball)
+    tau = dist.Field(name='tau', bases=ball.surface)
+    g = dist.Field(name='g', bases=ball)
+    ncc = dist.Field(name='ncc', bases=ball)
+    lift = lambda A: d3.Lift(A, ball, -1)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    _set_grid(dist, ncc, 2 + r**2, (1, 1, Nr))
+    _set_grid(dist, g, -6 + 2 - r**2 - r**4, (1, 1, Nr))
+    problem = d3.LBVP([f, tau], namespace=locals())
+    problem.add_equation("lap(f) + ncc*f + lift(tau) = g")
+    problem.add_equation("f(r=1) = 0")
+    problem.build_solver().solve()
+    f.require_grid_space(); f.change_scales(1)
+    assert np.abs(np.asarray(f.data) - (1 - r**2)).max() < 1e-13
+
+
+def test_lane_emden_gating():
+    # GATING: reference examples/nlbvp_ball_lane_emden (n=3). The converged
+    # radius must match Boyd's published value.
+    Nr = 64
+    n = 3.0
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    ball = d3.BallBasis(coords, (1, 1, Nr), radius=1, dtype=np.float64, dealias=2)
+    f = dist.Field(name='f', bases=ball)
+    tau = dist.Field(name='tau', bases=ball.surface)
+    lift = lambda A: d3.Lift(A, ball, -1)
+    problem = d3.NLBVP([f, tau], namespace=locals())
+    problem.add_equation("lap(f) + lift(tau) = - f**n")
+    problem.add_equation("f(r=1) = 0")
+    phi, theta, r = dist.local_grids(ball)
+    f.change_scales(ball.dealias)
+    f['g'] = 5**(2 / (n - 1)) * (1 - r**2)**2
+    solver = problem.build_solver()
+    for i in range(20):
+        pert_norm = solver.newton_iteration()
+        if pert_norm < 1e-10:
+            break
+    f0 = f(r=0).evaluate()
+    f0.change_scales(1); f0.require_grid_space()
+    Ri = float(np.asarray(f0.data).ravel()[0])**((n - 1) / 2)
+    assert abs(Ri - 6.896848619376960375454528) < 1e-10
+
+
+# --- 3D spherical shell ---
+
+def test_shell_roundtrip_and_lap():
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    Nr = 16
+    shell = d3.ShellBasis(coords, (8, 4, Nr), radii=(1, 2), dtype=np.float64,
+                          dealias=(1.5, 1.5, 1.5))
+    f = dist.Field(name='f', bases=shell)
+    phi, theta, r = dist.local_grids(shell, scales=1)
+    x = r * np.sin(theta) * np.cos(phi)
+    zc = r * np.cos(theta)
+    fg = 1.0 + x * (2 - r) + zc**2
+    _set_grid(dist, f, fg, (8, 4, Nr))
+    f.require_coeff_space()
+    f.require_grid_space()
+    assert np.abs(np.asarray(f.data) - fg).max() < 1e-13
+    g = d3.lap(f).evaluate()
+    g.change_scales(1); g.require_grid_space()
+    # lap(x(2-r)) = -4x/r; lap(z^2) = 2
+    assert np.abs(np.asarray(g.data) - (2.0 - 4 * x / r)).max() < 1e-8
+
+
+def test_shell_ncc_lbvp_two_bcs():
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    Nr = 24
+    shell = d3.ShellBasis(coords, (1, 1, Nr), radii=(1, 2), dtype=np.float64, dealias=1.5)
+    f = dist.Field(name='f', bases=shell)
+    tau1 = dist.Field(name='tau1', bases=shell.outer_surface)
+    tau2 = dist.Field(name='tau2', bases=shell.outer_surface)
+    g = dist.Field(name='g', bases=shell)
+    ncc = dist.Field(name='ncc', bases=shell)
+    lift = lambda A, i: d3.Lift(A, shell, i)
+    phi, theta, r = dist.local_grids(shell, scales=1)
+    fstar = (r - 1) * (2 - r)
+    _set_grid(dist, ncc, 1 + r, (1, 1, Nr))
+    _set_grid(dist, g, (-6 + 6 / r) + (1 + r) * fstar, (1, 1, Nr))
+    problem = d3.LBVP([f, tau1, tau2], namespace=locals())
+    problem.add_equation("lap(f) + ncc*f + lift(tau1, -1) + lift(tau2, -2) = g")
+    problem.add_equation("f(r=1) = 0")
+    problem.add_equation("f(r=2) = 0")
+    problem.build_solver().solve()
+    f.require_grid_space(); f.change_scales(1)
+    assert np.abs(np.asarray(f.data) - fstar).max() < 1e-13
+
+
+def test_shell_nonlinear_ivp():
+    from dedalus_tpu.core.timesteppers import SBDF2
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    shell = d3.ShellBasis(coords, (8, 4, 12), radii=(1, 2), dtype=np.float64, dealias=1.5)
+    f = dist.Field(name='f', bases=shell)
+    tau1 = dist.Field(name='tau1', bases=shell.outer_surface)
+    tau2 = dist.Field(name='tau2', bases=shell.outer_surface)
+    lift = lambda A, i: d3.Lift(A, shell, i)
+    problem = d3.IVP([f, tau1, tau2], namespace=locals())
+    problem.add_equation("dt(f) - lap(f) + lift(tau1, -1) + lift(tau2, -2) = - f*f")
+    problem.add_equation("f(r=1) = 0")
+    problem.add_equation("f(r=2) = 0")
+    solver = problem.build_solver(SBDF2)
+    phi, theta, r = dist.local_grids(shell, scales=1)
+    x = r * np.sin(theta) * np.cos(phi)
+    _set_grid(dist, f, 0.1 * x * (r - 1) * (2 - r), (8, 4, 12))
+    solver.run_steps(1e-3, 20)
+    f.require_coeff_space(); f.change_scales(1)
+    assert np.isfinite(np.asarray(f.data)).all()
+    b = f(r=1).evaluate(); b.change_scales(1); b.require_grid_space()
+    assert np.abs(np.asarray(b.data)).max() < 1e-12
