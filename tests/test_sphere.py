@@ -151,3 +151,62 @@ def test_sphere_vector_ivp_smoke(sph):
     assert np.isfinite(np.array(h['g'])).all()
     u.change_scales(1)
     assert np.isfinite(np.array(u['g'])).all()
+
+
+def test_shallow_water_gating():
+    # GATING: reference examples/ivp_sphere_shallow_water (Galewsky jet).
+    # Balanced-height LBVP + viscous shallow-water IVP with Coriolis
+    # (MulCosine/skew), hyperdiffusion, and vector advection. Checks
+    # stability and mass conservation.
+    import jax.numpy as jnp
+    meter = 1 / 6.37122e6
+    second = 1 / 3600
+    Nphi, Ntheta = 32, 16
+    R = 6.37122e6 * meter
+    Omega = 7.292e-5 / second
+    nu = 1e5 * meter**2 / second / 8**2
+    g = 9.80616 * meter / second**2
+    H = 1e4 * meter
+    timestep = 600 * second
+    coords = d3.S2Coordinates('phi', 'theta')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    basis = d3.SphereBasis(coords, (Nphi, Ntheta), radius=R, dealias=1.5,
+                           dtype=np.float64)
+    u = dist.VectorField(coords, name='u', bases=basis)
+    h = dist.Field(name='h', bases=basis)
+    zcross = lambda A: d3.MulCosine(d3.skew(A))
+    phi, theta = dist.local_grids(basis, scales=1)
+    lat = np.pi / 2 - theta + 0 * phi
+    umax = 80 * meter / second
+    lat0, lat1 = np.pi / 7, np.pi / 2 - np.pi / 7
+    en = np.exp(-4 / (lat1 - lat0)**2)
+    jet = (lat0 <= lat) * (lat <= lat1)
+    ug = np.zeros((2, Nphi, Ntheta))
+    with np.errstate(divide='ignore', over='ignore', invalid='ignore'):
+        prof = umax / en * np.exp(1 / (lat - lat0) / (lat - lat1))
+    ug[0] = np.where(jet, prof, 0.0)
+    u.change_scales(1)
+    u.preset_data(dist.grid_layout, jnp.asarray(ug))
+    # Balanced height via LBVP with a gauge constant
+    c = dist.Field(name='c')
+    problem = d3.LBVP([h, c], namespace=locals())
+    problem.add_equation("g*lap(h) + c = - div(u@grad(u) + 2*Omega*zcross(u))")
+    problem.add_equation("ave(h) = 0")
+    problem.build_solver().solve()
+    h.require_grid_space(); h.change_scales(1)
+    assert np.isfinite(np.asarray(h.data)).all()
+    assert 1e-6 < np.abs(np.asarray(h.data)).max() < 1e-2
+    mass0 = float(np.asarray(d3.integ(h).evaluate()['g']).ravel()[0])
+    # IVP
+    problem = d3.IVP([u, h], namespace=locals())
+    problem.add_equation(
+        "dt(u) + nu*lap(lap(u)) + g*grad(h) + 2*Omega*zcross(u) = - u@grad(u)")
+    problem.add_equation("dt(h) + nu*lap(lap(h)) + H*div(u) = - div(h*u)")
+    solver = problem.build_solver(d3.RK222)
+    for _ in range(10):
+        solver.step(timestep)
+    u.require_coeff_space(); h.require_coeff_space()
+    assert np.isfinite(np.asarray(u.data)).all()
+    assert np.isfinite(np.asarray(h.data)).all()
+    mass1 = float(np.asarray(d3.integ(h).evaluate()['g']).ravel()[0])
+    assert abs(mass1 - mass0) < 1e-12 + 1e-8 * abs(mass0)
