@@ -11,11 +11,13 @@ n < Nmax+1 - ell//2), so the per-(m, ell) radial transforms batch as ONE
 (M/2, L, n, Nr) MXU einsum instead of ragged per-ell loops, and the
 triangular truncation lives in validity masks + identity pivots.
 
-Round-1 scope: SCALAR fields (rank-0) end-to-end -- transforms, Laplacian,
-lift, interpolation, radial NCCs (Lane-Emden class of problems). Tensor
-fields additionally require the per-ell regularity recombination
-(spin_operators.Intertwiner Q matrices); structured for it, raising
-NotImplementedError until wired.
+Scope: scalars end-to-end (transforms, Laplacian, lift, interpolation,
+radial NCCs -- the Lane-Emden class) plus TENSOR transforms and calculus via
+the per-ell regularity recombination (spectral/intertwiner.py Q matrices,
+oracle-validated): grad/div/lap on ball and shell agree with analytic fields
+and their subproblem matrices match eager evaluation to machine precision.
+Still round-2: tensor boundary rows (vector taus/lifts) and Gamma-tensor
+curvilinear NCCs needed for the full convection gating configs.
 """
 
 import numpy as np
@@ -29,13 +31,54 @@ from .coords import SphericalCoordinates
 from ..utils.caching import CachedMethod
 from ..spectral import zernike as zernike_lib
 from ..spectral import shell as shell_lib
+from ..spectral import intertwiner as intertwiner_lib
 from ..spectral import clenshaw as clenshaw_lib
 
 
 class SphericalRadialBasis:
-    """Marker mixin for 3D spherical radial bases (ball and shell): both
-    provide the per-m block interface (block_diag_m, conversion_block_m,
-    interpolation_ell, lift_block_m, ncc_block_m, joint_valid_for_m)."""
+    """Mixin for 3D spherical radial bases (ball and shell): the per-m block
+    interface (block_diag_m, conversion_block_m, interpolation_ell,
+    lift_block_m, ncc_block_m, joint_valid_for_m) plus the per-ell
+    regularity<->spin recombination shared by tensor transforms."""
+
+    def _check_tensorsig(self, tensorsig):
+        for cs in tensorsig:
+            if cs is not self.parent.coordsys:
+                raise NotImplementedError(
+                    "Spherical tensors must be over the spherical coordinate system")
+
+    def _Q_stack_host(self, rank):
+        """Host stack (KM+1, L, 3^r, 3^r) of regularity-to-spin intertwiners
+        at ell = |m| + slot."""
+        key = ('Qstack', rank)
+        cache = self.__dict__.setdefault('_q_cache', {})
+        if key not in cache:
+            M = self.parent.azimuth_basis.size
+            KM = (M - 1) // 2
+            L = self.parent.colatitude_basis.size
+            C = 3**rank
+            Q = np.zeros((KM + 1, L, C, C))
+            for m in range(KM + 1):
+                for j in range(L - abs(m)):
+                    Q[m, j] = intertwiner_lib.Q_matrix(abs(m) + j, rank)
+            cache[key] = np.ascontiguousarray(Q)
+        return cache[key]
+
+    def _regularity_recombine(self, data, tensorsig, forward):
+        """Mix tensor components per (m, ell): spin <-> regularity."""
+        rank = len(tensorsig)
+        if rank == 0:
+            return data
+        C = 3**rank
+        M = data.shape[-3]
+        P = max(M // 2, 1)
+        Qs = _stack_device(self._Q_stack_host(rank))
+        d = data.reshape((C, P, M // P) + data.shape[-2:])
+        if forward:
+            res = jnp.einsum('mlba,bmpln->ampln', Qs, d)  # reg = Q^T spin
+        else:
+            res = jnp.einsum('mlab,bmpln->ampln', Qs, d)
+        return res.reshape(data.shape)
 
 
 class BallRadialBasis(SphericalRadialBasis, Basis):
@@ -153,19 +196,38 @@ class BallRadialBasis(SphericalRadialBasis, Basis):
         return res.reshape(lead + (M, L, out_size))
 
     def forward_transform(self, data, axis, scale, dtype, tensorsig=()):
-        if tensorsig:
-            raise NotImplementedError(
-                "Ball tensor fields require the regularity recombination "
-                "(round-2: spin_operators.Intertwiner Q matrices)")
-        stack = self._transform_stacks(scale, 0, 'f')
-        return self._apply_stack(data, stack, self.size)
+        self._check_tensorsig(tensorsig)
+        if not tensorsig:
+            return self._apply_stack(data, self._transform_stacks(scale, 0, 'f'),
+                                     self.size)
+        # Spin -> regularity components per (m, ell), then per-regtotal radial
+        rank = len(tensorsig)
+        shape0 = data.shape
+        data = data.reshape((3**rank,) + shape0[rank:])
+        data = self._regularity_recombine(data, tensorsig, forward=True)
+        out = jnp.zeros((3**rank,) + shape0[rank:-1] + (self.size,), dtype=data.dtype)
+        for flat, idx in enumerate(np.ndindex(*(3,) * rank)):
+            reg = intertwiner_lib.regtotal(idx)
+            stack = self._transform_stacks(scale, reg, 'f')
+            out = out.at[flat].set(self._apply_stack(data[flat], stack, self.size))
+        return out.reshape(shape0[:rank] + out.shape[1:])
 
     def backward_transform(self, data, axis, scale, dtype, tensorsig=()):
-        if tensorsig:
-            raise NotImplementedError(
-                "Ball tensor fields require the regularity recombination")
-        stack = self._transform_stacks(scale, 0, 'b')
-        return self._apply_stack(data, stack, self.grid_size(scale))
+        self._check_tensorsig(tensorsig)
+        if not tensorsig:
+            return self._apply_stack(data, self._transform_stacks(scale, 0, 'b'),
+                                     self.grid_size(scale))
+        rank = len(tensorsig)
+        shape0 = data.shape
+        Ng = self.grid_size(scale)
+        data = data.reshape((3**rank,) + shape0[rank:])
+        out = jnp.zeros((3**rank,) + shape0[rank:-1] + (Ng,), dtype=data.dtype)
+        for flat, idx in enumerate(np.ndindex(*(3,) * rank)):
+            reg = intertwiner_lib.regtotal(idx)
+            stack = self._transform_stacks(scale, reg, 'b')
+            out = out.at[flat].set(self._apply_stack(data[flat], stack, Ng))
+        out = self._regularity_recombine(out, tensorsig, forward=False)
+        return out.reshape(shape0[:rank] + out.shape[1:])
 
     # --- validity: JOINT over (ell-slot, n) for azimuthal group m ---
 
@@ -407,16 +469,27 @@ class SphericalShellRadialBasis(SphericalRadialBasis, Basis):
         return data * jnp.asarray(w).reshape(shape)
 
     def forward_transform(self, data, axis, scale, dtype, tensorsig=()):
-        if tensorsig:
-            raise NotImplementedError(
-                "Shell tensor fields require the regularity recombination (round 2)")
+        self._check_tensorsig(tensorsig)
         data = self._radial_weight(data, axis, scale, forward=True)
-        return self._jacobi.forward_transform(data, axis, scale, dtype)
+        data = self._jacobi.forward_transform(data, axis, scale, dtype)
+        # Shell radial MMT is ell/reg-independent; only the component mixing
+        # (spin -> regularity per ell) distinguishes tensors
+        if tensorsig:
+            rank = len(tensorsig)
+            shape0 = data.shape
+            data = data.reshape((3**rank,) + shape0[rank:])
+            data = self._regularity_recombine(data, tensorsig, forward=True)
+            data = data.reshape(shape0)
+        return data
 
     def backward_transform(self, data, axis, scale, dtype, tensorsig=()):
+        self._check_tensorsig(tensorsig)
         if tensorsig:
-            raise NotImplementedError(
-                "Shell tensor fields require the regularity recombination (round 2)")
+            rank = len(tensorsig)
+            shape0 = data.shape
+            data = data.reshape((3**rank,) + shape0[rank:])
+            data = self._regularity_recombine(data, tensorsig, forward=False)
+            data = data.reshape(shape0)
         data = self._jacobi.backward_transform(data, axis, scale, dtype)
         return self._radial_weight(data, axis, scale, forward=False)
 

@@ -50,8 +50,24 @@ class ColatitudeBasis(Basis):
     def derivative_basis(self, order=1):
         return self  # SWSH operators stay in the same basis
 
+    @property
+    def _ell_aligned(self):
+        """3D spherical parents (ball/shell) store ALL spin components with
+        slot j <-> ell = |m| + j so the per-ell regularity recombination can
+        mix components; slots with ell < |s| are invalid. S2-only parents pack
+        each spin from its own ell_min = max(|m|, |s|)."""
+        return hasattr(self.parent, 'radial_basis')
+
     def n_size(self, m, s=0):
+        if self._ell_aligned:
+            return max(self.Lmax + 1 - abs(m), 0)
         return max(self.Lmax + 1 - max(abs(m), abs(s)), 0)
+
+    def slot_offset(self, m, s):
+        """First valid slot of spin s within the (ell-aligned) slot axis."""
+        if self._ell_aligned:
+            return max(abs(m), abs(s)) - abs(m)
+        return 0
 
     # --- grids ---
 
@@ -88,14 +104,16 @@ class ColatitudeBasis(Basis):
         fwd = np.zeros((KM + 1, n, Ng))
         bwd = np.zeros((KM + 1, Ng, n))
         for m in range(KM + 1):
-            ns = self.n_size(m, s)
-            if ns <= 0:
+            off = self.slot_offset(m, s)
+            count = max(self.Lmax + 1 - max(abs(m), abs(s)), 0)
+            count = min(count, n - off)
+            if count <= 0:
                 continue
             Y = sphere_lib.harmonics(max(Lmax_g, self.Lmax), m, s, z)
-            Y = Y[:ns, :]
+            Y = Y[:count, :]
             # theta ordering: grid stored with increasing theta = decreasing z
-            fwd[m, :ns, :] = (Y * w)[:, ::-1]
-            bwd[m, :, :ns] = Y[:, ::-1].T
+            fwd[m, off:off + count, :] = (Y * w)[:, ::-1]
+            bwd[m, :, off:off + count] = Y[:, ::-1].T
         return np.ascontiguousarray(fwd if direction == 'f' else bwd)
 
     @staticmethod
@@ -151,7 +169,9 @@ class ColatitudeBasis(Basis):
     def component_valid_for_m(self, m, tensorsig, comp_idx):
         s = self.parent.coordsys.spintotal(tensorsig, comp_idx) if tensorsig else 0
         mask = np.zeros(self.size, dtype=bool)
-        mask[:self.n_size(m, s)] = True
+        off = self.slot_offset(m, s)
+        count = max(self.Lmax + 1 - max(abs(m), abs(s)), 0)
+        mask[off:off + min(count, self.size - off)] = True
         return mask
 
     def group_valid_for_m(self, m, tensorsig=()):

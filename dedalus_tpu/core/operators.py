@@ -791,9 +791,12 @@ def Differentiate(operand, coord):
 
 
 def Gradient(operand, coordsys=None):
-    from .coords import PolarCoordinates, S2Coordinates
+    from .coords import PolarCoordinates, S2Coordinates, SphericalCoordinates
     if coordsys is None:
         coordsys = _infer_coordsys(operand)
+    if isinstance(coordsys, SphericalCoordinates):
+        from .operators_ball import SphericalGradient
+        return SphericalGradient(operand, coordsys)
     if isinstance(coordsys, S2Coordinates):
         from .operators_sphere import SphereGradient
         return SphereGradient(operand, coordsys)
@@ -805,10 +808,13 @@ def Gradient(operand, coordsys=None):
 
 
 def Divergence(operand, index=0):
-    from .coords import PolarCoordinates
+    from .coords import PolarCoordinates, SphericalCoordinates
     if not operand.tensorsig:
         raise ValueError("Divergence requires a tensor operand")
     coordsys = operand.tensorsig[index]
+    if isinstance(coordsys, SphericalCoordinates):
+        from .operators_ball import SphericalDivergence
+        return SphericalDivergence(operand, index)
     from .coords import S2Coordinates as _S2
     if isinstance(coordsys, _S2):
         from .operators_sphere import SphereDivergence

@@ -24,14 +24,28 @@ from .operators import LinearOperator, device_matrix
 from .basis_ball import BallBasis, BallRadialBasis, BallSurfaceBasis, SphericalRadialBasis
 
 
-class BallScalarOperator(LinearOperator):
-    """Base for scalar ball operators built from per-m block-diagonal radial
-    matrices (block j acts at ell = |m| + j)."""
+def _xi(mu, l):
+    """Angular factor xi(mu, l) = sqrt((l + (mu+1)//2)/(2l+1))
+    (parity: basis.py:3545)."""
+    if l < 0 or 2 * l + 1 <= 0:
+        return 0.0
+    return np.sqrt((l + (mu + 1) // 2) / (2 * l + 1))
+
+
+class BallRegOperator(LinearOperator):
+    """
+    Base for spherical 3D operators built from per-(ell, regularity) radial
+    matrices (parity: operators.py:3108 SphericalEllOperator). Tensor
+    components are REGULARITY components; each (in, out) component pair gets a
+    block-diagonal matrix over colatitude slots (slot j acts at ell = |m|+j),
+    assembled per m and applied eagerly as batched (M/2, L, n, n) einsums.
+    """
 
     def __init__(self, operand, coordsys):
-        if operand.tensorsig:
-            raise NotImplementedError(
-                "Ball tensor operators require the regularity intertwiner (round 2)")
+        for cs in operand.tensorsig:
+            if cs is not coordsys:
+                raise NotImplementedError(
+                    "Spherical operators support tensors over the spherical system only")
         self.coordsys = coordsys
         self.azimuth_axis = coordsys.coords[0].axis
         self.colatitude_axis = coordsys.coords[1].axis
@@ -45,11 +59,22 @@ class BallScalarOperator(LinearOperator):
 
     def _init_metadata(self):
         op = self.operand
-        self.tensorsig = op.tensorsig
+        self.tensorsig = self.out_tensorsig(op.tensorsig)
         self.dtype = op.dtype
         bases = list(op.domain.bases)
         bases[self.radius_axis] = self.radial_out
         self.domain = Domain(self.dist, tuple(b for b in bases if b is not None))
+
+    # Subclass API ---------------------------------------------------------
+    def out_tensorsig(self, in_sig):
+        return in_sig
+
+    def regindices_out(self, in_idx):
+        return (in_idx,)
+
+    def radial_matrix_ell(self, in_idx, out_idx, ell):
+        raise NotImplementedError
+    # ----------------------------------------------------------------------
 
     def matrix_dependence(self, *vars):
         out = self.operand.matrix_dependence(*vars).copy()
@@ -62,52 +87,121 @@ class BallScalarOperator(LinearOperator):
         out[self.radius_axis] = True
         return out
 
-    def block_matrix_m(self, m):
-        raise NotImplementedError
+    def _comp_indices(self, tensorsig):
+        shape = tuple(cs.dim for cs in tensorsig)
+        return [()] if not shape else list(np.ndindex(*shape))
+
+    def _pair_block_m(self, in_idx, out_idx, m):
+        """(L*n_out, L*n_in) block-diagonal pair matrix at azimuthal mode m,
+        zeroed where either regularity class is forbidden."""
+        from ..spectral import intertwiner as it
+        rb = self.radial_in
+        L = rb.parent.colatitude_basis.size
+        n_in = rb.size
+        n_out = self.radial_out.size
+        blocks = []
+        for j in range(L):
+            ell = abs(m) + j
+            ok = (j < L - abs(m)
+                  and it.regularity_allowed(ell, in_idx)
+                  and it.regularity_allowed(ell, out_idx))
+            if ok:
+                A = self.radial_matrix_ell(in_idx, out_idx, ell)
+                if A is None:
+                    A = sparse.csr_matrix((n_out, n_in))
+                blocks.append(sparse.csr_matrix(A)[:n_out, :n_in])
+            else:
+                blocks.append(sparse.csr_matrix((n_out, n_in)))
+        return sparse.block_diag(blocks, format='csr')
 
     def subproblem_matrix(self, subproblem):
         m = subproblem.group[self.azimuth_axis]
+        m = m if m is not None else 0
         az_w = subproblem.axis_width(
             self.operand.domain.bases[self.azimuth_axis], self.azimuth_axis)
-        A = self.block_matrix_m(m if m is not None else 0)
-        return sparse.csr_matrix(sparse.kron(sparse.identity(az_w), A))
+        in_idxs = self._comp_indices(self.operand.tensorsig)
+        out_idxs = self._comp_indices(self.tensorsig)
+        rb = self.radial_in
+        L = rb.parent.colatitude_basis.size
+        rows = []
+        for oi in out_idxs:
+            row = []
+            for ii in in_idxs:
+                if oi in self.regindices_out(ii):
+                    blk = sparse.kron(sparse.identity(az_w),
+                                      self._pair_block_m(ii, oi, m))
+                else:
+                    blk = sparse.csr_matrix(
+                        (az_w * L * self.radial_out.size, az_w * L * rb.size))
+                row.append(blk)
+            rows.append(row)
+        if len(rows) == 1 and len(rows[0]) == 1:
+            return sparse.csr_matrix(rows[0][0])
+        return sparse.bmat(rows, format='csr')
 
     def expression_matrices(self, subproblem, vars, **kw):
         op_mats = self.operand.expression_matrices(subproblem, vars, **kw)
         mat = self.subproblem_matrix(subproblem)
         return {var: mat @ m for var, m in op_mats.items()}
 
-    def _matrix_stack(self):
-        az_basis = self.operand.domain.bases[self.azimuth_axis]
-        KM = (az_basis.size - 1) // 2
-        key = (type(self).__name__, self.radial_in._key(), KM,
-               self.radial_in.parent.colatitude_basis.size)
+    def _pair_stack(self, in_idx, out_idx):
+        """(KM+1, L, n_out, n_in) device stack for one component pair."""
+        from ..spectral import intertwiner as it
+        rb = self.radial_in
+        az = rb.parent.azimuth_basis
+        KM = (az.size - 1) // 2
+        L = rb.parent.colatitude_basis.size
+        n_in, n_out = rb.size, self.radial_out.size
+        key = (type(self).__name__, rb._key(), self.radial_out._key(),
+               in_idx, out_idx, KM, L, self._extra_key())
 
         def build():
-            mats = [np.asarray(self.block_matrix_m(m).todense())
-                    for m in range(KM + 1)]
-            return np.ascontiguousarray(np.stack(mats))
+            S = np.zeros((KM + 1, L, n_out, n_in))
+            for m in range(KM + 1):
+                for j in range(L - abs(m)):
+                    ell = abs(m) + j
+                    if not (it.regularity_allowed(ell, in_idx)
+                            and it.regularity_allowed(ell, out_idx)):
+                        continue
+                    A = self.radial_matrix_ell(in_idx, out_idx, ell)
+                    if A is None:
+                        continue
+                    A = sparse.csr_matrix(A)[:n_out, :n_in].toarray()
+                    S[m, j, :A.shape[0], :A.shape[1]] = A
+            return np.ascontiguousarray(S)
         return device_matrix(key, build)
+
+    def _extra_key(self):
+        return ()
 
     def operate(self, arg_fields):
         field = arg_fields[0]
         field.require_coeff_space()
-        data = field.data  # (..., M, L, n)
+        data = field.data  # (comps..., M, L, n)
         M = data.shape[-3]
         L = data.shape[-2]
-        n_in = data.shape[-1]
-        n_out = self.radial_out.coeff_size if self.dk else n_in
+        n_out = self.radial_out.size
         P = max(M // 2, 1)
-        stack = self._matrix_stack()  # (KM+1, L*n_out, L*n_in)
-        dm = data.reshape(data.shape[:-3] + (P, M // P, L * n_in))
-        res = jnp.einsum('moi,...mpi->...mpo', stack, dm)
-        out = res.reshape(data.shape[:-3] + (M, L, n_out))
+        out_shape = tuple(cs.dim for cs in self.tensorsig)
+        out = jnp.zeros(out_shape + (M, L, n_out), dtype=self.dtype)
+        for ii in self._comp_indices(self.operand.tensorsig):
+            comp = data[ii]
+            dm = comp.reshape((P, M // P) + comp.shape[-2:])
+            for oi in self.regindices_out(ii):
+                stack = self._pair_stack(ii, oi)
+                res = jnp.einsum('mlon,mpln->mplo', stack, dm)
+                out = out.at[oi].add(res.reshape((M, L, n_out)))
         return self._build_output(self.dist.coeff_layout, out, scales=field.scales)
 
 
-class BallLaplacian(BallScalarOperator):
-    """Scalar Laplacian on the ball: per-ell D(-1) @ D(+1) (k -> k+2).
-    Parity: operators.py:4302 (spherical Laplacian, scalar block)."""
+# Backwards-compatible alias used by scalar-only call sites
+BallScalarOperator = BallRegOperator
+
+
+class BallLaplacian(BallRegOperator):
+    """Laplacian on the ball/shell: per-(ell, regtotal) D(-1) @ D(+1)
+    (k -> k+2), diagonal in regularity components.
+    Parity: operators.py:4302 (spherical Laplacian)."""
 
     dk = 2
     name = 'Lap'
@@ -115,12 +209,76 @@ class BallLaplacian(BallScalarOperator):
     def new_operands(self, operand):
         return BallLaplacian(operand, self.coordsys)
 
-    def block_matrix_m(self, m):
-        return self.radial_in.block_diag_m('L', m)
+    def radial_matrix_ell(self, in_idx, out_idx, ell):
+        from ..spectral import intertwiner as it
+        reg = it.regtotal(in_idx)
+        return self.radial_in.operator_matrix_ell('L', ell, reg)
 
 
-class BallConvert(BallScalarOperator):
-    """Convert ball scalar between k levels (parity: ConvertRegularity)."""
+class SphericalGradient(BallRegOperator):
+    """grad on the ball/shell (parity: operators.py:3233 spherical Gradient):
+    out regularity component (-,)+idx gets xi(-1, l)*D-, (+,)+idx gets
+    xi(+1, l)*D+ with l = ell + regtotal(in)."""
+
+    dk = 1
+    name = 'Grad'
+
+    def out_tensorsig(self, in_sig):
+        return (self.coordsys,) + in_sig
+
+    def regindices_out(self, in_idx):
+        return ((0,) + tuple(in_idx), (1,) + tuple(in_idx))
+
+    def new_operands(self, operand):
+        return SphericalGradient(operand, self.coordsys)
+
+    def radial_matrix_ell(self, in_idx, out_idx, ell):
+        from ..spectral import intertwiner as it
+        reg = it.regtotal(in_idx)
+        if out_idx[0] == 0:
+            return _xi(-1, ell + reg) * self.radial_in.operator_matrix_ell(
+                'D-', ell, reg)
+        return _xi(+1, ell + reg) * self.radial_in.operator_matrix_ell(
+            'D+', ell, reg)
+
+
+class SphericalDivergence(BallRegOperator):
+    """div on the ball/shell (parity: operators.py:3578 spherical Divergence):
+    in component (-,)+idx contributes xi(-1, l+1)*D+, (+,)+idx contributes
+    xi(+1, l-1)*D- with l = ell + regtotal(in)."""
+
+    dk = 1
+    name = 'Div'
+
+    def __init__(self, operand, index=0):
+        if not operand.tensorsig:
+            raise ValueError("Divergence requires a tensor operand")
+        super().__init__(operand, operand.tensorsig[index])
+
+    def out_tensorsig(self, in_sig):
+        return in_sig[1:]
+
+    def regindices_out(self, in_idx):
+        if in_idx[0] in (0, 1):
+            return (tuple(in_idx[1:]),)
+        return ()
+
+    def new_operands(self, operand):
+        return SphericalDivergence(operand)
+
+    def radial_matrix_ell(self, in_idx, out_idx, ell):
+        from ..spectral import intertwiner as it
+        reg = it.regtotal(in_idx)
+        if in_idx[0] == 0:
+            return _xi(-1, ell + reg + 1) * self.radial_in.operator_matrix_ell(
+                'D+', ell, reg)
+        return _xi(+1, ell + reg - 1) * self.radial_in.operator_matrix_ell(
+            'D-', ell, reg)
+
+
+class BallConvert(BallRegOperator):
+    """Convert ball/shell fields between k levels, per (ell, regtotal)
+    (parity: ConvertRegularity)."""
 
     name = 'Convert'
 
@@ -141,8 +299,15 @@ class BallConvert(BallScalarOperator):
     def new_operands(self, operand):
         return BallConvert(operand, self.coordsys, self._target_radial)
 
-    def block_matrix_m(self, m):
-        return self.radial_in.conversion_block_m(m, self.dk)
+    def _extra_key(self):
+        return (self.dk,)
+
+    def radial_matrix_ell(self, in_idx, out_idx, ell):
+        from ..spectral import intertwiner as it
+        reg = it.regtotal(in_idx)
+        if hasattr(self.radial_in, 'conversion_matrix_ell'):
+            return self.radial_in.conversion_matrix_ell(ell, reg, self.dk)
+        return self.radial_in._conversion_matrix(self.dk)
 
 
 class BallLift(LinearOperator):

@@ -208,3 +208,111 @@ def test_shell_nonlinear_ivp():
     assert np.isfinite(np.asarray(f.data)).all()
     b = f(r=1).evaluate(); b.change_scales(1); b.require_grid_space()
     assert np.abs(np.asarray(b.data)).max() < 1e-12
+
+
+# --- tensor (regularity) machinery ---
+
+def test_intertwiner_orthogonality():
+    from dedalus_tpu.spectral import intertwiner as it
+    for rank in (1, 2):
+        for ell in (0, 1, 2, 5, 11):
+            Q = it.Q_matrix(ell, rank)
+            QQ = Q @ Q.T
+            # Orthogonal on the allowed subspace: diagonal of 0s and 1s
+            assert np.abs(QQ - np.diag(np.diag(QQ))).max() < 1e-12
+            d = np.diag(QQ)
+            assert np.all((np.abs(d) < 1e-12) | (np.abs(d - 1) < 1e-12))
+
+
+def test_ball_vector_roundtrip_and_gradient():
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    ball = d3.BallBasis(coords, (8, 6, 10), radius=1.0, dtype=np.float64,
+                        dealias=(1.5, 1.5, 1.5))
+    f = dist.Field(name='f', bases=ball)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    x = r * np.sin(theta) * np.cos(phi)
+    y = r * np.sin(theta) * np.sin(phi)
+    zc = r * np.cos(theta)
+    _set_grid(dist, f, x * (1 - r**2) + zc**2, (8, 6, 10))
+    # grad(f) via cartesian components F projected to spherical unit vectors
+    Fx = (1 - r**2) - 2 * x**2
+    Fy = -2 * x * y
+    Fz = 2 * zc - 2 * x * zc
+    g_phi = -np.sin(phi) * Fx + np.cos(phi) * Fy
+    g_th = np.cos(theta) * np.cos(phi) * Fx + np.cos(theta) * np.sin(phi) * Fy \
+        - np.sin(theta) * Fz
+    g_r = np.sin(theta) * np.cos(phi) * Fx + np.sin(theta) * np.sin(phi) * Fy \
+        + np.cos(theta) * Fz
+    g = d3.grad(f).evaluate()
+    g.change_scales(1); g.require_grid_space()
+    gd = np.asarray(g.data)
+    for i, exp in enumerate((g_phi, g_th, g_r)):
+        assert np.abs(gd[i] - np.broadcast_to(exp, (8, 6, 10))).max() < 1e-10
+    # Vector transform roundtrip through regularity components
+    u = d3.grad(f).evaluate()
+    u.require_coeff_space(); c0 = np.asarray(u.data).copy()
+    u.require_grid_space(); u.require_coeff_space()
+    assert np.abs(np.asarray(u.data) - c0).max() < 1e-13
+    # div(grad) = lap, eagerly and through subproblem matrices
+    dg = d3.div(d3.grad(f)).evaluate()
+    dg.change_scales(1); dg.require_grid_space()
+    assert np.abs(np.asarray(dg.data) - (2.0 - 10.0 * x)).max() < 1e-8
+    lap_u = d3.lap(u).evaluate()
+    exp2 = d3.grad(d3.lap(f)).evaluate()
+    lap_u.require_coeff_space(); lap_u.change_scales(1)
+    exp2.require_coeff_space(); exp2.change_scales(1)
+    assert np.abs(np.asarray(lap_u.data) - np.asarray(exp2.data)).max() < 1e-12
+
+
+def test_ball_vector_matrices_match_eager():
+    from dedalus_tpu.core import subsystems
+    import jax.numpy as jnp
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    ball = d3.BallBasis(coords, (8, 6, 10), radius=1.0, dtype=np.float64,
+                        dealias=(1.5, 1.5, 1.5))
+    s = dist.Field(name='s', bases=ball)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    x = r * np.sin(theta) * np.cos(phi)
+    _set_grid(dist, s, x * (1 - r**2), (8, 6, 10))
+    s.require_coeff_space(); s.change_scales(1)
+    E = d3.div(d3.grad(s))
+    coupling = np.array([False, True, True])
+    coupled, sps = subsystems.enumerate_subproblems(dist, [E.domain, s.domain], coupling)
+    ev = E.evaluate(); ev.require_coeff_space(); ev.change_scales(1)
+    eager = np.asarray(ev.data)
+    for sp in sps:
+        mats = E.expression_matrices(sp, [s])
+        sl = sp.group_slice(ball.azimuth_basis, 0)
+        xp = np.asarray(s.data)[sl, :, :].ravel()
+        assert np.abs(mats[s] @ xp - eager[sl, :, :].ravel()).max() < 1e-12
+
+
+def test_shell_vector_gradient():
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    shell = d3.ShellBasis(coords, (8, 6, 12), radii=(1, 2), dtype=np.float64,
+                          dealias=(1.5, 1.5, 1.5))
+    f = dist.Field(name='f', bases=shell)
+    phi, theta, r = dist.local_grids(shell, scales=1)
+    x = r * np.sin(theta) * np.cos(phi)
+    y = r * np.sin(theta) * np.sin(phi)
+    zc = r * np.cos(theta)
+    _set_grid(dist, f, x * (2 - r) + zc**2, (8, 6, 12))
+    Fx = (2 - r) - x**2 / r
+    Fy = -x * y / r
+    Fz = 2 * zc - x * zc / r
+    g_phi = -np.sin(phi) * Fx + np.cos(phi) * Fy
+    g_th = np.cos(theta) * np.cos(phi) * Fx + np.cos(theta) * np.sin(phi) * Fy \
+        - np.sin(theta) * Fz
+    g_r = np.sin(theta) * np.cos(phi) * Fx + np.sin(theta) * np.sin(phi) * Fy \
+        + np.cos(theta) * Fz
+    g = d3.grad(f).evaluate()
+    g.change_scales(1); g.require_grid_space()
+    gd = np.asarray(g.data)
+    for i, exp in enumerate((g_phi, g_th, g_r)):
+        assert np.abs(gd[i] - np.broadcast_to(exp, (8, 6, 12))).max() < 1e-10
+    dg = d3.div(d3.grad(f)).evaluate()
+    dg.change_scales(1); dg.require_grid_space()
+    assert np.abs(np.asarray(dg.data) - (2.0 - 4 * x / r)).max() < 1e-8
