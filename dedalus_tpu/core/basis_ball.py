@@ -233,11 +233,14 @@ class BallRadialBasis(SphericalRadialBasis, Basis):
 
     def joint_valid_for_m(self, m, tensorsig=(), comp_idx=()):
         """Flattened (L, n) mask: slot j holds ell = |m|+j; radial slot n
-        valid while n < n_size(ell)."""
+        valid while n < n_size(ell); tensor components additionally require
+        their regularity class to exist at ell (parity: regularity_allowed)."""
         L = self.parent.colatitude_basis.size
         mask = np.zeros((L, self.size), dtype=bool)
         for j in range(max(L - abs(m), 0)):
             ell = abs(m) + j
+            if comp_idx and not intertwiner_lib.regularity_allowed(ell, comp_idx):
+                continue
             mask[j, :self.n_size(ell)] = True
         return mask.ravel()
 
@@ -498,7 +501,11 @@ class SphericalShellRadialBasis(SphericalRadialBasis, Basis):
     def joint_valid_for_m(self, m, tensorsig=(), comp_idx=()):
         L = self.parent.colatitude_basis.size
         mask = np.zeros((L, self.size), dtype=bool)
-        mask[:max(L - abs(m), 0), :] = True
+        for j in range(max(L - abs(m), 0)):
+            ell = abs(m) + j
+            if comp_idx and not intertwiner_lib.regularity_allowed(ell, comp_idx):
+                continue
+            mask[j, :] = True
         return mask.ravel()
 
     # --- per-m block interface ---

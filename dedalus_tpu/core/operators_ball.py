@@ -312,16 +312,21 @@ class BallConvert(BallRegOperator):
 
 class BallLift(LinearOperator):
     """
-    Lift a surface (S2) field into radial mode `index` of each ell of a ball
-    basis (parity: operators.py:4560 Lift on spherical bases; used for tau
-    terms).
+    Lift a surface (S2) field into radial mode `index` of each ell of a
+    ball/shell basis (parity: operators.py:4560 Lift on spherical bases; used
+    for tau terms). Surface TENSOR fields hold spin components; the lift
+    converts them to regularity components per ell with the intertwiner
+    (reg_a = sum_sigma Q(ell)[sigma, a] spin_sigma) before placing the radial
+    column.
     """
 
     name = 'Lift'
 
     def __init__(self, operand, ball, index):
-        if operand.tensorsig:
-            raise NotImplementedError("Ball tensor lifts come with tensor support")
+        for cs in operand.tensorsig:
+            if cs is not ball.coordsys:
+                raise NotImplementedError(
+                    "Spherical lifts support tensors over the spherical system only")
         self.ball = ball
         self.index = int(index)
         self.coordsys = ball.coordsys
@@ -358,11 +363,57 @@ class BallLift(LinearOperator):
         out[self.radius_axis] = True
         return out
 
+    def _tensor_block_m(self, m):
+        """Comp-major lift block: rows (reg comp a, L, n), cols (spin comp
+        sigma, L); scalar rank gives the plain per-ell column."""
+        from ..spectral import intertwiner as it
+        rb = self.ball.radial_basis
+        L = self.ball.colatitude_basis.size
+        n = rb.size
+        rank = len(self.tensorsig)
+        C = 3**rank
+        if rank == 0:
+            return rb.lift_block_m(m, self.index)
+        rows = []
+        for a_flat, a_idx in enumerate(np.ndindex(*(3,) * rank)):
+            row = []
+            for s_flat in range(C):
+                blk = sparse.lil_matrix((L * n, L))
+                for j in range(max(L - abs(m), 0)):
+                    ell = abs(m) + j
+                    if not it.regularity_allowed(ell, a_idx):
+                        continue
+                    q = it.Q_matrix(ell, rank)[s_flat, a_flat]
+                    if abs(q) < 1e-14:
+                        continue
+                    ns = rb.n_size(ell)
+                    if ns <= 0:
+                        continue
+                    idx = ns + self.index if self.index < 0 else self.index
+                    blk[j * n + idx, j] = q
+                row.append(sparse.csr_matrix(blk))
+            rows.append(row)
+        return sparse.bmat(rows, format='csr')
+
     def subproblem_matrix(self, subproblem):
         m = subproblem.group[self.azimuth_axis]
         az_w = subproblem.axis_width(self.ball.azimuth_basis, self.azimuth_axis)
-        A = self.ball.radial_basis.lift_block_m(m if m is not None else 0, self.index)
-        return sparse.csr_matrix(sparse.kron(sparse.identity(az_w), A))
+        rank = len(self.tensorsig)
+        A = self._tensor_block_m(m if m is not None else 0)
+        if rank == 0:
+            return sparse.csr_matrix(sparse.kron(sparse.identity(az_w), A))
+        # Comp-major ordering with az inside: kron each (comp, comp) block
+        C = 3**rank
+        L = self.ball.colatitude_basis.size
+        n = self.ball.radial_basis.size
+        rows = []
+        for a in range(C):
+            row = []
+            for s in range(C):
+                sub = A[a * L * n:(a + 1) * L * n, s * L:(s + 1) * L]
+                row.append(sparse.kron(sparse.identity(az_w), sub))
+            rows.append(row)
+        return sparse.bmat(rows, format='csr')
 
     def expression_matrices(self, subproblem, vars, **kw):
         op_mats = self.operand.expression_matrices(subproblem, vars, **kw)
@@ -375,33 +426,45 @@ class BallLift(LinearOperator):
         data = field.data
         if field.domain.bases[self.radius_axis] is None:
             data = data[..., 0]  # drop the constant radial slot
+        rank = len(self.tensorsig)
+        C = 3**rank
         M = data.shape[-2]
         L = data.shape[-1]
         n = self.ball.radial_basis.size
         P = max(M // 2, 1)
         KM = (self.ball.azimuth_basis.size - 1) // 2
-        key = ('BallLift', self.ball.radial_basis._key(), self.index, KM, L)
+        key = ('BallLift', self.ball.radial_basis._key(), self.index, KM, L, rank)
 
         def build():
-            mats = [np.asarray(self.ball.radial_basis.lift_block_m(m, self.index).todense())
+            mats = [np.asarray(self._tensor_block_m(m).todense())
                     for m in range(KM + 1)]
             return np.ascontiguousarray(np.stack(mats))
-        stack = device_matrix(key, build)  # (KM+1, L*n, L)
-        dm = data.reshape(data.shape[:-2] + (P, M // P, L))
-        res = jnp.einsum('moi,...mpi->...mpo', stack, dm)
-        out = res.reshape(data.shape[:-2] + (M, L, n))
+        stack = device_matrix(key, build)  # (KM+1, C*L*n, C*L)
+        dm = data.reshape((C,) if rank else ()) if False else None
+        d = data.reshape((C, P, M // P, L)) if rank else data.reshape((1, P, M // P, L))
+        d = jnp.moveaxis(d, 0, 2).reshape((P, M // P, C * L))
+        res = jnp.einsum('moi,mpi->mpo', stack, d)  # (P, M//P, C*L*n)
+        res = res.reshape((P, M // P, C, L, n))
+        res = jnp.moveaxis(res, 2, 0).reshape((C, M, L, n))
+        out = res if rank else res[0]
+        if rank:
+            out = out.reshape(tuple(cs.dim for cs in self.tensorsig) + (M, L, n))
         return self._build_output(self.dist.coeff_layout, out, scales=None)
 
 
 class BallInterpolate(LinearOperator):
-    """Radial interpolation f(r=position): ball scalar -> surface field
-    (parity: interpolation BC rows on Spherical3DBasis)."""
+    """Radial interpolation f(r=position): ball/shell field -> surface field
+    (parity: interpolation BC rows on Spherical3DBasis). Tensor operands hold
+    regularity components; the surface output holds SPIN components
+    (spin_sigma = sum_a Q(ell)[sigma, a] reg_a at the boundary)."""
 
     name = 'interp'
 
     def __init__(self, operand, coordsys, position):
-        if operand.tensorsig:
-            raise NotImplementedError("Ball tensor interpolation comes with tensor support")
+        for cs in operand.tensorsig:
+            if cs is not coordsys:
+                raise NotImplementedError(
+                    "Spherical interpolation supports tensors over the spherical system only")
         self.coordsys = coordsys
         self.position = float(position)
         self.azimuth_axis = coordsys.coords[0].axis
@@ -433,23 +496,61 @@ class BallInterpolate(LinearOperator):
         return out
 
     def _interp_block_m(self, m):
-        """(L x L*n) row block: per-ell radial interpolation vectors."""
+        """Comp-major interpolation block: rows (spin comp sigma, L), cols
+        (reg comp a, L, n)."""
+        from ..spectral import intertwiner as it
         rb = self.radial_in
         L = rb.parent.colatitude_basis.size
         n = rb.size
-        mat = sparse.lil_matrix((L, L * n))
-        for j in range(max(L - abs(m), 0)):
-            ell = abs(m) + j
-            row = rb.interpolation_ell(ell, 0, self.position)
-            mat[j, j * n:(j + 1) * n] = row
-        return sparse.csr_matrix(mat)
+        rank = len(self.tensorsig)
+        if rank == 0:
+            mat = sparse.lil_matrix((L, L * n))
+            for j in range(max(L - abs(m), 0)):
+                ell = abs(m) + j
+                mat[j, j * n:(j + 1) * n] = rb.interpolation_ell(ell, 0, self.position)
+            return sparse.csr_matrix(mat)
+        C = 3**rank
+        regidx = list(np.ndindex(*(3,) * rank))
+        rows = []
+        for s_flat in range(C):
+            row = []
+            for a_flat, a_idx in enumerate(regidx):
+                blk = sparse.lil_matrix((L, L * n))
+                reg = it.regtotal(a_idx)
+                for j in range(max(L - abs(m), 0)):
+                    ell = abs(m) + j
+                    if not it.regularity_allowed(ell, a_idx):
+                        continue
+                    q = it.Q_matrix(ell, rank)[s_flat, a_flat]
+                    if abs(q) < 1e-14:
+                        continue
+                    blk[j, j * n:(j + 1) * n] = q * rb.interpolation_ell(
+                        ell, reg, self.position)
+                row.append(sparse.csr_matrix(blk))
+            rows.append(row)
+        return sparse.bmat(rows, format='csr')
 
     def subproblem_matrix(self, subproblem):
         m = subproblem.group[self.azimuth_axis]
+        m = m if m is not None else 0
         az_w = subproblem.axis_width(
             self.operand.domain.bases[self.azimuth_axis], self.azimuth_axis)
-        A = self._interp_block_m(m if m is not None else 0)
-        return sparse.csr_matrix(sparse.kron(sparse.identity(az_w), A))
+        rank = len(self.tensorsig)
+        A = self._interp_block_m(m)
+        if rank == 0:
+            return sparse.csr_matrix(sparse.kron(sparse.identity(az_w), A))
+        C = 3**rank
+        rb = self.radial_in
+        L = rb.parent.colatitude_basis.size
+        n = rb.size
+        rows = []
+        for s in range(C):
+            row = []
+            for a in range(C):
+                sub = A[s * L:(s + 1) * L, a * L * n:(a + 1) * L * n]
+                row.append(sparse.kron(sparse.identity(az_w), sub))
+            rows.append(row)
+        return sparse.bmat(rows, format='csr')
 
     def expression_matrices(self, subproblem, vars, **kw):
         op_mats = self.operand.expression_matrices(subproblem, vars, **kw)
@@ -459,20 +560,26 @@ class BallInterpolate(LinearOperator):
     def operate(self, arg_fields):
         field = arg_fields[0]
         field.require_coeff_space()
-        data = field.data  # (..., M, L, n)
+        data = field.data  # (comps..., M, L, n)
+        rank = len(self.tensorsig)
+        C = 3**rank
         M = data.shape[-3]
         L = data.shape[-2]
+        n = data.shape[-1]
         P = max(M // 2, 1)
         KM = (self.radial_in.parent.azimuth_basis.size - 1) // 2
-        key = ('BallInterp', self.radial_in._key(), self.position, KM, L)
+        key = ('BallInterp', self.radial_in._key(), self.position, KM, L, rank)
 
         def build():
             mats = [np.asarray(self._interp_block_m(m).todense())
                     for m in range(KM + 1)]
             return np.ascontiguousarray(np.stack(mats))
-        stack = device_matrix(key, build)  # (KM+1, L, L*n)
-        dm = data.reshape(data.shape[:-3] + (P, M // P, L * data.shape[-1]))
-        res = jnp.einsum('moi,...mpi->...mpo', stack, dm)
-        # Surface fields keep a size-1 radial axis (constant along radius)
-        out = res.reshape(data.shape[:-3] + (M, L, 1))
+        stack = device_matrix(key, build)  # (KM+1, C*L, C*L*n)
+        d = data.reshape((C, P, M // P, L * n))
+        d = jnp.moveaxis(d, 0, 2).reshape((P, M // P, C * L * n))
+        res = jnp.einsum('moi,mpi->mpo', stack, d)  # (P, M//P, C*L)
+        res = res.reshape((P, M // P, C, L))
+        res = jnp.moveaxis(res, 2, 0).reshape((C, M, L, 1))
+        out = res[0] if rank == 0 else res.reshape(
+            tuple(cs.dim for cs in self.tensorsig) + (M, L, 1))
         return self._build_output(self.dist.coeff_layout, out, scales=None)

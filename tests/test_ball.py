@@ -316,3 +316,60 @@ def test_shell_vector_gradient():
     dg = d3.div(d3.grad(f)).evaluate()
     dg.change_scales(1); dg.require_grid_space()
     assert np.abs(np.asarray(dg.data) - (2.0 - 4 * x / r)).max() < 1e-8
+
+
+def test_ball_vector_poisson_with_vector_bc():
+    # Vector Poisson in the ball with a vector tau and full vector Dirichlet
+    # BC: exercises tensor lifts, tensor interpolation (reg->spin at the
+    # boundary), and the joint per-component regularity validity.
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    ball = d3.BallBasis(coords, (8, 6, 12), radius=1.0, dtype=np.float64,
+                        dealias=(1.5, 1.5, 1.5))
+    s = dist.Field(name='s', bases=ball)
+    u = dist.VectorField(coords, name='u', bases=ball)
+    tau_u = dist.VectorField(coords, name='tau_u', bases=ball.surface)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    x = r * np.sin(theta) * np.cos(phi)
+    zc = r * np.cos(theta)
+    _set_grid(dist, s, x * (1 - r**2) + zc**2, (8, 6, 12))
+    ustar = d3.grad(s).evaluate()
+    F = d3.grad(d3.lap(s)).evaluate()
+    lift = lambda A: d3.Lift(A, ball, -1)
+    problem = d3.LBVP([u, tau_u], namespace=locals())
+    problem.add_equation("lap(u) + lift(tau_u) = F")
+    problem.add_equation("u(r=1) = ustar(r=1)")
+    problem.build_solver().solve()
+    u.change_scales(1); u.require_grid_space()
+    ustar.change_scales(1); ustar.require_grid_space()
+    assert np.abs(np.asarray(u.data) - np.asarray(ustar.data)).max() < 1e-12
+
+
+def test_ball_vector_interpolation():
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    ball = d3.BallBasis(coords, (8, 6, 10), radius=1.0, dtype=np.float64,
+                        dealias=(1.5, 1.5, 1.5))
+    s = dist.Field(name='s', bases=ball)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    x = r * np.sin(theta) * np.cos(phi)
+    zc = r * np.cos(theta)
+    _set_grid(dist, s, x * (1 - r**2) + zc**2, (8, 6, 10))
+    u = d3.grad(s).evaluate()
+    h = u(r=1).evaluate()
+    h.change_scales(1); h.require_grid_space()
+    hd = np.asarray(h.data)
+    th = theta[:, :, 0]; ph = phi[:, :, 0]
+    x1 = np.sin(th + 0 * ph) * np.cos(ph)
+    y1 = np.sin(th) * np.sin(ph + 0 * th)
+    z1 = np.cos(th) + 0 * ph
+    Fx1 = -2 * x1**2
+    Fy1 = -2 * x1 * y1
+    Fz1 = 2 * z1 - 2 * x1 * z1
+    e_phi = -np.sin(ph) * Fx1 + np.cos(ph) * Fy1
+    e_th = np.cos(th) * np.cos(ph) * Fx1 + np.cos(th) * np.sin(ph) * Fy1 \
+        - np.sin(th) * Fz1
+    e_r = np.sin(th) * np.cos(ph) * Fx1 + np.sin(th) * np.sin(ph) * Fy1 \
+        + np.cos(th) * Fz1
+    for i, exp in enumerate((e_phi, e_th, e_r)):
+        assert np.abs(hd[i][:, :, 0] - exp).max() < 1e-11
