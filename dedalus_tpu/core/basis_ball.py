@@ -344,6 +344,19 @@ class BallRadialBasis(SphericalRadialBasis, Basis):
 
     # --- NCC: radial Clenshaw per ell (spherically-symmetric NCCs) ---
 
+
+    def constant_spatial_column(self):
+        """Column embedding the constant function 1 into the (colat slot,
+        radial) coefficient block: ell=0 slot gets the radial expansion of 1
+        times the colatitude constant-mode normalization."""
+        L = self.parent.colatitude_basis.size
+        n = self.size
+        fwd = self._transform_stacks(1, 0, 'f')  # (KM+1, L, n, Nrg)
+        col = np.zeros((L * n, 1))
+        col[:n, 0] = fwd[0, 0] @ np.ones(fwd.shape[-1])
+        col /= self.parent.colatitude_basis.constant_mode_value()
+        return sparse.csr_matrix(col)
+
     def ncc_block_m(self, m, ncc_radial_coeffs, ncc_k, ncc_alpha, dk_out,
                     cutoff=1e-10):
         """
@@ -566,6 +579,18 @@ class SphericalShellRadialBasis(SphericalRadialBasis, Basis):
         for j in range(max(L - abs(m), 0)):
             mat[j * n + (n + index if index < 0 else index), j] = 1
         return sparse.csr_matrix(mat)
+
+
+    def constant_spatial_column(self):
+        L = self.parent.colatitude_basis.size
+        n = self.size
+        fwd_mat = self._jacobi.forward_matrix(1, np.float64)
+        r = np.asarray(self.global_grid(1))
+        vals = (r / self.dR)**self.k if self.k else np.ones_like(r)
+        col = np.zeros((L * n, 1))
+        col[:n, 0] = fwd_mat @ vals
+        col /= self.parent.colatitude_basis.constant_mode_value()
+        return sparse.csr_matrix(col)
 
     def ncc_block_m(self, m, ncc_radial_coeffs, ncc_k, ncc_alpha, dk_out,
                     cutoff=1e-10):

@@ -767,9 +767,17 @@ def convert(expr, bases):
         if target is None or current == target:
             continue
         from .basis_ball import SphericalRadialBasis
+        from .basis_sphere import ColatitudeBasis
+        if isinstance(target, ColatitudeBasis) and current is None \
+                and hasattr(target.parent, 'radial_basis'):
+            continue  # embedded jointly by the radial-axis constant embed
         if isinstance(target, SphericalRadialBasis):
-            from .operators_ball import BallConvert
-            expr = BallConvert(expr, target.coord.cs, target)
+            if current is None:
+                from .operators_ball import BallConstantEmbed
+                expr = BallConstantEmbed(expr, target)
+            else:
+                from .operators_ball import BallConvert
+                expr = BallConvert(expr, target.coord.cs, target)
         elif hasattr(target, 'conversion_matrix_m'):
             from .operators_polar import PolarConvert
             expr = PolarConvert(expr, target.coord.cs, target)
@@ -920,6 +928,11 @@ def Interpolate(operand, coord, position):
 
 def Integrate(operand, coord=None):
     from .coords import S2Coordinates
+    from .basis_ball import SphericalRadialBasis
+    for b in operand.domain.bases:
+        if b is not None and isinstance(b, SphericalRadialBasis):
+            from .operators_ball import SphericalIntegrate
+            return SphericalIntegrate(operand)
     for b in operand.domain.bases:
         if b is not None and isinstance(getattr(b.coord, 'cs', None), S2Coordinates):
             from .operators_sphere import SphereIntegrate

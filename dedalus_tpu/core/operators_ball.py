@@ -583,3 +583,149 @@ class BallInterpolate(LinearOperator):
         out = res[0] if rank == 0 else res.reshape(
             tuple(cs.dim for cs in self.tensorsig) + (M, L, 1))
         return self._build_output(self.dist.coeff_layout, out, scales=None)
+
+
+class SphericalIntegrate(LinearOperator):
+    """Volume integral over the ball/shell: the spherically symmetric
+    (m=0, ell=0) radial coefficients integrated against r^2 dr times the
+    angular factor 2*pi*sqrt(2) (the Y_00 normalization of this basis).
+    Parity: integ on Spherical3DBasis."""
+
+    name = 'integ'
+
+    def __init__(self, operand):
+        if operand.tensorsig:
+            raise NotImplementedError("Spherical integ of tensors comes with components")
+        cs = None
+        for b in operand.domain.bases:
+            if b is not None and isinstance(b, SphericalRadialBasis):
+                cs = b.parent.coordsys
+                self.radial_basis = b
+        if cs is None:
+            raise ValueError("SphericalIntegrate requires a ball/shell radial basis")
+        self.coordsys = cs
+        self.azimuth_axis = cs.coords[0].axis
+        self.colat_axis = cs.coords[1].axis
+        self.radius_axis = cs.coords[2].axis
+        super().__init__(operand)
+
+    def _init_metadata(self):
+        op = self.operand
+        self.tensorsig = op.tensorsig
+        self.dtype = op.dtype
+        self.domain = Domain(self.dist, ())
+
+    def new_operands(self, operand):
+        return SphericalIntegrate(operand)
+
+    def matrix_dependence(self, *vars):
+        out = self.operand.matrix_dependence(*vars).copy()
+        out[self.azimuth_axis] = True
+        return out
+
+    def matrix_coupling(self, *vars):
+        out = self.operand.matrix_coupling(*vars).copy()
+        out[self.colat_axis] = True
+        out[self.radius_axis] = True
+        return out
+
+    def _radial_integral_vector(self):
+        """I_n = integral q_n(r) r^2 dr over the radial domain (quadrature)."""
+        rb = self.radial_basis
+        w = np.asarray(rb.global_weights(1))
+        Ng = rb.grid_size(1)
+        if hasattr(rb, '_transform_stacks'):  # ball: per-(m, ell) stacks
+            bwd = rb._transform_stacks(1, 0, 'b')  # (KM+1, L, Ng, n)
+            Q = bwd[0, 0]                          # m=0, ell=0 radial functions
+        else:
+            Q = None
+        return w @ Q
+
+    def operate(self, arg_fields):
+        field = arg_fields[0]
+        field.require_coeff_space()
+        data = field.data  # (M, L, n)
+        Iv = jnp.asarray(self._radial_integral_vector())
+        val = jnp.tensordot(data[0, 0, :], Iv, axes=1) * (2 * np.pi * np.sqrt(2))
+        out = val.reshape((1, 1, 1))
+        return self._build_output(self.dist.coeff_layout, out, scales=field.scales)
+
+    def expression_matrices(self, subproblem, vars, **kw):
+        op = self.operand
+        op_mats = op.expression_matrices(subproblem, vars, **kw)
+        m = subproblem.group[self.azimuth_axis]
+        L = self.radial_basis.parent.colatitude_basis.size
+        n = self.radial_basis.size
+        az_w = subproblem.axis_width(op.domain.bases[self.azimuth_axis], self.azimuth_axis)
+        row = np.zeros((1, az_w * L * n))
+        if m == 0:
+            Iv = self._radial_integral_vector()
+            row[0, :n] = Iv * (2 * np.pi * np.sqrt(2))  # cos, ell-slot 0
+        mat = sparse.csr_matrix(row)
+        return {var: mat @ mm for var, mm in op_mats.items()}
+
+
+class BallConstantEmbed(LinearOperator):
+    """Embed a field constant along (colatitude, radius) into a ball/shell
+    basis (the tau_p / gauge-constant pattern): the ell=0 colatitude slot gets
+    the radial expansion of the constant function."""
+
+    name = 'ConvertConst'
+
+    def __init__(self, operand, target_radial):
+        self.target_radial = target_radial
+        cs = target_radial.parent.coordsys
+        self.coordsys = cs
+        self.azimuth_axis = cs.coords[0].axis
+        self.colatitude_axis = cs.coords[1].axis
+        self.radius_axis = cs.coords[2].axis
+        if operand.tensorsig:
+            raise NotImplementedError("Constant embedding of tensors pending")
+        super().__init__(operand)
+
+    def _init_metadata(self):
+        op = self.operand
+        self.tensorsig = op.tensorsig
+        self.dtype = op.dtype
+        bases = list(op.domain.bases)
+        bases[self.colatitude_axis] = self.target_radial.parent.colatitude_basis
+        bases[self.radius_axis] = self.target_radial
+        self.domain = Domain(self.dist, tuple(b for b in bases if b is not None))
+
+    def new_operands(self, operand):
+        return BallConstantEmbed(operand, self.target_radial)
+
+    def matrix_dependence(self, *vars):
+        return self.operand.matrix_dependence(*vars).copy()
+
+    def matrix_coupling(self, *vars):
+        out = self.operand.matrix_coupling(*vars).copy()
+        out[self.colatitude_axis] = True
+        out[self.radius_axis] = True
+        return out
+
+    def subproblem_matrix(self, subproblem):
+        m = subproblem.group[self.azimuth_axis]
+        az_w = subproblem.axis_width(
+            self.operand.domain.bases[self.azimuth_axis], self.azimuth_axis)
+        col = self.target_radial.constant_spatial_column()
+        if m not in (None, 0):
+            col = sparse.csr_matrix(col.shape)
+        return sparse.csr_matrix(sparse.kron(sparse.identity(az_w), col))
+
+    def expression_matrices(self, subproblem, vars, **kw):
+        op_mats = self.operand.expression_matrices(subproblem, vars, **kw)
+        mat = self.subproblem_matrix(subproblem)
+        return {var: mat @ m for var, m in op_mats.items()}
+
+    def operate(self, arg_fields):
+        field = arg_fields[0]
+        field.require_coeff_space()
+        data = field.data  # (..., M, 1, 1)
+        col = device_matrix(('BallConstEmbed', self.target_radial._key()),
+                            lambda: np.asarray(
+                                self.target_radial.constant_spatial_column().todense()))
+        L = self.target_radial.parent.colatitude_basis.size
+        n = self.target_radial.size
+        out = (data[..., 0] * col[:, 0]).reshape(data.shape[:-2] + (L, n))
+        return self._build_output(self.dist.coeff_layout, out, scales=None)

@@ -373,3 +373,69 @@ def test_ball_vector_interpolation():
         + np.cos(th) * Fz1
     for i, exp in enumerate((e_phi, e_th, e_r)):
         assert np.abs(hd[i][:, :, 0] - exp).max() < 1e-11
+
+
+def test_ball_convection_gating():
+    # GATING: reference examples/ivp_ball_internally_heated_convection
+    # (no-slip variant; the stress-free BC needs the angular/radial component
+    # selectors, round 2). Exercises the full 3D spherical IVP stack: vector
+    # unknowns, incompressibility with gauge, buoyancy, vector taus/BCs.
+    from dedalus_tpu.core.timesteppers import SBDF2
+    import jax.numpy as jnp
+    Nphi, Ntheta, Nr = 8, 4, 10
+    Rayleigh, Prandtl = 1e4, 1
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    ball = d3.BallBasis(coords, (Nphi, Ntheta, Nr), radius=1, dealias=1.5,
+                        dtype=np.float64)
+    u = dist.VectorField(coords, name='u', bases=ball)
+    p = dist.Field(name='p', bases=ball)
+    T = dist.Field(name='T', bases=ball)
+    tau_p = dist.Field(name='tau_p')
+    tau_u = dist.VectorField(coords, name='tau_u', bases=ball.surface)
+    tau_T = dist.Field(name='tau_T', bases=ball.surface)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    r_vec = dist.VectorField(coords, name='r_vec', bases=ball)
+    r_vec.change_scales(1)
+    rv = np.zeros((3, Nphi, Ntheta, Nr)); rv[2] = r
+    r_vec.preset_data(dist.grid_layout, jnp.asarray(rv))
+    T_source = 6
+    kappa = (Rayleigh * Prandtl)**(-1/2)
+    nu = (Rayleigh / Prandtl)**(-1/2)
+    lift = lambda A: d3.Lift(A, ball, -1)
+    problem = d3.IVP([p, u, T, tau_p, tau_u, tau_T], namespace=locals())
+    problem.add_equation("div(u) + tau_p = 0")
+    problem.add_equation(
+        "dt(u) - nu*lap(u) + grad(p) + lift(tau_u) = - u@grad(u) + r_vec*T")
+    problem.add_equation(
+        "dt(T) - kappa*lap(T) + lift(tau_T) = - u@grad(T) + kappa*T_source")
+    problem.add_equation("u(r=1) = 0")
+    problem.add_equation("T(r=1) = 0")
+    problem.add_equation("integ(p) = 0")
+    solver = problem.build_solver(SBDF2)
+    T.fill_random('g', seed=42, distribution='normal', scale=0.01)
+    T.change_scales(1); T.require_grid_space()
+    T.preset_data(dist.grid_layout,
+                  T.data + jnp.asarray(np.broadcast_to(1 - r**2, (Nphi, Ntheta, Nr)).copy()))
+    solver.run_steps(2e-3, 20)
+    for f in (u, T, p):
+        f.require_coeff_space()
+        assert np.isfinite(np.asarray(f.data)).all()
+    bc = u(r=1).evaluate(); bc.require_coeff_space()
+    assert np.abs(np.asarray(bc.data)).max() < 1e-14
+    dv = d3.div(u).evaluate(); dv.require_coeff_space()
+    assert np.abs(np.asarray(dv.data)).max() < 1e-14
+
+
+def test_ball_volume_integral():
+    import jax.numpy as jnp
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    ball = d3.BallBasis(coords, (8, 4, 12), radius=1.0, dtype=np.float64,
+                        dealias=(1.5, 1.5, 1.5))
+    f = dist.Field(name='f', bases=ball)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    _set_grid(dist, f, 1 - r**2, (8, 4, 12))
+    v = d3.integ(f).evaluate()
+    v.require_grid_space()
+    assert abs(float(np.asarray(v.data).ravel()[0]) - 4 * np.pi * (1/3 - 1/5)) < 1e-13
