@@ -126,13 +126,21 @@ class H5FileHandler(Handler):
         self.writes_in_set = 0
         self.current_file = None
         self.base_path.mkdir(parents=True, exist_ok=True)
+        import re
+        existing = sorted(self.base_path.glob(f"{self.base_path.stem}_s*.h5"),
+                          key=lambda p: int(re.search(r'_s(\d+)$', p.stem).group(1)))
         if mode == 'append':
-            existing = sorted(self.base_path.glob(f"{self.base_path.stem}_s*.h5"))
             if existing:
                 import h5py
-                self.set_num = len(existing)
+                self.set_num = int(re.search(r'_s(\d+)$', existing[-1].stem).group(1))
                 with h5py.File(existing[-1], 'r') as f:
                     self.write_num = int(f.attrs.get('final_write_num', 0))
+        else:
+            # Overwrite mode: stale sets from a previous run would otherwise be
+            # appended onto (files are opened 'a'); remove them up front
+            # (parity: evaluator.py:404-409).
+            for p in existing:
+                p.unlink()
 
     @property
     def current_path(self):

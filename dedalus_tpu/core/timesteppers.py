@@ -31,6 +31,12 @@ def add_scheme(cls):
     return cls
 
 
+def _poly_bad_key(fact):
+    """Hashable signature of a poly factorization's bad-group indices."""
+    return (tuple(np.asarray(fact.polyA['bad_idx']).ravel().tolist()),
+            tuple(np.asarray(fact.pre['bad_idx']).ravel().tolist()))
+
+
 class TimestepperBase:
 
     def __init__(self, solver):
@@ -113,6 +119,14 @@ class MultistepIMEX(TimestepperBase):
                         self._poly_refinements = refs
                         self._compiled = None
                         self._scan_cache = {}
+                    # The compiled step bakes this factorization's bad-group
+                    # indices as static constants; a new (a0,b0) key with a
+                    # different bad pattern must trigger recompilation.
+                    cur_bad = _poly_bad_key(fact)
+                    if getattr(self, '_poly_baked_bad', cur_bad) != cur_bad:
+                        self._compiled = None
+                        self._scan_cache = {}
+                    self._current_fact = fact
                 return fact
             except ValueError as exc:
                 if solver.matsolver == 'poly':
@@ -150,8 +164,9 @@ class MultistepIMEX(TimestepperBase):
         if poly:
             pm, pl = self._poly_ml()
             badM, badL = pm['bad_idx'], pl['bad_idx']
-            fact0 = next(iter(self._factorized.values()))
+            fact0 = getattr(self, '_current_fact', None) or next(iter(self._factorized.values()))
             badA, badP = fact0.polyA['bad_idx'], fact0.pre['bad_idx']
+            self._poly_baked_bad = _poly_bad_key(fact0)
             refinements = self._poly_refinements
             self._fact_args = None
         else:
@@ -253,8 +268,18 @@ class MultistepIMEX(TimestepperBase):
         """
         solver = self.solver
         pencil = self.pencil
-        # Reduced-order startup steps individually
-        while self.needs_startup and n_steps > 0:
+
+        # The scan applies uniform-dt coefficients to the stored MX/LX/F
+        # history, so it is only valid once that history was itself built at
+        # this dt. Take individual steps through startup AND through any
+        # residual history built at a different dt (e.g. step(dt1) then
+        # run_steps(dt2)).
+        def _hist_uniform():
+            live = min(self._iteration, self.steps)
+            return all(abs(h - dt) <= 1e-14 * abs(dt)
+                       for h in list(self.dt_hist)[:live])
+
+        while n_steps > 0 and (self.needs_startup or not _hist_uniform()):
             self.step(dt, wall_time)
             solver.iteration += 1
             n_steps -= 1

@@ -270,3 +270,66 @@ def test_build_evp_from_ivp():
     expect = np.sort([-nu * k**2 for k in range(-7, 8)])
     got = np.sort(evals)[:len(expect)]
     assert np.abs(got - expect).max() < 1e-10
+
+
+def test_run_steps_after_different_dt_step():
+    """run_steps after step(dt1) with dt2 != dt1 must not silently apply
+    uniform-dt coefficients to a mixed-dt history (regression)."""
+    Nx, nu, kmode = 16, 0.1, 3
+    c = d3.Coordinate('x')
+    dist = d3.Distributor(c, dtype=np.float64)
+    xb = d3.RealFourier(c, size=Nx, bounds=(0, 2 * np.pi), dealias=1.5)
+
+    def run(mode):
+        dx = lambda A: d3.Differentiate(A, c)
+        u = dist.Field(name='u', bases=xb)
+        problem = d3.IVP([u], namespace=locals())
+        problem.add_equation("dt(u) - nu*dx(dx(u)) = 0")
+        solver = problem.build_solver(d3.SBDF2)
+        x = dist.local_grid(xb, scale=1).ravel()
+        u['g'] = np.sin(kmode * x)
+        dt1, dt2 = 2e-3, 1e-3
+        if mode == 'mixed':
+            # two steps at dt1, then run_steps at dt2
+            solver.step(dt1)
+            solver.step(dt1)
+            solver.run_steps(dt2, 30)
+            T = 2 * dt1 + 30 * dt2
+        else:
+            for _ in range(2):
+                solver.step(dt1)
+            for _ in range(30):
+                solver.step(dt2)
+            T = 2 * dt1 + 30 * dt2
+        u.change_scales(1)
+        exact = np.exp(-nu * kmode**2 * T) * np.sin(kmode * x)
+        return np.abs(np.array(u['g']) - exact).max()
+
+    err_mixed = run('mixed')
+    err_loop = run('loop')
+    # The scan path must match the per-step variable-dt path to roundoff-ish
+    assert err_mixed < 2 * err_loop + 1e-12
+
+
+def test_multistep_history_uniform_scan_guard():
+    """run_steps at the same dt as prior steps should scan without extra
+    individual steps and stay accurate."""
+    err = None
+    c = d3.Coordinate('x')
+    dist = d3.Distributor(c, dtype=np.float64)
+    xb = d3.RealFourier(c, size=16, bounds=(0, 2 * np.pi), dealias=1.5)
+    u = dist.Field(name='u', bases=xb)
+    nu, kmode = 0.1, 3
+    dx = lambda A: d3.Differentiate(A, c)
+    problem = d3.IVP([u], namespace=locals())
+    problem.add_equation("dt(u) - nu*dx(dx(u)) = 0")
+    solver = problem.build_solver(d3.SBDF2)
+    x = dist.local_grid(xb, scale=1).ravel()
+    u['g'] = np.sin(kmode * x)
+    solver.step(1e-3)
+    solver.step(1e-3)
+    solver.run_steps(1e-3, 48)
+    u.change_scales(1)
+    exact = np.exp(-nu * kmode**2 * 50e-3) * np.sin(kmode * x)
+    err = np.abs(np.array(u['g']) - exact).max()
+    assert err < 5e-5

@@ -54,3 +54,46 @@ def test_quad_mesh():
     y = np.linspace(0, 2, 7)
     xe, ye = quad_mesh(x, y)
     assert xe.shape == (6, 8)
+
+
+def test_overwrite_mode_removes_stale_sets(tmp_path):
+    """Rerunning with mode='overwrite' must not append onto stale set files."""
+    import h5py
+    import dedalus_tpu.public as d3
+    import numpy as np
+
+    def run(n_writes):
+        c = d3.Coordinate('x')
+        dist = d3.Distributor(c, dtype=np.float64)
+        xb = d3.RealFourier(c, size=8, bounds=(0, 1))
+        u = dist.Field(name='u', bases=xb)
+        problem = d3.IVP([u], namespace=locals())
+        problem.add_equation("dt(u) = 0")
+        solver = problem.build_solver(d3.SBDF1)
+        h = solver.evaluator.add_file_handler(tmp_path / 'snap', iter=1,
+                                              mode='overwrite')
+        h.add_task(u, name='u')
+        for _ in range(n_writes):
+            solver.step(1e-3)
+
+    run(5)
+    run(2)
+    files = list((tmp_path / 'snap').glob('snap_s*.h5'))
+    assert len(files) == 1
+    with h5py.File(files[0], 'r') as f:
+        assert f['tasks/u'].shape[0] == 2
+
+
+def test_append_mode_sorts_sets_numerically(tmp_path):
+    """Append-mode set numbering must parse set indices, not sort strings."""
+    import h5py
+    base = tmp_path / 'snap'
+    base.mkdir()
+    # Simulate 11 pre-existing sets: lexicographic sort puts s10 before s2
+    for i in range(1, 12):
+        with h5py.File(base / f'snap_s{i}.h5', 'w') as f:
+            f.attrs['final_write_num'] = i * 3
+    from dedalus_tpu.core.evaluator import H5FileHandler
+    h = H5FileHandler(None, base, mode='append')
+    assert h.set_num == 11
+    assert h.write_num == 33
