@@ -3,11 +3,16 @@ Distributor: owns the coordinate->axis mapping, the layout descriptors, and
 (optionally) a JAX device mesh for distributed execution.
 
 Parity target (behavior): dedalus/core/distributor.py:36-517. TPU-first
-redesign: layouts are immutable descriptors (grid/coeff per axis); in serial
-execution data lives in single device arrays and transforms are jitted matmuls;
-in distributed execution the parallel module lowers whole layout-move paths to
-shard_map programs with `all_to_all` transposes over the mesh (ICI), replacing
-the reference's MPI transposes (transposes.pyx).
+redesign: layouts are immutable descriptors (grid/coeff per axis) carrying a
+canonical shard assignment over the device mesh, mirroring the reference's
+layout enumeration (distributor.py:59-75,131-175): in full coeff space the
+first R data axes are distributed over the R-dimensional mesh; in grid space
+axis 0 is local and axes 1..R are distributed. Instead of imperative MPI
+transposes (transposes.pyx), layout moves apply
+`jax.lax.with_sharding_constraint` at each transform boundary inside traced
+code — XLA's SPMD partitioner then inserts the `all_to_all` transposes over
+ICI automatically (the scaling-book recipe: pick a mesh, annotate shardings,
+let XLA insert collectives).
 """
 
 import numpy as np
@@ -31,8 +36,30 @@ class Layout:
     def __hash__(self):
         return hash(self.grid_space)
 
+    @property
+    def suffix_start(self):
+        """First grid-space axis (grid axes always form a suffix)."""
+        gs = self.grid_space
+        for i, g in enumerate(gs):
+            if g:
+                return i
+        return len(gs)
+
     def __repr__(self):
         return f"Layout({''.join('g' if g else 'c' for g in self.grid_space)})"
+
+
+def _normalize_mesh(mesh):
+    """Accept None, an int, a tuple of ints, or a jax Mesh."""
+    if mesh is None or isinstance(mesh, jax.sharding.Mesh):
+        return mesh
+    if np.isscalar(mesh):
+        mesh = (int(mesh),)
+    shape = tuple(int(n) for n in mesh if int(n) > 1) or (1,)
+    n_total = int(np.prod(shape))
+    devices = np.array(jax.devices()[:n_total]).reshape(shape)
+    names = tuple(f"p{i}" for i in range(len(shape)))
+    return jax.sharding.Mesh(devices, names)
 
 
 class Distributor:
@@ -53,9 +80,105 @@ class Distributor:
         for axis, coord in enumerate(self.coords):
             coord.axis = axis
         self.dtype = np.dtype(dtype)
-        self.mesh = mesh  # jax.sharding.Mesh or None (serial)
+        self.mesh = _normalize_mesh(mesh)  # jax.sharding.Mesh or None (serial)
+        if self.mesh is not None and len(self.mesh.axis_names) >= self.dim:
+            raise ValueError(
+                f"Mesh dimension ({len(self.mesh.axis_names)}) must be smaller "
+                f"than the domain dimension ({self.dim})")
         self.coeff_layout = Layout((False,) * self.dim)
         self.grid_layout = Layout((True,) * self.dim)
+
+    # --- distributed sharding rules ---
+
+    def layout_spec(self, layout, n_tensor, shape):
+        """
+        PartitionSpec for data of the given shape in the given layout, or None
+        in serial runs. Mesh dim r shards data axis r while that axis is in
+        coeff space and axis r+1 once it has been transformed — reproducing
+        the reference's layout chain (coeff: first R axes distributed; grid:
+        axis 0 local, axes 1..R distributed; ref distributor.py:59-75).
+        Mesh dims whose target axis size does not divide the mesh extent are
+        left replicated (safe fallback).
+        """
+        mesh = self.mesh
+        if mesh is None:
+            return None
+        from jax.sharding import PartitionSpec
+        s = layout.suffix_start
+        spec = [None] * len(shape)
+        for r, name in enumerate(mesh.axis_names):
+            axis = r if r < s else r + 1
+            if axis >= self.dim:
+                continue
+            data_axis = n_tensor + axis
+            if shape[data_axis] % mesh.shape[name] == 0 and spec[data_axis] is None:
+                spec[data_axis] = name
+        return PartitionSpec(*spec)
+
+    def constrain(self, data, layout, n_tensor):
+        """
+        Apply the layout's sharding constraint to traced data. A no-op in
+        serial runs and outside tracing (fields at rest are replicated; only
+        compiled solver steps execute distributed). This is the TPU-native
+        equivalent of the reference's Transpose paths (transposes.pyx:248):
+        consecutive constraints with different shard maps make XLA emit ICI
+        all_to_all collectives.
+        """
+        if self.mesh is None or not isinstance(data, jax.core.Tracer):
+            return data
+        spec = self.layout_spec(layout, n_tensor, data.shape)
+        if spec is None:
+            return data
+        from jax.sharding import NamedSharding
+        return jax.lax.with_sharding_constraint(
+            data, NamedSharding(self.mesh, spec))
+
+    def pencil_spec(self, G, extra_dims=1, g_dim=0):
+        """PartitionSpec sharding a pencil-stack whose axis `g_dim` runs over
+        the G mode groups, over ALL mesh axes (groups are embarrassingly
+        parallel; ref subsystems.py:34-53)."""
+        mesh = self.mesh
+        if mesh is None:
+            return None
+        from jax.sharding import PartitionSpec
+        n_mesh = int(np.prod([mesh.shape[n] for n in mesh.axis_names]))
+        if G % n_mesh != 0:
+            return None
+        spec = [None] * (g_dim + 1 + extra_dims)
+        spec[g_dim] = tuple(mesh.axis_names)
+        return PartitionSpec(*spec)
+
+    def pencil_sharding(self, G, extra_dims=1, g_dim=0):
+        """NamedSharding for pencil stacks, or None (serial / non-divisible)."""
+        spec = self.pencil_spec(G, extra_dims, g_dim)
+        if spec is None:
+            return None
+        from jax.sharding import NamedSharding
+        return NamedSharding(self.mesh, spec)
+
+    def constrain_pencils(self, data, g_dim=0):
+        """Constrain a traced pencil-stack to the group sharding."""
+        if self.mesh is None or not isinstance(data, jax.core.Tracer):
+            return data
+        sharding = self.pencil_sharding(data.shape[g_dim], data.ndim - 1 - g_dim, g_dim)
+        if sharding is None:
+            return data
+        return jax.lax.with_sharding_constraint(data, sharding)
+
+    def device_put_pencils(self, tree, G, g_dim=0):
+        """device_put every array in a pytree whose `g_dim` axis has extent G
+        with the group sharding (host->device placement of the big per-solver
+        stacks: matrices, factorizations, histories)."""
+        if self.mesh is None:
+            return tree
+
+        def put(x):
+            if hasattr(x, 'shape') and x.ndim > g_dim and x.shape[g_dim] == G:
+                sharding = self.pencil_sharding(G, x.ndim - 1 - g_dim, g_dim)
+                if sharding is not None:
+                    return jax.device_put(x, sharding)
+            return x
+        return jax.tree.map(put, tree)
 
     def get_axis(self, coord):
         return coord.axis

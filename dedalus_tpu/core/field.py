@@ -154,7 +154,13 @@ class Field(Operand):
         return tuple(float(s) for s in scales)
 
     def towards_coeff_space(self):
-        """Transform the first grid-space axis to coeff space."""
+        """Transform the first grid-space axis to coeff space.
+
+        Distributed: the transform axis is local in the current layout's
+        shard map by construction; the post-transform constraint moves the
+        next mesh dim down one axis (XLA emits the all_to_all transpose),
+        mirroring the reference's transform/transpose path alternation
+        (ref distributor.py:131-175)."""
         gs = list(self.layout.grid_space)
         axis = gs.index(True)
         basis = self.domain.bases[axis]
@@ -164,21 +170,27 @@ class Field(Operand):
                                                 self.dtype, tensorsig=self.tensorsig)
         gs[axis] = False
         self.layout = Layout(gs)
+        self.data = self.dist.constrain(self.data, self.layout, len(self.tensorsig))
 
     def towards_grid_space(self):
-        """Transform the last coeff-space axis to grid space."""
+        """Transform the last coeff-space axis to grid space.
+
+        Distributed: constrain to the TARGET layout's shard map first — this
+        moves any mesh dim off the transform axis (XLA emits the all_to_all
+        transpose over ICI), then the transform runs shard-local."""
         gs = list(self.layout.grid_space)
         axis = len(gs) - 1 - gs[::-1].index(False)
         basis = self.domain.bases[axis]
         data_axis = len(self.tensorsig) + axis
+        target = Layout(gs[:axis] + [True] + gs[axis + 1:])
         if basis is not None:
+            self.data = self.dist.constrain(self.data, target, len(self.tensorsig))
             self.data = basis.backward_transform(self.data, data_axis, self.scales[axis],
                                                  self.dtype, tensorsig=self.tensorsig)
         else:
             # Constant axis: size-1 in both spaces
             pass
-        gs[axis] = True
-        self.layout = Layout(gs)
+        self.layout = target
 
     def require_coeff_space(self):
         while any(self.layout.grid_space):

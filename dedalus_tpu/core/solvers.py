@@ -261,6 +261,14 @@ class InitialValueSolver(SolverBase):
         if isinstance(timestepper, str):
             timestepper = timesteppers_module.schemes[timestepper]
         self.timestepper = timestepper(self)
+        # Hermitian/redundancy enforcement for real dtypes (parity:
+        # solvers.py:583-586,705-708). The masked pencil solves keep invalid
+        # (redundant) mode slots at zero by construction, so this guards
+        # against user-injected junk and roundoff asymmetries in long runs.
+        if np.isrealobj(self.dtype.type()):
+            self.enforce_real_cadence = enforce_real_cadence
+        else:
+            self.enforce_real_cadence = None
         self._sim_time = 0.0
         self.iteration = self.initial_iteration = 0
         self.stop_sim_time = np.inf
@@ -303,6 +311,25 @@ class InitialValueSolver(SolverBase):
             return False
         return True
 
+    def enforce_hermitian_symmetry(self, fields):
+        """Project out redundant real-dtype mode content by a grid round-trip
+        at dealias scales (parity: solvers.py:675-681): backward columns /
+        forward rows for redundant slots (mean-mode sin parts, Nyquist) are
+        zero, so the round-trip zeroes anything deposited there."""
+        for f in fields:
+            f.change_scales(f.domain.dealias)
+            f.require_grid_space()
+            f.require_coeff_space()
+            f.change_scales(1)
+
+    def _maybe_enforce_real(self):
+        cadence = self.enforce_real_cadence
+        if cadence:
+            # Enforce for as many iterations as the timestepper holds history
+            # (parity: solvers.py:705-708)
+            if self.iteration % cadence < getattr(self.timestepper, 'steps', 1):
+                self.enforce_hermitian_symmetry(self.state)
+
     def step(self, dt):
         """Advance the system by one timestep."""
         if dt <= 0 or not np.isfinite(dt):
@@ -310,6 +337,7 @@ class InitialValueSolver(SolverBase):
         if self.iteration == self.warmup_iterations:
             self.warmup_time = self.wall_time
         self.timestepper.step(float(dt), wall_time=self.wall_time - self.start_time)
+        self._maybe_enforce_real()
         self.iteration += 1
 
     def run_steps(self, dt, n_steps):
@@ -317,10 +345,14 @@ class InitialValueSolver(SolverBase):
         Advance n_steps at fixed dt as one compiled lax.scan (no host
         round-trips between steps). Analysis handlers do NOT fire inside the
         scan; call evaluator.evaluate_handlers() between chunks if needed.
+        Hermitian enforcement applies once at the end of the scan (the masked
+        pencil solves keep redundant slots at zero inside the scan).
         """
         if self.iteration == self.warmup_iterations:
             self.warmup_time = self.wall_time
         self.timestepper.run_steps(float(dt), int(n_steps))
+        if self.enforce_real_cadence and n_steps >= self.enforce_real_cadence:
+            self.enforce_hermitian_symmetry(self.state)
 
     def evolve(self, timestep_function, log_cadence=100):
         """Advance until a stop criterion triggers."""

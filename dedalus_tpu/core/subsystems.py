@@ -325,8 +325,9 @@ class PencilSystem:
     # --- gather / scatter (device, jit-safe) ---
 
     def gather_state(self, state_flat):
-        """(state_total,) -> (G, C) pencil matrix."""
-        return state_flat[self.var_index_map_dev]
+        """(state_total,) -> (G, C) pencil matrix (group-sharded when a mesh
+        is active: groups are embarrassingly parallel across devices)."""
+        return self.dist.constrain_pencils(state_flat[self.var_index_map_dev])
 
     def scatter_state(self, X):
         """(G, C) -> (state_total,) (invalid entries are zero so adds are safe)."""
@@ -349,4 +350,5 @@ class PencilSystem:
         for data, idx_map in zip(eq_datas, self.eq_index_maps):
             flat = data.ravel()
             cols.append(flat[jnp.asarray(idx_map)])
-        return jnp.concatenate(cols, axis=1) * self.row_valid_dev
+        out = jnp.concatenate(cols, axis=1) * self.row_valid_dev
+        return self.dist.constrain_pencils(out)

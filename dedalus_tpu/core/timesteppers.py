@@ -86,10 +86,13 @@ class MultistepIMEX(TimestepperBase):
         super().__init__(solver)
         steps = self.steps
         shape = (steps, self.pencil.G, self.pencil.R)
-        # Histories as stacked device arrays: index 0 = most recent
-        self.MX = jnp.zeros(shape, dtype=solver.dtype)
-        self.LX = jnp.zeros(shape, dtype=solver.dtype)
-        self.F = jnp.zeros(shape, dtype=solver.dtype)
+        # Histories as stacked device arrays: index 0 = most recent;
+        # group-sharded over the device mesh when one is active
+        hist_sharding = solver.dist.pencil_sharding(self.pencil.G, 1, g_dim=1)
+        kw = {'device': hist_sharding} if hist_sharding is not None else {}
+        self.MX = jnp.zeros(shape, dtype=solver.dtype, **kw)
+        self.LX = jnp.zeros(shape, dtype=solver.dtype, **kw)
+        self.F = jnp.zeros(shape, dtype=solver.dtype, **kw)
         self.dt_hist = deque([0.0] * steps, maxlen=steps)
         self._iteration = 0
         self._compiled = None
@@ -147,13 +150,17 @@ class MultistepIMEX(TimestepperBase):
         if self.solver.matsolver == 'poly':
             pm, pl = self._poly_ml()
             pa, pr = fact.polyA, fact.pre
-            return {'wM': pm['weights'], 'BM': pm['Bcat'], 'CM': pm['Abad'],
+            mats = {'wM': pm['weights'], 'BM': pm['Bcat'], 'CM': pm['Abad'],
                     'wL': pl['weights'], 'BL': pl['Bcat'], 'CL': pl['Abad'],
                     'wA': pa['weights'], 'BA': pa['Bcat'], 'CA': pa['Abad'],
                     'wP': pr['weights'], 'BP': pr['Bcat'], 'CP': pr['Abad']}
-        s1, s2 = self._fact_args(fact)
-        return {'s1': s1, 's2': s2,
-                'M': self.pencil.matrices['M'], 'L': self.pencil.matrices['L']}
+        else:
+            s1, s2 = self._fact_args(fact)
+            mats = {'s1': s1, 's2': s2,
+                    'M': self.pencil.matrices['M'], 'L': self.pencil.matrices['L']}
+        # Group-shard the per-group stacks over the mesh (each device then
+        # holds only its groups' factors — the multi-chip memory win)
+        return self.solver.dist.device_put_pencils(mats, self.pencil.G)
 
     def _build_compiled(self):
         solver = self.solver
@@ -181,18 +188,20 @@ class MultistepIMEX(TimestepperBase):
                 MX0 = solver.traced_matrix_apply('M', state_flat)
                 LX0 = solver.traced_matrix_apply('L', state_flat)
             elif poly:
-                X = state_flat[pencil.var_index_map_dev]
+                X = pencil.gather_state(state_flat)
                 MX0 = sep(X, mats['wM'], mats['BM'], badM, mats['CM'])
                 LX0 = sep(X, mats['wL'], mats['BL'], badL, mats['CL'])
             else:
-                X = state_flat[pencil.var_index_map_dev]
+                X = pencil.gather_state(state_flat)
                 MX0 = ops_solve.batched_matvec(mats['M'], X)
                 LX0 = ops_solve.batched_matvec(mats['L'], X)
             F0 = solver.traced_F(state_flat, t)
-            # Push new entries (index 0 most recent)
-            MXh = jnp.concatenate([MX0[None], MXh[:-1]])
-            LXh = jnp.concatenate([LX0[None], LXh[:-1]])
-            Fh = jnp.concatenate([F0[None], Fh[:-1]])
+            # Push new entries (index 0 most recent); keep histories
+            # group-sharded so the scan carry sharding is stable
+            cp = solver.dist.constrain_pencils
+            MXh = cp(jnp.concatenate([MX0[None], MXh[:-1]]), g_dim=1)
+            LXh = cp(jnp.concatenate([LX0[None], LXh[:-1]]), g_dim=1)
+            Fh = cp(jnp.concatenate([F0[None], Fh[:-1]]), g_dim=1)
             # RHS = sum_j c[j+1] F(n-j) - a[j+1] M X(n-j) - b[j+1] L X(n-j)
             RHS = (jnp.einsum('j,jgr->gr', c[1:], Fh)
                    - jnp.einsum('j,jgr->gr', a[1:], MXh)
@@ -524,14 +533,14 @@ class RungeKuttaIMEX(TimestepperBase):
         solve_fn, self._fact_args = self._solve_fn_and_args()
 
         def step_impl(state_flat, t0, k, stage_s1, stage_s2, Mmat, Lmat):
-            X = state_flat[gather_map]
+            X = pencil.gather_state(state_flat)
             MX0 = ops_solve.batched_matvec(Mmat, X)
             LX = [ops_solve.batched_matvec(Lmat, X)]
             F = []
             state = state_flat
             for i in range(1, stages + 1):
                 if i > 1:
-                    Xi = state[gather_map]
+                    Xi = pencil.gather_state(state)
                     LX.append(ops_solve.batched_matvec(Lmat, Xi))
                 F.append(solver.traced_F(state, t0 + k * c[i - 1]))
                 RHS = MX0
@@ -561,7 +570,8 @@ class RungeKuttaIMEX(TimestepperBase):
                 _, self._fact_args = self._solve_fn_and_args()
             s1 = jnp.stack([self._fact_args(f)[0] for f in facts])
             s2 = jnp.stack([self._fact_args(f)[1] for f in facts])
-            self._stage_stack_cache[k] = (s1, s2)
+            self._stage_stack_cache[k] = solver.dist.device_put_pencils(
+                (s1, s2), pencil.G, g_dim=1)
         s1, s2 = self._stage_stack_cache[k]
         if not hasattr(self, '_scan_cache'):
             self._scan_cache = {}
@@ -579,8 +589,9 @@ class RungeKuttaIMEX(TimestepperBase):
             self._scan_cache[n_steps] = jax.jit(run)
         state_flat = solver.state_flat()
         t0 = jnp.asarray(solver.sim_time)
-        state, t = self._scan_cache[n_steps](state_flat, t0, s1, s2, k,
-                                             pencil.matrices['M'], pencil.matrices['L'])
+        ML = solver.dist.device_put_pencils(
+            (pencil.matrices['M'], pencil.matrices['L']), pencil.G)
+        state, t = self._scan_cache[n_steps](state_flat, t0, s1, s2, k, *ML)
         pencil.unflatten_fields(state, solver.state)
         solver.sim_time = solver.sim_time + k * n_steps
         solver.iteration += n_steps
@@ -597,15 +608,17 @@ class RungeKuttaIMEX(TimestepperBase):
             facts = [self._get_stage_factor(k * self.H[i, i]) for i in range(1, self.stages + 1)]
             s1 = jnp.stack([self._fact_args(f)[0] for f in facts])
             s2 = jnp.stack([self._fact_args(f)[1] for f in facts])
-            self._stage_stack_cache[k] = (s1, s2)
+            self._stage_stack_cache[k] = solver.dist.device_put_pencils(
+                (s1, s2), pencil.G, g_dim=1)
         s1, s2 = self._stage_stack_cache[k]
         if getattr(solver, 'evaluator', None) is not None and solver.evaluator.handlers:
             solver.evaluator.evaluate_scheduled(
                 iteration=solver.iteration, wall_time=wall_time,
                 sim_time=solver.sim_time, timestep=dt)
         state_flat = solver.state_flat()
-        new_state = self._compiled(state_flat, jnp.asarray(solver.sim_time), k, s1, s2,
-                                   pencil.matrices['M'], pencil.matrices['L'])
+        ML = solver.dist.device_put_pencils(
+            (pencil.matrices['M'], pencil.matrices['L']), pencil.G)
+        new_state = self._compiled(state_flat, jnp.asarray(solver.sim_time), k, s1, s2, *ML)
         pencil.unflatten_fields(new_state, solver.state)
         solver.sim_time = solver.sim_time + dt
 

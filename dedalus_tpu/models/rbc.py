@@ -8,10 +8,11 @@ import numpy as np
 import dedalus_tpu.public as d3
 
 
-def build_rbc_problem(Nx, Nz, Rayleigh=1e6, Prandtl=1.0, Lx=4.0, Lz=1.0, dealias=1.5):
+def build_rbc_problem(Nx, Nz, Rayleigh=1e6, Prandtl=1.0, Lx=4.0, Lz=1.0, dealias=1.5,
+                      mesh=None):
     """Standard RBC IVP (reference examples/ivp_2d_rayleigh_benard)."""
     coords = d3.CartesianCoordinates('x', 'z')
-    dist = d3.Distributor(coords, dtype=np.float64)
+    dist = d3.Distributor(coords, dtype=np.float64, mesh=mesh)
     xbasis = d3.RealFourier(coords['x'], size=Nx, bounds=(0, Lx), dealias=dealias)
     zbasis = d3.ChebyshevT(coords['z'], size=Nz, bounds=(0, Lz), dealias=dealias)
     p = dist.Field(name='p', bases=(xbasis, zbasis))

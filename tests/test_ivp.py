@@ -333,3 +333,35 @@ def test_multistep_history_uniform_scan_guard():
     exact = np.exp(-nu * kmode**2 * 50e-3) * np.sin(kmode * x)
     err = np.abs(np.array(u['g']) - exact).max()
     assert err < 5e-5
+
+
+def test_real_drift_free_and_hermitian_enforcement():
+    """Long real-Fourier run: redundant mode slots (mean-mode sin parts)
+    must stay at roundoff through the compiled scan, and
+    enforce_hermitian_symmetry must scrub injected junk
+    (parity: reference solvers.py:675-681,705-708)."""
+    from dedalus_tpu.models.rbc import build_rbc_problem
+    problem, ctx = build_rbc_problem(16, 8, Rayleigh=1e4)
+    solver = problem.build_solver(d3.SBDF2)
+    assert solver.enforce_real_cadence == 100
+    b = ctx['b']
+    z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
+    Lz = ctx['Lz']
+    b.fill_random('g', seed=3, distribution='normal', scale=1e-3)
+    b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+    solver.run_steps(1e-3, 2000)
+    X = np.asarray(solver.pencil.gather_state(solver.state_flat()))
+    invalid = ~solver.pencil.col_valid
+    scale = np.abs(X).max()
+    assert np.isfinite(X).all()
+    assert np.abs(X[invalid]).max() < 1e-13 * scale
+    # Inject junk into a redundant slot and scrub it
+    u = ctx['u']
+    u.require_coeff_space()
+    data = np.array(u.data)
+    data[0, 1, :] += 1.0  # -sin part of the kx=0 mode (redundant)
+    u['c'] = data
+    solver.enforce_hermitian_symmetry(solver.state)
+    u.require_coeff_space()
+    u.change_scales(1)
+    assert np.abs(np.array(u.data)[0, 1, :]).max() < 1e-14

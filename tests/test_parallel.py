@@ -2,24 +2,26 @@
 Distributed-execution tests on a virtual 8-device CPU mesh (mirrors the
 reference's dedalus/tests_parallel strategy of real small meshes).
 
-The distributed RBC step (pencils sharded over kx, all_to_all transposes)
-must reproduce the serial solver's state exactly.
+Any problem built through the PUBLIC API with `Distributor(..., mesh=...)`
+must run distributed via solver.run_steps / solver.step and reproduce the
+serial solver's state: pencil groups shard over the mesh (embarrassingly
+parallel solves; ref subsystems.py:34-53), and layout moves inside the traced
+step apply sharding constraints so XLA emits the all_to_all transposes that
+replace the reference's MPI transposes (transposes.pyx:248).
 """
 
 import numpy as np
 import pytest
 import jax
-from jax.sharding import Mesh
 
 import dedalus_tpu.public as d3
-from dedalus_tpu.parallel.rbc import DistributedRBC
 from dedalus_tpu.models.rbc import build_rbc_problem
 from dedalus_tpu.parallel.transpose import localize_axis
 
 
 def test_all_to_all_transpose_roundtrip():
     from jax import shard_map
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import Mesh, PartitionSpec as P
     devs = np.array(jax.devices()[:8])
     mesh = Mesh(devs, ('x',))
     rng = np.random.default_rng(0)
@@ -35,29 +37,109 @@ def test_all_to_all_transpose_roundtrip():
     assert np.allclose(np.array(out), A)
 
 
-@pytest.mark.parametrize("n_steps", [3])
-def test_distributed_rbc_matches_serial(n_steps):
-    Nx, Nz = 32, 16
-    dt = 1e-3
-    devs = np.array(jax.devices()[:8])
-    mesh = Mesh(devs, ('x',))
-    dist_rbc = DistributedRBC(Nx, Nz, mesh, Rayleigh=1e5, dt=dt)
-    X0 = dist_rbc.initial_state(seed=42)
-    #
-
-    # Serial reference: same problem, same scheme, same ICs
-    problem, ctx = build_rbc_problem(Nx, Nz, Rayleigh=1e5)
+def _run_rbc(mesh, n_steps, use_run_steps):
+    problem, ctx = build_rbc_problem(32, 16, Rayleigh=1e5, mesh=mesh)
     solver = problem.build_solver(d3.SBDF2)
     b = ctx['b']
     z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
     Lz = ctx['Lz']
     b.fill_random('g', seed=42, distribution='normal', scale=1e-3)
     b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
-    for _ in range(n_steps):
-        solver.step(dt)
-    X_serial = np.asarray(solver.pencil.gather_state(solver.state_flat()))
+    dt = 1e-3
+    if use_run_steps:
+        solver.run_steps(dt, n_steps)
+    else:
+        for _ in range(n_steps):
+            solver.step(dt)
+    return np.asarray(solver.state_flat()), solver
 
-    X_dist = np.asarray(dist_rbc.run(X0, n_steps))
-    err = np.abs(X_dist - X_serial).max()
-    scale = np.abs(X_serial).max()
-    assert err < 1e-12 * max(1, scale), f"distributed/serial mismatch: {err}"
+
+@pytest.mark.parametrize("use_run_steps", [True, False])
+def test_distributed_rbc_matches_serial(use_run_steps):
+    """RBC via the public API on an 8-device mesh == serial to roundoff."""
+    s, _ = _run_rbc(None, 5, use_run_steps)
+    d, solver = _run_rbc((8,), 5, use_run_steps)
+    err = np.abs(s - d).max()
+    assert err < 1e-12 * max(1, np.abs(s).max()), f"mismatch: {err}"
+    # The big per-group stacks must actually be distributed over the mesh
+    ts = solver.timestepper
+    assert ts.MX.sharding.spec[1] is not None or len(jax.devices()) == 1
+
+
+def test_distributed_step_has_collectives():
+    """The compiled distributed scan must contain real ICI collectives
+    (all_to_all transposes from the layout constraints)."""
+    import jax.numpy as jnp
+    d, solver = _run_rbc((8,), 3, True)
+    ts = solver.timestepper
+    fact = ts._get_factorized(*list(ts._factorized)[0])
+    mats = ts._step_mats(fact)
+    fn = next(iter(ts._scan_cache.values()))
+    a = jnp.zeros(3)
+    txt = fn.lower(solver.state_flat(), jnp.asarray(0.0), ts.MX, ts.LX, ts.F,
+                   a, a, a, 1e-3, mats).compile().as_text()
+    assert txt.count("all-to-all") >= 2  # x-transposes each way
+
+
+def test_distributed_shell_ivp_matches_serial():
+    """A curvilinear (shell) nonlinear IVP distributes through the same
+    general facility: m-groups shard over the mesh."""
+    from dedalus_tpu.core.timesteppers import SBDF2
+
+    def run(mesh, n_steps=5):
+        coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+        dist = d3.Distributor(coords, dtype=np.float64, mesh=mesh)
+        shell = d3.ShellBasis(coords, (8, 4, 12), radii=(1, 2),
+                              dtype=np.float64, dealias=1.5)
+        f = dist.Field(name='f', bases=shell)
+        tau1 = dist.Field(name='tau1', bases=shell.outer_surface)
+        tau2 = dist.Field(name='tau2', bases=shell.outer_surface)
+        lift = lambda A, i: d3.Lift(A, shell, i)
+        problem = d3.IVP([f, tau1, tau2], namespace=locals())
+        problem.add_equation("dt(f) - lap(f) + lift(tau1, -1) + lift(tau2, -2) = - f*f")
+        problem.add_equation("f(r=1) = 0")
+        problem.add_equation("f(r=2) = 0")
+        solver = problem.build_solver(SBDF2)
+        phi, theta, r = dist.local_grids(shell, scales=1)
+        x = r * np.sin(theta) * np.cos(phi)
+        f.change_scales(1)
+        f['g'] = 0.1 * x * (r - 1) * (2 - r)
+        solver.run_steps(1e-3, n_steps)
+        return np.asarray(solver.state_flat())
+
+    s = run(None)
+    d = run((4,))
+    err = np.abs(s - d).max()
+    assert err < 1e-13, f"shell distributed mismatch: {err}"
+
+
+def test_distributed_2d_mesh_3d_problem():
+    """A 2D process mesh over a 3D Cartesian problem (ref tests_parallel
+    2x2-mesh style)."""
+    from dedalus_tpu.core.timesteppers import SBDF2
+
+    def run(mesh, n_steps=4):
+        coords = d3.CartesianCoordinates('x', 'y', 'z')
+        dist = d3.Distributor(coords, dtype=np.float64, mesh=mesh)
+        xb = d3.RealFourier(coords['x'], size=8, bounds=(0, 2 * np.pi), dealias=1.5)
+        yb = d3.RealFourier(coords['y'], size=8, bounds=(0, 2 * np.pi), dealias=1.5)
+        zb = d3.ChebyshevT(coords['z'], size=8, bounds=(0, 1), dealias=1.5)
+        u = dist.Field(name='u', bases=(xb, yb, zb))
+        tau1 = dist.Field(name='tau1', bases=(xb, yb))
+        tau2 = dist.Field(name='tau2', bases=(xb, yb))
+        lift = lambda A, i: d3.Lift(A, zb.derivative_basis(2), i)
+        problem = d3.IVP([u, tau1, tau2], namespace=locals())
+        problem.add_equation("dt(u) - lap(u) + lift(tau1, -1) + lift(tau2, -2) = - u*u")
+        problem.add_equation("u(z=0) = 0")
+        problem.add_equation("u(z=1) = 0")
+        solver = problem.build_solver(SBDF2)
+        x, y, z = dist.local_grids(xb, yb, zb, scales=1)
+        u.change_scales(1)
+        u['g'] = 0.1 * np.sin(x) * np.cos(y) * z * (1 - z)
+        solver.run_steps(1e-3, n_steps)
+        return np.asarray(solver.state_flat())
+
+    s = run(None)
+    d = run((2, 2))
+    err = np.abs(s - d).max()
+    assert err < 1e-13, f"2D-mesh distributed mismatch: {err}"
