@@ -12,11 +12,144 @@ Subproblem, valid-mode filtering, squareness). TPU-first redesign:
     static int32 index maps (XLA gathers), built once at solver setup.
 """
 
+import logging
+
 import numpy as np
 import jax.numpy as jnp
 from scipy import sparse
 
 from ..utils.general import prod
+from ..utils.config import config
+
+logger = logging.getLogger(__name__)
+
+
+class SeparableMatrixStack:
+    """
+    Exact polynomial-in-group-wavenumber representation of a (G, P, P) pencil
+    stack: A[g] = sum_p ghat[g]^p B_p for generic groups, with exceptional
+    groups (special validity patterns: mean mode, Nyquist) stored exactly.
+
+    This is the memory- and time-scalable form of the reference's per-pencil
+    sparse matrices (ref subsystems.py:497-552): at 2048^2 RBC only ~10 groups
+    are ever assembled and storage is O((d+1) nnz), not O(G P^2).
+    """
+
+    def __init__(self, G, shape, B_sparse, ghat, bad):
+        self.G = G
+        self.shape = shape              # (R, C)
+        self.B = B_sparse               # list of scipy CSR, length d+1
+        self.ghat = np.asarray(ghat)    # (G,)
+        self.bad = dict(bad)            # {g: exact scipy CSR}
+        self.degree = len(B_sparse) - 1
+
+    def weights(self):
+        """(G, d+1) Vandermonde evaluation weights (zeroed on bad groups)."""
+        W = np.vander(self.ghat, self.degree + 1, increasing=True)
+        for g in self.bad:
+            W[g] = 0.0
+        return W
+
+    def dense_B(self, dtype=np.float64):
+        return np.stack([np.asarray(Bp.todense(), dtype=dtype) for Bp in self.B])
+
+    def group(self, g):
+        """Exact scipy CSR for one group."""
+        if g in self.bad:
+            return self.bad[g]
+        x = self.ghat[g]
+        A = self.B[0].copy()
+        for p in range(1, len(self.B)):
+            A = A + (x ** p) * self.B[p]
+        return A.tocsr()
+
+    def __len__(self):
+        return self.G
+
+    def __getitem__(self, g):
+        return self.group(g)
+
+    def __iter__(self):
+        return (self.group(g) for g in range(self.G))
+
+
+class LazyCombined:
+    """
+    Lazy linear combination sum_i c_i * stack_i of separable pencil stacks
+    with identity pivots installed, exposed to the matsolvers without ever
+    materializing a dense (G, P, P) array. The TPU-scalable replacement for
+    the reference's per-group `a*M + b*L` expanded-matrix path
+    (ref subsystems.py:568-600, timesteppers.py:174-180).
+    """
+
+    def __init__(self, pencil, coeffs):
+        self.pencil = pencil
+        self.coeffs = {k: float(v) for k, v in coeffs.items()}
+        self.G = pencil.G
+        self.P = pencil.R
+        self.shape = (self.G, self.P, self.P)
+        self.dtype = pencil.dtype
+
+    def group(self, g):
+        """Dense (P, P) combined matrix for one group, pivots installed."""
+        pencil = self.pencil
+        A = None
+        for name, c in self.coeffs.items():
+            term = c * pencil.matrices_scipy[name][g]
+            A = term if A is None else A + term
+        A = np.asarray(A.todense())
+        inv_rows, inv_cols = pencil.pivot_pairs[g]
+        A[inv_rows, inv_cols] = 1.0
+        return A
+
+    def __getitem__(self, g):
+        return self.group(g)
+
+    def poly_form(self):
+        """
+        Combined separable form with pivots: dict(weights (G, d+1),
+        B (d+1, P, P) dense f64, bad_idx, Abad (nbad, P, P)).
+        Generic groups share one pivot pattern (installed into B_0, whose
+        weight is 1 for every group); groups whose pivot pattern differs are
+        exceptional and stored exactly.
+        """
+        pencil = self.pencil
+        seps = pencil.separable
+        if seps is None:
+            raise ValueError("pencil has no separable representation")
+        degree = max(seps[name].degree for name in self.coeffs)
+        P = self.P
+        # Combined polynomial coefficient matrices
+        B = np.zeros((degree + 1, P, P))
+        for name, c in self.coeffs.items():
+            s = seps[name]
+            for p, Bp in enumerate(s.B):
+                B[p] += c * np.asarray(Bp.todense())
+        # Bad groups: union of per-stack exceptional groups + pivot deviants
+        bad = set()
+        for name in self.coeffs:
+            bad |= set(seps[name].bad)
+        generic = [g for g in range(self.G) if g not in bad]
+        pat0 = _pivot_key(pencil.pivot_pairs[generic[0]])
+        for g in generic:
+            if _pivot_key(pencil.pivot_pairs[g]) != pat0:
+                bad.add(g)
+        generic = [g for g in range(self.G) if g not in bad]
+        inv_rows, inv_cols = pencil.pivot_pairs[generic[0]]
+        B[0][inv_rows, inv_cols] += 1.0
+        ghat = seps[next(iter(self.coeffs))].ghat
+        W = np.vander(ghat, degree + 1, increasing=True)
+        bad_idx = tuple(sorted(bad))
+        for g in bad_idx:
+            W[g] = 0.0
+        Abad = np.stack([self.group(g) for g in bad_idx]) if bad_idx \
+            else np.zeros((0, P, P))
+        return dict(weights=W, B=B, bad_idx=bad_idx, Abad=Abad, ghat=ghat)
+
+
+def _pivot_key(pair):
+    inv_rows, inv_cols = pair
+    return (tuple(inv_rows.tolist()), tuple(inv_cols.tolist()))
 
 
 class Subproblem:
@@ -277,50 +410,195 @@ class PencilSystem:
 
     # --- matrices ---
 
+    def assemble_group(self, g, names):
+        """Assemble the named matrices for ONE group as masked scipy CSR
+        (the reference's per-subproblem sparse build, subsystems.py:497-552)."""
+        sp = self.subproblems[g]
+        R, C = self.R, self.C
+        Dr = sparse.diags(self.row_valid[g].astype(self.dtype))
+        Dc = sparse.diags(self.col_valid[g].astype(self.dtype))
+        out = {}
+        for name in names:
+            rows, cols, vals = [], [], []
+            for e_i, eq in enumerate(self.equations):
+                expr = eq.get(name)
+                if expr is None or (isinstance(expr, (int, float)) and expr == 0):
+                    continue
+                mats = expr.expression_matrices(sp, self.variables)
+                r0 = self.eq_offsets[e_i]
+                for v_i, var in enumerate(self.variables):
+                    if var in mats:
+                        m = sparse.coo_matrix(mats[var])
+                        rows.append(m.row + r0)
+                        cols.append(m.col + self.var_offsets[v_i])
+                        vals.append(m.data)
+            if rows:
+                A = sparse.csr_matrix(
+                    (np.concatenate(vals),
+                     (np.concatenate(rows), np.concatenate(cols))),
+                    shape=(R, C), dtype=self.dtype)
+            else:
+                A = sparse.csr_matrix((R, C), dtype=self.dtype)
+            A = (Dr @ A @ Dc).tocsr()
+            A.eliminate_zeros()
+            out[name] = A
+        return out
+
     def build_matrices(self, names):
-        """Assemble batched dense stacks (G, R, C) for each named matrix."""
+        """
+        Build the per-group matrices. Small systems get batched dense (G,R,C)
+        device stacks; large systems stay in sparse/separable form. When the
+        stacks are polynomial in the group wavenumber (Fourier-separable
+        problems), only ~10 sampled groups are assembled and the rest are
+        synthesized from an exact, validated polynomial fit.
+        """
         G, R, C = self.G, self.R, self.C
-        self.matrices = {}
-        self.matrices_scipy = {name: [] for name in names}
-        stacks = {name: np.zeros((G, R, C), dtype=self.dtype) for name in names}
-        for g, sp in enumerate(self.subproblems):
-            for name in names:
-                A = stacks[name][g]
-                for e_i, eq in enumerate(self.equations):
-                    expr = eq.get(name)
-                    if expr is None or (isinstance(expr, (int, float)) and expr == 0):
-                        continue
-                    mats = expr.expression_matrices(sp, self.variables)
-                    r0 = self.eq_offsets[e_i]
-                    for v_i, var in enumerate(self.variables):
-                        if var in mats:
-                            c0 = self.var_offsets[v_i]
-                            m = mats[var]
-                            A[r0:r0 + m.shape[0], c0:c0 + m.shape[1]] += m.toarray()
-                # Zero invalid rows and columns
-                A *= self.row_valid[g][:, None]
-                A *= self.col_valid[g][None, :]
-                self.matrices_scipy[name].append(sparse.csr_matrix(A))
         # Identity pivots pairing invalid rows with invalid columns (all stacks)
         self.pivot_pairs = []
         for g in range(G):
             inv_rows = np.nonzero(~self.row_valid[g])[0]
             inv_cols = np.nonzero(~self.col_valid[g])[0]
             self.pivot_pairs.append((inv_rows, inv_cols))
+        # Sampled separable assembly for large group counts
+        self.separable = None
+        min_groups = config.getint('matrix assembly', 'sampled_min_groups')
+        if G >= min_groups:
+            self.separable = self._try_sampled_assembly(names)
+        if self.separable is not None:
+            self.matrices_scipy = {name: self.separable[name] for name in names}
+        else:
+            groups = [self.assemble_group(g, names) for g in range(G)]
+            self.matrices_scipy = {name: [grp[name] for grp in groups]
+                                   for name in names}
+        # Dense stacks only when affordable (device batched applies / LU)
+        self.matrices = {}
+        self._stacks_np = None
+        max_bytes = config.getfloat('memory', 'max_dense_stack_gb') * 2**30
+        if G * R * C * self.dtype.itemsize <= max_bytes:
+            stacks = {}
+            for name in names:
+                stack = np.zeros((G, R, C), dtype=self.dtype)
+                for g in range(G):
+                    stack[g] = self.matrices_scipy[name][g].toarray()
+                stacks[name] = stack
+                self.matrices[name] = jnp.asarray(stack)
+            self._stacks_np = stacks
+        else:
+            for name in names:
+                self.matrices[name] = None
+            logger.info(
+                f"Pencil stacks (G={G}, P={R}) exceed max_dense_stack_gb; "
+                f"keeping sparse/separable form only")
+
+    def _try_sampled_assembly(self, names):
+        """
+        Assemble only sampled groups and fit A[g] = sum_p ghat^p B_p exactly
+        (entries of Fourier-separable stacks are polynomials in the group
+        wavenumber). Validated against held-out groups; returns None (full
+        assembly) on any mismatch. Exceptional groups (deviant validity
+        patterns: mean mode, Nyquist) are assembled exactly.
+        """
+        G = self.G
+        tol = config.getfloat('matrix assembly', 'sampled_fit_tol')
+        # Groups whose validity pattern deviates from the majority are special
+        pat_keys = {}
+        for g in range(G):
+            key = (self.row_valid[g].tobytes(), self.col_valid[g].tobytes())
+            pat_keys.setdefault(key, []).append(g)
+        majority = max(pat_keys.values(), key=len)
+        special = sorted(set(range(G)) - set(majority))
+        generic = majority
+        max_degree = 6
+        if len(generic) < max_degree + 4 or len(special) > min(G // 4, 32):
+            # Per-group validity (curvilinear triangular truncation) or too
+            # few generic groups: sampled fitting cannot help
+            return None
+        # Fit coordinate: the group wavenumber when exactly one separable
+        # axis carries wavenumbers (entries are polynomials in k; handles
+        # non-monotone ComplexFourier k-ordering), else the group index.
+        wns = [list(sp.group_wavenumbers.values()) for sp in self.subproblems]
+        if all(len(w) == 1 for w in wns):
+            k = np.asarray([w[0] for w in wns], dtype=float)
+            span = max(k.max() - k.min(), 1e-300)
+            ghat = -1 + 2 * (k - k.min()) / span
+        else:
+            ghat = np.linspace(-1, 1, G)
+        # Fit samples spread over the generic groups + 2 held-out validators
+        order = sorted(range(len(generic)), key=lambda i: ghat[generic[i]])
+        generic_sorted = [generic[i] for i in order]
+        idx = np.linspace(0, len(generic_sorted) - 1, max_degree + 1).round().astype(int)
+        fit_groups = [generic_sorted[i] for i in sorted(set(idx))]
+        val_pool = [g for g in generic_sorted if g not in fit_groups]
+        val_groups = [val_pool[len(val_pool) // 3], val_pool[2 * len(val_pool) // 3]]
+        assembled = {g: self.assemble_group(g, names)
+                     for g in set(fit_groups) | set(val_groups) | set(special)}
+        out = {}
         for name in names:
-            self.matrices[name] = jnp.asarray(stacks[name])
-        self._stacks_np = stacks
+            # Union sparsity pattern over the fit samples
+            U = sum(abs(assembled[g][name]) for g in fit_groups).tocsr()
+            U.sum_duplicates()
+            U.sort_indices()
+            Ucoo = U.tocoo()
+            nnz = Ucoo.nnz
+
+            def aligned_vals(A):
+                return np.asarray(A[Ucoo.row, Ucoo.col]).ravel()
+
+            fit_vals = np.stack([aligned_vals(assembled[g][name])
+                                 for g in fit_groups])  # (nfit, nnz)
+            scale = max(np.abs(fit_vals).max(), 1e-300)
+            sep = None
+            for d in range(1, max_degree + 1):
+                sub = np.linspace(0, len(fit_groups) - 1, d + 1).round().astype(int)
+                sub = sorted(set(sub))
+                if len(sub) < d + 1:
+                    continue
+                gs = [fit_groups[i] for i in sub]
+                V = np.vander(ghat[gs], d + 1, increasing=True)
+                try:
+                    Vi = np.linalg.inv(V)
+                except np.linalg.LinAlgError:
+                    continue
+                Bvals = Vi @ fit_vals[sub]  # (d+1, nnz)
+                # Validate on fit samples not used + held-out groups
+                ok = True
+                for g in fit_groups + val_groups:
+                    w = np.vander(ghat[[g]], d + 1, increasing=True)[0]
+                    recon = w @ Bvals
+                    if np.abs(recon - aligned_vals(assembled[g][name])).max() > tol * scale:
+                        ok = False
+                        break
+                if ok:
+                    B_sparse = [sparse.csr_matrix(
+                        (Bvals[p], (Ucoo.row, Ucoo.col)), shape=U.shape)
+                        for p in range(d + 1)]
+                    bad = {g: assembled[g][name] for g in special}
+                    sep = SeparableMatrixStack(G, U.shape, B_sparse, ghat, bad)
+                    break
+            if sep is None:
+                logger.info(f"Sampled assembly: stack '{name}' is not "
+                            f"polynomial in the group index; full assembly")
+                return None
+            out[name] = sep
+        logger.info(
+            f"Sampled separable assembly: {len(assembled)} of {G} groups "
+            f"assembled (degrees {[out[n].degree for n in names]}, "
+            f"{len(special)} exceptional)")
+        return out
 
     def combined_with_pivots(self, coeffs):
-        """Dense stack sum_i coeffs[i] * matrix_i with identity pivots installed."""
-        A = None
-        for name, c in coeffs.items():
-            term = c * self._stacks_np[name]
-            A = term if A is None else A + term
-        A = A.copy()
-        for g, (inv_rows, inv_cols) in enumerate(self.pivot_pairs):
-            A[g, inv_rows, inv_cols] = 1.0
-        return A
+        """sum_i coeffs[i] * matrix_i with identity pivots installed: a dense
+        (G,P,P) stack when small, else a LazyCombined provider."""
+        if self._stacks_np is not None:
+            A = None
+            for name, c in coeffs.items():
+                term = c * self._stacks_np[name]
+                A = term if A is None else A + term
+            A = A.copy()
+            for g, (inv_rows, inv_cols) in enumerate(self.pivot_pairs):
+                A[g, inv_rows, inv_cols] = 1.0
+            return A
+        return LazyCombined(self, coeffs)
 
     # --- gather / scatter (device, jit-safe) ---
 

@@ -98,13 +98,35 @@ class MultistepIMEX(TimestepperBase):
         self._compiled = None
 
     def _poly_ml(self):
-        """Host-fit separable (GEMM) forms of the M and L stacks (cached)."""
+        """Separable (GEMM) forms of the M and L stacks (cached): exact from
+        the sampled assembly when present, else host-fit from the dense
+        stacks."""
         if not hasattr(self, '_poly_ml_cache'):
-            pm = ops_solve.fit_separable_stack(np.asarray(self.pencil.matrices['M']))
-            pl = ops_solve.fit_separable_stack(np.asarray(self.pencil.matrices['L']))
-            if pm is None or pl is None:
-                raise ValueError("M/L stacks are not separable in the group index")
-            self._poly_ml_cache = (pm, pl)
+            pencil = self.pencil
+            if getattr(pencil, 'separable', None) is not None:
+                out = []
+                for name in ('M', 'L'):
+                    s = pencil.separable[name]
+                    B = s.dense_B()
+                    Bcat = np.concatenate([B[p].T for p in range(B.shape[0])], axis=1)
+                    bad_idx = tuple(sorted(s.bad))
+                    Abad = (np.stack([np.asarray(s.bad[g].todense()) for g in bad_idx])
+                            if bad_idx else np.zeros((0,) + s.shape))
+                    out.append(dict(weights=jnp.asarray(s.weights()),
+                                    Bcat=jnp.asarray(Bcat),
+                                    bad_idx=bad_idx,
+                                    Abad=jnp.asarray(Abad)))
+                self._poly_ml_cache = tuple(out)
+            else:
+                if self.pencil.matrices['M'] is None:
+                    raise ValueError(
+                        "pencil stacks are too large for dense storage and "
+                        "have no separable structure")
+                pm = ops_solve.fit_separable_stack(np.asarray(self.pencil.matrices['M']))
+                pl = ops_solve.fit_separable_stack(np.asarray(self.pencil.matrices['L']))
+                if pm is None or pl is None:
+                    raise ValueError("M/L stacks are not separable in the group index")
+                self._poly_ml_cache = (pm, pl)
         return self._poly_ml_cache
 
     def _prepare(self, a0, b0):
@@ -112,6 +134,12 @@ class MultistepIMEX(TimestepperBase):
         poly matsolver to inverse_refined when the problem has no separable
         structure (curvilinear m-dependent stacks, tiny group counts)."""
         solver = self.solver
+        if self.pencil.matrices.get('M') is None and solver.matsolver != 'poly':
+            import logging
+            logging.getLogger(__name__).info(
+                "pencil stacks too large for dense matsolver '%s'; using poly",
+                solver.matsolver)
+            solver.matsolver = 'poly'
         while True:
             try:
                 fact = self._get_factorized(a0, b0)

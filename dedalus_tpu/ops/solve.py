@@ -265,10 +265,20 @@ def separable_apply(X, weights, Bcat, bad_idx=(), Abad=None):
 
 
 class FactorizedStack:
-    """A factorized (G,P,P) stack with a device solve method."""
+    """A factorized (G,P,P) stack with a device solve method. `A` is either a
+    dense ndarray stack or a lazy provider exposing `poly_form()` (large
+    systems where the dense stack must never materialize)."""
 
     def __init__(self, A, method='lu'):
         self.method = method
+        if not isinstance(A, (np.ndarray, jnp.ndarray)) and hasattr(A, 'poly_form'):
+            if method != 'poly':
+                raise ValueError(
+                    f"matsolver '{method}' needs dense (G,P,P) stacks, which "
+                    f"exceed the configured memory limit here; use "
+                    f"matsolver='poly'")
+            self._build_poly_from_form(A.poly_form())
+            return
         if method == 'lu':
             self.lu, self.perm = host_lu_factor_stack(A)
         elif method in ('inverse', 'inverse_refined', 'mixed', 'matrix_free'):
@@ -281,6 +291,102 @@ class FactorizedStack:
             self._build_poly(np.asarray(A))
         else:
             raise ValueError(f"Unknown solve method: {method}")
+
+    def _build_poly_from_form(self, pf, target=1e-15, max_refinements=12):
+        """
+        Poly solve from an EXACT separable form (no fitting): Chebyshev-
+        interpolated inverse preconditioner with node inverses computed ON
+        DEVICE in f32 (batched getri on the MXU — the host here is a single
+        core, minutes per P~4k inverse) + f64 refinement against the exact
+        separable A.
+        """
+        W = np.asarray(pf['weights'])
+        B = np.asarray(pf['B'])                  # (d+1, P, P) f64
+        bad_idx = tuple(pf['bad_idx'])
+        Abad = np.asarray(pf['Abad'])
+        ghat = np.asarray(pf['ghat'])
+        G = W.shape[0]
+        P = B.shape[1]
+        Bcat = np.concatenate([B[p].T for p in range(B.shape[0])], axis=1)
+        self.polyA = dict(weights=jnp.asarray(W), Bcat=jnp.asarray(Bcat),
+                          bad_idx=bad_idx, Abad=jnp.asarray(Abad))
+        good = [g for g in range(G) if g not in bad_idx]
+        x = ghat[good]
+        x0, x1 = float(x.min()), float(x.max())
+        h = max(np.diff(np.sort(x)).min(), 1e-12) if len(x) > 1 else 1.0
+
+        def u_of(xv):
+            # Log map: the polynomial extension of A is typically singular at
+            # the mean mode (k=0); interpolating the inverse in log-distance
+            # from the smallest good wavenumber keeps the resolvent pole far
+            # outside the interpolation interval.
+            return np.log(xv - x0 + h)
+
+        u_lo, u_hi = u_of(x0), u_of(x1)
+        span = max(u_hi - u_lo, 1e-12)
+        B_dev = jnp.asarray(B)  # f64 on device for node evaluation
+
+        def A_eval_dev(xv):
+            powers = jnp.asarray([xv ** p for p in range(B.shape[0])])
+            return jnp.einsum('p,pij->ij', powers, B_dev)
+
+        rho = None
+        rng = np.random.default_rng(12345)
+        probes = good[:: max(1, len(good) // 4)][:4]
+        for q in (16, 24, 32, 48):
+            q = min(q, max(4, 2 * G))
+            t_nodes = np.cos((2 * np.arange(q) + 1) * np.pi / (2 * q))
+            u_nodes = u_lo + (t_nodes + 1) * span / 2
+            x_nodes = x0 - h + np.exp(u_nodes)
+            # Node inverses on device, f32 (preconditioner precision)
+            invs = []
+            for xv in x_nodes:
+                An = A_eval_dev(float(xv)).astype(jnp.float32)
+                invs.append(jnp.linalg.inv(An))
+            inv_nodes = jnp.stack(invs)                      # (q, P, P) f32
+            Tn = np.cos(np.outer(np.arange(q), np.arccos(t_nodes)))
+            coeffs = (2.0 / q) * jnp.einsum(
+                'cn,nab->cab', jnp.asarray(Tn, dtype=jnp.float32), inv_nodes)
+            coeffs = coeffs.at[0].divide(2.0)
+            Wq = np.zeros((G, q))
+            for g in good:
+                t = np.clip(2 * (u_of(ghat[g]) - u_lo) / span - 1, -1, 1)
+                Wq[g] = np.cos(np.arange(q) * np.arccos(t))
+            # Contraction factor: power iteration on R = I - P(g) A(g)
+            rho = 0.0
+            for g in probes:
+                Pg = jnp.einsum('q,qab->ab',
+                                jnp.asarray(Wq[g], dtype=jnp.float32), coeffs)
+                Ag = A_eval_dev(float(ghat[g]))
+                v = jnp.asarray(rng.standard_normal(P))
+                growth = 1.0
+                for _ in range(8):
+                    w = v - (Pg.astype(jnp.float64) @ (Ag @ v))
+                    nw = float(jnp.linalg.norm(w))
+                    nv = float(jnp.linalg.norm(v))
+                    growth = nw / max(nv, 1e-300)
+                    if nw < 1e-280:
+                        break
+                    v = w / nw
+                rho = max(rho, growth)
+            if rho < 0.3:
+                break
+        if rho >= 1.0:
+            raise ValueError(
+                f"Chebyshev inverse preconditioner diverges (rho={rho:.2f})")
+        pre = dict(weights=jnp.asarray(Wq),
+                   Bcat=jnp.concatenate(
+                       [coeffs[j].T for j in range(coeffs.shape[0])], axis=1),
+                   bad_idx=bad_idx)
+        if len(bad_idx):
+            pre['Abad'] = jnp.linalg.inv(jnp.asarray(Abad, dtype=jnp.float32))
+        else:
+            pre['Abad'] = jnp.zeros((0, P, P), dtype=jnp.float32)
+        self.pre = pre
+        rate = max(rho, 1e-6)
+        self.refinements = int(np.clip(
+            np.ceil(np.log(target) / np.log(rate)) - 1, 1, max_refinements))
+        self.rho = rho
 
     def _build_poly(self, A, target=1e-15, max_refinements=12):
         """

@@ -41,6 +41,18 @@ DEFAULTS = {
     },
     'memory': {
         'cache_transform_matrices': 'True',
+        # Dense (G,P,P) pencil stacks are only materialized below this size;
+        # larger systems stay in sparse/separable form (sampled assembly +
+        # lazy combination), which is required at e.g. 2048^2 RBC scale.
+        'max_dense_stack_gb': '2.0',
+    },
+    'matrix assembly': {
+        # Assemble only ~10 sampled groups and synthesize the rest from an
+        # exact polynomial fit in the group wavenumber when G is at least
+        # this large (validated against held-out groups; falls back to full
+        # per-group assembly on any mismatch).
+        'sampled_min_groups': '24',
+        'sampled_fit_tol': '1e-10',
     },
     'profiling': {
         'default_profile': 'False',

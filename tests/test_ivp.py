@@ -365,3 +365,42 @@ def test_real_drift_free_and_hermitian_enforcement():
     u.require_coeff_space()
     u.change_scales(1)
     assert np.abs(np.array(u.data)[0, 1, :]).max() < 1e-14
+
+
+def test_sampled_assembly_lazy_poly_matches_dense_lu():
+    """Force the large-system path (sampled separable assembly, no dense
+    (G,P,P) stacks, lazy combined poly solve with device-built
+    preconditioner) on a small RBC problem and check the trajectory against
+    the ordinary dense-LU path."""
+    from dedalus_tpu.models.rbc import build_rbc_problem
+    from dedalus_tpu.utils.config import config
+
+    def run(force_lazy):
+        old_gb = config.get('memory', 'max_dense_stack_gb')
+        old_min = config.get('matrix assembly', 'sampled_min_groups')
+        try:
+            if force_lazy:
+                config.set('memory', 'max_dense_stack_gb', '0')
+                config.set('matrix assembly', 'sampled_min_groups', '8')
+            problem, ctx = build_rbc_problem(32, 16, Rayleigh=1e5)
+            solver = problem.build_solver(
+                d3.SBDF2, matsolver='poly' if force_lazy else 'lu')
+            if force_lazy:
+                assert solver.pencil.separable is not None
+                assert solver.pencil.matrices['M'] is None
+            b = ctx['b']
+            z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
+            Lz = ctx['Lz']
+            b.fill_random('g', seed=42, distribution='normal', scale=1e-3)
+            b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+            solver.run_steps(1e-3, 20)
+            assert solver.matsolver == ('poly' if force_lazy else 'lu')
+            return np.asarray(solver.state_flat())
+        finally:
+            config.set('memory', 'max_dense_stack_gb', old_gb)
+            config.set('matrix assembly', 'sampled_min_groups', old_min)
+
+    ref = run(False)
+    lazy = run(True)
+    err = np.abs(ref - lazy).max()
+    assert err < 1e-11 * max(1, np.abs(ref).max()), f"lazy path mismatch: {err}"
