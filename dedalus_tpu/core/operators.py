@@ -1001,6 +1001,139 @@ def _operand_call(self, **kw):
     return out
 
 
+
+class AdvectiveCFL(Future):
+    """
+    Scalar advective grid-crossing frequency of a velocity vector, with the
+    correct metric per geometry (parity: operators.py:4342 AdvectiveCFL +
+    basis.py:6078-6207 per-geometry cfl_spacing):
+
+      Cartesian: |u_i| / dx_i, Fourier spacing L/N, Chebyshev spacing
+                 ~ sin(theta) pi L / (2 N) (fine near walls);
+      Polar:     |u_phi| m_max / r  +  |u_r| / dr  (r -> radius on the disk);
+      S2:        |u| sqrt(Lmax (Lmax+1)) / r;
+      Ball/Shell: S2 angular frequency + |u_r| / dr.
+    """
+
+    name = 'cfl'
+
+    def __init__(self, operand, coordsys=None):
+        operand = as_operand(operand)
+        if len(operand.tensorsig) != 1:
+            raise ValueError("Velocity must be a vector")
+        self.coordsys = coordsys if coordsys is not None else operand.tensorsig[0]
+        super().__init__(operand)
+
+    def _init_metadata(self):
+        op = self._operands[0]
+        self.tensorsig = ()
+        self.dtype = op.dtype
+        self.domain = op.domain
+
+    @property
+    def operand(self):
+        return self._operands[0]
+
+    def new_operands(self, operand):
+        return AdvectiveCFL(operand, self.coordsys)
+
+    def is_linear_in(self, vars):
+        return False
+
+    def _axis_shape(self, data_ndim, axis, n):
+        shape = [1] * data_ndim
+        shape[axis] = n
+        return shape
+
+    def _cartesian_freq(self, data):
+        cs = self.coordsys
+        coords_list = cs.coords if hasattr(cs, 'coords') else (cs,)
+        dealias = self.domain.dealias
+        freq = jnp.zeros(data.shape[1:], dtype=jnp.result_type(data.dtype))
+        for i, coord in enumerate(coords_list):
+            axis = coord.axis
+            basis = self.domain.bases[axis]
+            if basis is None:
+                continue
+            tname = type(basis).__name__
+            if tname in ('RealFourier', 'ComplexFourier'):
+                dx = np.asarray(basis.grid_spacing(1)).min()  # L / N
+            elif hasattr(basis, 'a0') and basis.a0 == -0.5 and basis.b0 == -0.5:
+                # Chebyshev: physically meaningful spacing ~ sin(theta) pi/N
+                # at native resolution, shaped on the dealias grid
+                N = basis.grid_size(dealias[axis])
+                theta = np.pi * (np.arange(N) + 0.5) / N
+                stretch = 1.0 / basis.COV.stretch  # problem length / native
+                dx = dealias[axis] * stretch * np.sin(theta) * np.pi / N
+                dx = dx.reshape(self._axis_shape(data.ndim - 1, axis, N))
+            else:
+                dx = np.asarray(basis.grid_spacing(dealias[axis])) * dealias[axis]
+                dx = dx.reshape(self._axis_shape(data.ndim - 1, axis, dx.size))
+            freq = freq + jnp.abs(data[i]) / dx
+        return freq
+
+    def _polar_freq(self, data):
+        bases = [b for b in self.domain.bases if b is not None]
+        azimuth, radial = self.domain.bases[bases[0].coord.axis], bases[-1]
+        dealias = self.domain.dealias
+        r_axis = radial.coord.axis
+        mmax = int(np.max(np.abs(np.asarray(azimuth.wavenumbers)))) if azimuth is not None else 0
+        if mmax == 0:
+            az_freq = 0.0
+        elif type(radial).__name__ == 'DiskRadialBasis':
+            az_freq = jnp.abs(data[0]) * (mmax / radial.radius)
+        else:
+            r = np.asarray(radial.global_grid(dealias[r_axis]))
+            r = r.reshape(self._axis_shape(data.ndim - 1, r_axis, r.size))
+            az_freq = jnp.abs(data[0]) * (mmax / r)
+        dr = np.asarray(radial.grid_spacing(dealias[r_axis])) * dealias[r_axis]
+        dr = dr.reshape(self._axis_shape(data.ndim - 1, r_axis, dr.size))
+        return az_freq + jnp.abs(data[1]) / dr
+
+    def _s2_freq(self, data, r=None):
+        colat = [b for b in self.domain.bases
+                 if type(b).__name__ == 'ColatitudeBasis'][0]
+        Lmax = colat.Lmax
+        u_mag = jnp.sqrt(data[0]**2 + data[1]**2)
+        if Lmax == 0:
+            return jnp.zeros_like(u_mag)
+        if r is None:
+            r = colat.radius
+        return u_mag * (np.sqrt(Lmax * (Lmax + 1)) / r)
+
+    def _spherical_freq(self, data):
+        bases = [b for b in self.domain.bases if b is not None]
+        radial = bases[-1]
+        r_axis = radial.coord.axis
+        dealias = self.domain.dealias
+        if type(radial).__name__ == 'BallRadialBasis':
+            r_eff = radial.radius
+        else:
+            r = np.asarray(radial.global_grid(dealias[r_axis]))
+            r_eff = jnp.asarray(
+                r.reshape(self._axis_shape(data.ndim - 1, r_axis, r.size)))
+        freq = self._s2_freq(data, r=r_eff)
+        dr = np.asarray(radial.grid_spacing(dealias[r_axis])) * dealias[r_axis]
+        dr = dr.reshape(self._axis_shape(data.ndim - 1, r_axis, dr.size))
+        return freq + jnp.abs(data[2]) / dr
+
+    def operate(self, arg_fields):
+        data = arithmetic._to_dealias_grid(arg_fields[0])
+        csname = type(self.coordsys).__name__
+        if csname in ('CartesianCoordinates', 'Coordinate'):
+            freq = self._cartesian_freq(data)
+        elif csname == 'PolarCoordinates':
+            freq = self._polar_freq(data)
+        elif csname == 'S2Coordinates':
+            freq = self._s2_freq(data)
+        elif csname == 'SphericalCoordinates':
+            freq = self._spherical_freq(data)
+        else:
+            raise NotImplementedError(f"AdvectiveCFL for {csname}")
+        return self._build_output(self.dist.grid_layout, freq,
+                                  scales=self.domain.dealias)
+
+
 Operand.__call__ = _operand_call
 
 # Lowercase aliases matching the reference's public names (public.py:1-17)
@@ -1022,6 +1155,6 @@ __all__ = ['Differentiate', 'Gradient', 'Divergence', 'Laplacian', 'Curl', 'Skew
            'Trace', 'TransposeComponents', 'Interpolate', 'Integrate', 'Average',
            'Lift', 'TimeDerivative', 'Component', 'TensorStack', 'Power',
            'UnaryGridFunction', 'GeneralFunction', 'convert',
-           'HilbertTransform', 'Grid', 'Coeff',
+           'HilbertTransform', 'Grid', 'Coeff', 'AdvectiveCFL',
            'grad', 'div', 'curl', 'lap', 'skew', 'trace', 'transpose',
            'integ', 'ave', 'interp', 'dt', 'lift']

@@ -94,10 +94,14 @@ class GlobalFlowProperty:
 
 class CFL:
     """
-    Advective CFL timestep controller (parity: flow_tools.py:139).
+    Advective CFL timestep controller (parity: flow_tools.py:139-233).
 
-    Computes per-point crossing frequencies |u_i| / dx_i on the grid, reduces
-    to a max frequency, and adjusts dt within safety/threshold/change bounds.
+    Frequencies are evaluated on the solver's dictionary-handler schedule,
+    SUMMED per grid point across all registered velocities/frequencies, and
+    the timestep is the reciprocal of the maximum total frequency, scaled by
+    `safety` and clamped by max/min dt and fractional change. `add_velocity`
+    lowers to the per-geometry AdvectiveCFL operator (correct metric on
+    disk/annulus/sphere/ball/shell; ref basis.py:6078-6207).
     """
 
     def __init__(self, solver, initial_dt, cadence=1, safety=1.0, max_dt=np.inf,
@@ -111,67 +115,40 @@ class CFL:
         self.max_change = max_change
         self.min_change = min_change
         self.threshold = threshold
-        self.velocities = []
-        self.frequency_tasks = []
         self.stored_dt = initial_dt
         self.reducer = GlobalArrayReducer()
+        self.frequencies = solver.evaluator.add_dictionary_handler(iter=cadence)
 
     def add_velocity(self, velocity):
-        """Register a velocity vector field for advective frequencies
+        """Grid-crossing frequencies of a velocity vector
         (parity: flow_tools.py:220 -> AdvectiveCFL operator)."""
-        self.velocities.append(velocity)
+        from ..core.operators import AdvectiveCFL
+        if len(velocity.tensorsig) != 1:
+            raise ValueError("Velocity must be a vector")
+        self.add_frequency(AdvectiveCFL(velocity, velocity.tensorsig[0]))
 
     def add_frequency(self, freq):
-        """Register an additional frequency expression (grid field)."""
-        self.frequency_tasks.append(freq)
-
-    def _max_frequency(self):
-        fmax = 0.0
-        for vel in self.velocities:
-            vfield = vel.evaluate() if isinstance(vel, Future) else vel
-            vfield.change_scales(vfield.domain.dealias)
-            vfield.require_grid_space()
-            data = np.asarray(vfield.data)
-            cs = vfield.tensorsig[0]
-            for i, coord in enumerate(cs.coords):
-                axis = coord.axis
-                basis = vfield.domain.bases[axis]
-                if basis is None:
-                    continue
-                dx = np.asarray(basis.grid_spacing(vfield.scales[axis]))
-                shape = [1] * (data.ndim - 1)
-                shape[axis] = dx.size
-                freq = np.abs(data[i]) / dx.reshape(shape)
-                fmax = max(fmax, freq.max())
-        for task in self.frequency_tasks:
-            f = task.evaluate() if isinstance(task, Future) else task
-            f.change_scales(f.domain.dealias)
-            f.require_grid_space()
-            fmax = max(fmax, float(np.abs(np.asarray(f.data)).max()))
-        return fmax
+        """Register an additional on-grid frequency expression."""
+        self.frequencies.add_task(
+            freq, name=f"f{len(self.frequencies.tasks)}", layout='g',
+            scales=freq.domain.dealias)
 
     def compute_timestep(self):
-        """New timestep (parity: flow_tools.py:191 compute_timestep)."""
+        """New timestep (parity: flow_tools.py:191-215): frequencies are
+        summed per grid point BEFORE reciprocating (a multi-term flow crosses
+        cells at the sum of its component rates)."""
         iteration = self.solver.iteration
-        if iteration % self.cadence == 0 and iteration >= self.solver.initial_iteration + 1:
-            fmax = self._max_frequency()
-            if fmax > 0:
-                dt_target = self.safety / fmax
-            else:
-                dt_target = np.inf
-            dt = self.stored_dt
-            # Threshold: only change when fractional difference is significant
-            if self.threshold:
-                if abs(dt_target - dt) / dt > self.threshold:
-                    new_dt = dt_target
-                else:
-                    new_dt = dt
-            else:
-                new_dt = dt_target
-            # Bound the change and the absolute step
-            new_dt = min(new_dt, self.max_change * dt)
-            new_dt = max(new_dt, self.min_change * dt)
-            new_dt = min(new_dt, self.max_dt)
-            new_dt = max(new_dt, self.min_dt)
-            self.stored_dt = new_dt
+        if (iteration - 1) % self.cadence == 0:
+            if (iteration - 1) <= self.solver.initial_iteration:
+                return self.stored_dt
+            local = 0.0
+            for field in self.frequencies.fields.values():
+                local = local + np.abs(np.asarray(field.data))
+            fmax = self.reducer.global_max(local)
+            dt = np.inf if fmax == 0.0 else 1.0 / fmax
+            dt *= self.safety
+            dt = min(dt, self.max_dt, self.max_change * self.stored_dt)
+            dt = max(dt, self.min_dt, self.min_change * self.stored_dt)
+            if abs(dt - self.stored_dt) > self.threshold * self.stored_dt:
+                self.stored_dt = dt
         return self.stored_dt

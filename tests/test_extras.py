@@ -1,4 +1,5 @@
-"""CFL and flow-tools tests (mirrors dedalus/tests/test_cfl.py strategy)."""
+"""CFL and flow-tools tests (mirrors dedalus/tests/test_cfl.py strategy:
+analytic grid-crossing rates per geometry)."""
 
 import numpy as np
 import pytest
@@ -23,20 +24,36 @@ def build_solver():
     return solver, u, dist, xb, zb
 
 
-def test_cfl_frequencies():
+def test_cfl_frequencies_fourier():
     solver, u, dist, xb, zb = build_solver()
-    # Uniform velocity: CFL frequency = |u| / dx
-    x, z = dist.local_grids(xb, zb, scales=1)
+    # Uniform x velocity: Fourier crossing frequency = |u| N / L
     data = np.zeros((2, 16, 16))
-    data[0] = 2.0   # x velocity
+    data[0] = 2.0
     u['g'] = data
     cfl = d3.CFL(solver, initial_dt=1.0, cadence=1, safety=1.0)
     cfl.add_velocity(u)
     solver.step(1e-4)
+    solver.step(1e-4)
     dt = cfl.compute_timestep()
-    # dx on the dealiased x grid: (2 / 24); freq ~= 2 / dx = 24; dt ~= 1/24
-    # (the single step slightly perturbs the velocity near the walls)
-    assert abs(dt - (2 / 24) / 2.0) < 2e-3
+    # dx = L/N = 2/16; freq = 2/dx = 16; dt = 1/16
+    # (two small steps slightly perturb the velocity near the walls)
+    assert abs(dt - (2 / 16) / 2.0) < 2e-3
+
+
+def test_cfl_sums_frequencies():
+    """Reference semantics: frequencies SUM per grid point before
+    reciprocation (ref flow_tools.py:191-215)."""
+    solver, u, dist, xb, zb = build_solver()
+    data = np.zeros((2, 16, 16))
+    data[0] = 2.0
+    u['g'] = data
+    cfl = d3.CFL(solver, initial_dt=1.0, cadence=1, safety=1.0)
+    cfl.add_velocity(u)
+    cfl.add_velocity(u)  # same field twice: total frequency doubles
+    solver.step(1e-4)
+    solver.step(1e-4)
+    dt = cfl.compute_timestep()
+    assert abs(dt - (2 / 16) / 2.0 / 2.0) < 2e-3
 
 
 def test_cfl_bounds():
@@ -46,7 +63,53 @@ def test_cfl_bounds():
     cfl.add_velocity(u)  # zero velocity -> dt_target = inf -> capped
     solver.step(1e-4)
     dt = cfl.compute_timestep()
+    assert dt == 0.5  # first evaluation returns initial_dt (ref :197-198)
+    solver.step(dt * 1e-3)
+    dt = cfl.compute_timestep()
     assert dt == 0.25
+
+
+def test_cfl_disk_metric():
+    """Disk azimuthal crossing frequency uses m_max / R, not raw coordinate
+    spacing (ref basis.py:6130-6154)."""
+    from dedalus_tpu.core.operators import AdvectiveCFL
+    pc = d3.PolarCoordinates('phi', 'r')
+    dist = d3.Distributor(pc, dtype=np.float64)
+    disk = d3.DiskBasis(pc, (16, 8), radius=2.0, dtype=np.float64, dealias=1.5)
+    u = dist.VectorField(pc, name='u', bases=disk)
+    u.change_scales(1.5)  # set at dealias scales: no spectral resampling
+    data = np.zeros((2,) + tuple(u.required_shape(dist.grid_layout, u.scales))[1:])
+    data[0] = 3.0  # uniform azimuthal speed
+    u['g'] = data
+    f = AdvectiveCFL(u, pc).evaluate()
+    f.change_scales(f.domain.dealias)
+    f.require_grid_space()
+    mmax = 7  # size 16 RealFourier: m = 0..7
+    expected = 3.0 * mmax / 2.0
+    got = np.abs(np.asarray(f.data))
+    assert abs(got.max() - expected) / expected < 1e-10
+
+
+def test_cfl_ball_metric():
+    """Ball angular frequency = |u| sqrt(Lmax(Lmax+1)) / R; radial from the
+    stretched grid spacing (ref basis.py:6183-6204)."""
+    from dedalus_tpu.core.operators import AdvectiveCFL
+    sc = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(sc, dtype=np.float64)
+    ball = d3.BallBasis(sc, (8, 4, 8), radius=2.0, dtype=np.float64, dealias=1.5)
+    u = dist.VectorField(sc, name='u', bases=ball)
+    u.change_scales(1.5)  # set at dealias scales: no spectral resampling
+    data = np.zeros((3,) + tuple(u.required_shape(dist.grid_layout, u.scales))[1:])
+    data[0] = 1.0
+    data[1] = 1.0
+    u['g'] = data
+    f = AdvectiveCFL(u, sc).evaluate()
+    f.change_scales(f.domain.dealias)
+    f.require_grid_space()
+    Lmax = 3
+    expected = np.sqrt(2.0) * np.sqrt(Lmax * (Lmax + 1)) / 2.0
+    got = np.asarray(f.data)
+    assert abs(got.max() - expected) / expected < 1e-10
 
 
 def test_flow_property_reductions():
