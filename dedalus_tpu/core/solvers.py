@@ -340,17 +340,56 @@ class InitialValueSolver(SolverBase):
         self._maybe_enforce_real()
         self.iteration += 1
 
-    def run_steps(self, dt, n_steps):
+    def _handler_chunk(self, dt):
+        """Largest scan chunk that still hits every handler cadence exactly:
+        the gcd of the handlers' iteration cadences (sim_dt cadences are
+        converted at the current fixed dt)."""
+        import math
+        cadences = []
+        for h in self.evaluator.handlers:
+            if not h.tasks:
+                continue
+            if h.iter is not None:
+                cadences.append(max(1, int(h.iter)))
+            if h.sim_dt is not None:
+                cadences.append(max(1, int(round(h.sim_dt / dt))))
+            if h.wall_dt is not None or h.custom_schedule is not None:
+                cadences.append(1)
+        if not cadences:
+            return None
+        return math.gcd(*cadences) if len(cadences) > 1 else cadences[0]
+
+    def run_steps(self, dt, n_steps, evaluate_handlers=True):
         """
-        Advance n_steps at fixed dt as one compiled lax.scan (no host
-        round-trips between steps). Analysis handlers do NOT fire inside the
-        scan; call evaluator.evaluate_handlers() between chunks if needed.
-        Hermitian enforcement applies once at the end of the scan (the masked
-        pencil solves keep redundant slots at zero inside the scan).
+        Advance n_steps at fixed dt through compiled lax.scan chunks (no host
+        round-trips between steps). When analysis handlers are scheduled, the
+        scan is chunked at the gcd of their cadences and handlers fire
+        between chunks — the compiled main loop and file output coexist
+        (parity with the reference's every-step handler evaluation,
+        evaluator.py:90, at scan speed for coarse cadences).
         """
+        dt, n_steps = float(dt), int(n_steps)
         if self.iteration == self.warmup_iterations:
             self.warmup_time = self.wall_time
-        self.timestepper.run_steps(float(dt), int(n_steps))
+        chunk = self._handler_chunk(dt) if evaluate_handlers else None
+        if chunk is None:
+            self.timestepper.run_steps(dt, n_steps)
+        else:
+            done = 0
+            while done < n_steps:
+                # Fire handlers scheduled at the current iteration
+                self.evaluator.evaluate_scheduled(
+                    iteration=self.iteration,
+                    wall_time=self.wall_time - self.start_time,
+                    sim_time=self.sim_time, timestep=dt)
+                # Advance to the next cadence boundary
+                n = min(chunk - (self.iteration % chunk) or chunk, n_steps - done)
+                self.timestepper.run_steps(dt, n)
+                done += n
+            self.evaluator.evaluate_scheduled(
+                iteration=self.iteration,
+                wall_time=self.wall_time - self.start_time,
+                sim_time=self.sim_time, timestep=dt)
         if self.enforce_real_cadence and n_steps >= self.enforce_real_cadence:
             self.enforce_hermitian_symmetry(self.state)
 

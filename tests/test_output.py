@@ -97,3 +97,38 @@ def test_append_mode_sorts_sets_numerically(tmp_path):
     h = H5FileHandler(None, base, mode='append')
     assert h.set_num == 11
     assert h.write_num == 33
+
+
+def test_handlers_fire_during_run_steps(tmp_path):
+    """run_steps must produce scheduled analysis output (chunked scans
+    between handler cadences), matching the per-step loop's writes."""
+    import h5py
+    import numpy as np
+    import dedalus_tpu.public as d3
+    from dedalus_tpu.models.rbc import build_rbc_problem
+
+    def run(use_run_steps, sub):
+        problem, ctx = build_rbc_problem(16, 8, Rayleigh=1e4)
+        solver = problem.build_solver(d3.SBDF2)
+        b = ctx['b']
+        z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
+        Lz = ctx['Lz']
+        b.fill_random('g', seed=3, distribution='normal', scale=1e-3)
+        b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+        h = solver.evaluator.add_file_handler(tmp_path / sub, iter=5,
+                                              mode='overwrite')
+        h.add_task(b, name='b')
+        if use_run_steps:
+            solver.run_steps(1e-3, 23)
+        else:
+            for _ in range(23):
+                solver.step(1e-3)
+        files = sorted((tmp_path / sub).glob('*.h5'))
+        with h5py.File(files[0], 'r') as f:
+            return np.asarray(f['tasks/b']), np.asarray(f['scales/iteration'])
+
+    d_scan, it_scan = run(True, 'scan')
+    d_loop, it_loop = run(False, 'loop')
+    assert np.array_equal(it_scan, it_loop)
+    assert d_scan.shape == d_loop.shape
+    assert np.abs(d_scan - d_loop).max() < 1e-13
