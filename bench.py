@@ -37,7 +37,7 @@ def main():
     Nz = int(os.environ.get('BENCH_NZ', 64))
     n_warm = int(os.environ.get('BENCH_WARMUP', 5))
     n_steps = int(os.environ.get('BENCH_STEPS', 100))
-    matsolver = os.environ.get('BENCH_SOLVER', 'poly')
+    matsolver = os.environ.get('BENCH_SOLVER', 'banded')
     dt = 1e-3
 
     t0 = time.perf_counter()

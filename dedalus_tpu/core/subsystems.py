@@ -102,6 +102,71 @@ class LazyCombined:
         A[inv_rows, inv_cols] = 1.0
         return A
 
+    def group_sparse(self, g):
+        """Sparse combined matrix for one group, pivots installed."""
+        pencil = self.pencil
+        A = None
+        for name, c in self.coeffs.items():
+            term = c * pencil.matrices_scipy[name][g]
+            A = term if A is None else A + term
+        inv_rows, inv_cols = pencil.pivot_pairs[g]
+        if inv_rows.size:
+            piv = sparse.csr_matrix(
+                (np.ones(inv_rows.size), (inv_rows, inv_cols)), shape=A.shape)
+            A = A + piv
+        return A.tocsr()
+
+    def sparse_form(self):
+        """Combined separable SPARSE form with pivots:
+        (B_sparse list, weights (G,d+1), bad {g: exact CSR}, ghat)."""
+        pencil = self.pencil
+        seps = pencil.separable
+        if seps is None:
+            raise ValueError("pencil has no separable representation")
+        degree = max(seps[name].degree for name in self.coeffs)
+        Bps = []
+        for p in range(degree + 1):
+            Bp = None
+            for name, c in self.coeffs.items():
+                sN = seps[name]
+                if p <= sN.degree:
+                    term = c * sN.B[p]
+                    Bp = term if Bp is None else Bp + term
+            Bps.append(Bp.tocsr() if Bp is not None
+                       else sparse.csr_matrix((self.P, self.P)))
+        # Bad groups: per-stack exceptions + pivot-pattern deviants
+        bad = set()
+        for name in self.coeffs:
+            bad |= set(seps[name].bad)
+        generic = [g for g in range(self.G) if g not in bad]
+        pat0 = _pivot_key(pencil.pivot_pairs[generic[0]])
+        for g in generic:
+            if _pivot_key(pencil.pivot_pairs[g]) != pat0:
+                bad.add(g)
+        generic = [g for g in range(self.G) if g not in bad]
+        inv_rows, inv_cols = pencil.pivot_pairs[generic[0]]
+        if inv_rows.size:
+            piv = sparse.csr_matrix(
+                (np.ones(inv_rows.size), (inv_rows, inv_cols)),
+                shape=(self.P, self.P))
+            Bps[0] = (Bps[0] + piv).tocsr()
+        ghat = seps[next(iter(self.coeffs))].ghat
+        W = np.vander(ghat, degree + 1, increasing=True)
+        bad_idx = tuple(sorted(bad))
+        for g in bad_idx:
+            W[g] = 0.0
+        bad_mats = {g: self.group_sparse(g) for g in bad_idx}
+        return Bps, W, bad_mats, ghat
+
+    def banded_form(self):
+        """Inputs for the bordered block-tridiagonal solver: the pencil's
+        banded plan plus the combined sparse separable form."""
+        plan = self.pencil.banded_plan()
+        if plan is None:
+            raise ValueError("pencil has no bordered-banded structure")
+        Bps, W, bad_mats, _ = self.sparse_form()
+        return dict(B_sparse=Bps, weights=W, bad=bad_mats, **plan)
+
     def __getitem__(self, g):
         return self.group(g)
 
@@ -586,6 +651,46 @@ class PencilSystem:
             f"{len(special)} exceptional)")
         return out
 
+    def banded_plan(self):
+        """Mode-major ordering + block size for bordered-banded solves, or
+        None when the structure does not apply (cached)."""
+        if hasattr(self, '_banded_plan'):
+            return self._banded_plan
+        from ..ops import banded as ops_banded
+        plan = None
+        order = banded_order(self)
+        if order is not None and self.separable is not None:
+            # Union pattern over all stacks + generic pivots + bad groups
+            pat = None
+            for name, sep in self.separable.items():
+                for Bp in sep.B:
+                    pat = abs(Bp) if pat is None else pat + abs(Bp)
+                for g, Ag in sep.bad.items():
+                    pat = pat + abs(Ag)
+            for g, (inv_rows, inv_cols) in enumerate(self.pivot_pairs):
+                if g == 0 or g == self.G - 1 or g == self.G // 2:
+                    if inv_rows.size:
+                        pat = pat + sparse.csr_matrix(
+                            (np.ones(inv_rows.size), (inv_rows, inv_cols)),
+                            shape=pat.shape)
+            bw = ops_banded.measure_bandwidth(pat.tocsr(), order)
+            nb = max(bw, 4)
+            # Banded pays off once the core spans at least a few blocks
+            if 0 < 3 * nb <= order['n_core']:
+                plan = dict(order=order, nb=nb)
+        self._banded_plan = plan
+        return plan
+
+    def banded_stack(self, name):
+        """BandedBlocks form of a raw (unpivoted) named stack (M or L),
+        for exact banded operator applies in the compiled step."""
+        from ..ops import banded as ops_banded
+        plan = self.banded_plan()
+        sep = self.separable[name]
+        W = sep.weights()
+        return ops_banded.build_banded_blocks(
+            list(sep.B), W, dict(sep.bad), plan['order'], plan['nb'])
+
     def combined_with_pivots(self, coeffs):
         """sum_i coeffs[i] * matrix_i with identity pivots installed: a dense
         (G,P,P) stack when small, else a LazyCombined provider."""
@@ -630,3 +735,74 @@ class PencilSystem:
             cols.append(flat[jnp.asarray(idx_map)])
         out = jnp.concatenate(cols, axis=1) * self.row_valid_dev
         return self.dist.constrain_pencils(out)
+
+
+def banded_order(pencil):
+    """
+    Mode-major reordering with tau/BC bordering for banded solves.
+
+    Returns None when the problem does not have the bordered-banded shape
+    (more than one coupled axis, or curvilinear joint validity), else a dict:
+      col_perm / row_perm : pencil index arrays, interior first, border last
+      n_border            : border width (tau columns / BC rows / constants)
+      n_core              : interior size (= P - n_border)
+
+    The interior is ordered (mode n, slot): with Chebyshev-banded operators
+    this gives a scalar bandwidth of a few slot-counts, and the tau columns /
+    boundary rows form a dense border — the reference's bordered-banded form
+    (ref matsolvers.py:285-321, BC_TOP/TAU_LEFT orderings dedalus.cfg:66-90).
+    """
+    dist = pencil.dist
+    coupled = pencil.subproblems[0].coupled
+    coupled_axes = [i for i in range(dist.dim) if coupled[i]]
+    if len(coupled_axes) != 1:
+        return None
+    ax = coupled_axes[0]
+
+    def block_layout(objs, sizes, offsets, domains, tensorsigs):
+        """Split blocks into interior (full coupled width) and border."""
+        Ncoup = None
+        for domain in domains:
+            b = domain.bases[ax]
+            if b is not None:
+                Ncoup = b.coeff_size
+        if Ncoup is None:
+            return None
+        interior = []   # (offset, nslots) per interior block
+        border = []     # flat pencil indices
+        for size, off, domain, ts in zip(sizes, offsets, domains, tensorsigs):
+            b = domain.bases[ax]
+            if b is not None and b.coeff_size == Ncoup:
+                # Entries ordered (slot, n) row-major: n fastest
+                interior.append((off, size // Ncoup))
+            else:
+                border.extend(range(off, off + size))
+        return Ncoup, interior, border
+
+    col = block_layout(pencil.variables, pencil.var_sizes, pencil.var_offsets,
+                       [v.domain for v in pencil.variables],
+                       [v.tensorsig for v in pencil.variables])
+    row = block_layout(pencil.equations, pencil.eq_sizes, pencil.eq_offsets,
+                       [eq['domain'] for eq in pencil.equations],
+                       [eq['tensorsig'] for eq in pencil.equations])
+    if col is None or row is None:
+        return None
+
+    def build_perm(Ncoup, interior, border):
+        S = sum(ns for _, ns in interior)
+        perm = np.empty(Ncoup * S + len(border), dtype=np.int64)
+        pos = 0
+        for n in range(Ncoup):
+            for off, ns in interior:
+                for s in range(ns):
+                    perm[pos] = off + s * Ncoup + n
+                    pos += 1
+        perm[pos:] = border
+        return perm, len(border)
+
+    col_perm, bc = build_perm(*col)
+    row_perm, br = build_perm(*row)
+    if bc != br or col[0] != row[0]:
+        return None
+    return dict(col_perm=col_perm, row_perm=row_perm, n_border=bc,
+                n_core=col_perm.size - bc)

@@ -129,20 +129,34 @@ class MultistepIMEX(TimestepperBase):
                 self._poly_ml_cache = (pm, pl)
         return self._poly_ml_cache
 
+    def _banded_ml(self):
+        """Banded block-form M and L operators (cached): exact f64 applies
+        at O(G nb P) HBM traffic inside the compiled step."""
+        if not hasattr(self, '_banded_ml_cache'):
+            from ..ops import banded as ops_banded
+            bM = ops_banded.BandedOperator(self.pencil.banded_stack('M'))
+            bL = ops_banded.BandedOperator(self.pencil.banded_stack('L'))
+            self._banded_ml_cache = (bM, bL)
+        return self._banded_ml_cache
+
     def _prepare(self, a0, b0):
         """Resolve the factorization BEFORE compiling, falling back from the
         poly matsolver to inverse_refined when the problem has no separable
         structure (curvilinear m-dependent stacks, tiny group counts)."""
         solver = self.solver
-        if self.pencil.matrices.get('M') is None and solver.matsolver != 'poly':
+        if self.pencil.matrices.get('M') is None and solver.matsolver not in ('banded', 'poly'):
             import logging
+            new = 'banded' if self.pencil.banded_plan() is not None else 'poly'
             logging.getLogger(__name__).info(
-                "pencil stacks too large for dense matsolver '%s'; using poly",
-                solver.matsolver)
-            solver.matsolver = 'poly'
+                "pencil stacks too large for dense matsolver '%s'; using %s",
+                solver.matsolver, new)
+            solver.matsolver = new
         while True:
             try:
                 fact = self._get_factorized(a0, b0)
+                if solver.matsolver == 'banded':
+                    self._banded_ml()
+                    self._current_fact = fact
                 if solver.matsolver == 'poly':
                     self._poly_ml()
                     refs = fact.refinements
@@ -160,6 +174,15 @@ class MultistepIMEX(TimestepperBase):
                     self._current_fact = fact
                 return fact
             except ValueError as exc:
+                if solver.matsolver == 'banded':
+                    import logging
+                    logging.getLogger(__name__).warning(
+                        "banded matsolver unavailable (%s); using poly", exc)
+                    solver.matsolver = 'poly'
+                    self._factorized.clear()
+                    self._compiled = None
+                    self._scan_cache = {}
+                    continue
                 if solver.matsolver == 'poly':
                     import logging
                     logging.getLogger(__name__).warning(
@@ -175,7 +198,11 @@ class MultistepIMEX(TimestepperBase):
         """Arrays handed to the compiled step as ARGUMENTS (pytree), so the
         large stacks are not serialized into the program (the axon remote
         compiler rejects oversized request bodies)."""
-        if self.solver.matsolver == 'poly':
+        if self.solver.matsolver == 'banded':
+            bM, bL = self._banded_ml()
+            mats = {'solve': fact.banded.solve_arrays(),
+                    'M': bM.arrs, 'L': bL.arrs}
+        elif self.solver.matsolver == 'poly':
             pm, pl = self._poly_ml()
             pa, pr = fact.polyA, fact.pre
             mats = {'wM': pm['weights'], 'BM': pm['Bcat'], 'CM': pm['Abad'],
@@ -196,7 +223,13 @@ class MultistepIMEX(TimestepperBase):
         rv = pencil.row_valid_dev
         matrix_free = (solver.matsolver == 'matrix_free')
         poly = (solver.matsolver == 'poly')
-        if poly:
+        banded = (solver.matsolver == 'banded')
+        if banded:
+            bM, bL = self._banded_ml()
+            applyM, applyL = bM.apply_fn(), bL.apply_fn()
+            solve_banded = self._current_fact.banded.solve_fn()
+            self._fact_args = None
+        elif poly:
             pm, pl = self._poly_ml()
             badM, badL = pm['bad_idx'], pl['bad_idx']
             fact0 = getattr(self, '_current_fact', None) or next(iter(self._factorized.values()))
@@ -215,6 +248,10 @@ class MultistepIMEX(TimestepperBase):
                 # matmuls, avoiding XLA's slow dense batched f64 applies
                 MX0 = solver.traced_matrix_apply('M', state_flat)
                 LX0 = solver.traced_matrix_apply('L', state_flat)
+            elif banded:
+                X = pencil.gather_state(state_flat)
+                MX0 = applyM(mats['M'], X)
+                LX0 = applyL(mats['L'], X)
             elif poly:
                 X = pencil.gather_state(state_flat)
                 MX0 = sep(X, mats['wM'], mats['BM'], badM, mats['CM'])
@@ -235,7 +272,9 @@ class MultistepIMEX(TimestepperBase):
                    - jnp.einsum('j,jgr->gr', a[1:], MXh)
                    - jnp.einsum('j,jgr->gr', b[1:], LXh))
             RHS = RHS * rv
-            if poly:
+            if banded:
+                Xnew = solve_banded(mats['solve'], RHS)
+            elif poly:
                 # Chebyshev-interpolated inverse preconditioner + f64
                 # refinement with the exact separable A: all GEMMs, no
                 # batched GEMV anywhere in the solve.

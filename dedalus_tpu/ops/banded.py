@@ -1,0 +1,543 @@
+"""
+Bordered block-tridiagonal pencil solves (the TPU-native banded path).
+
+The reference's large-problem strategy is banded LU/QR with the tau columns
+and boundary rows handled by a Woodbury correction that SUBTRACTS only their
+off-band content, keeping the band itself invertible
+(dedalus/libraries/matsolvers.py:285-321; orderings dedalus.cfg:66-90).
+TPU-native formulation:
+
+  * Pencil entries are reordered mode-major (subsystems.banded_order); tau
+    columns / BC rows / constant slots land in the trailing "border" block.
+    The full permuted matrix is then block-tridiagonal EXCEPT for the border
+    rows' and columns' far content — exactly a rank-2*nbord correction:
+        A_full = A_band + U V,  U: (P, 2 nbord), V: (2 nbord, P)
+  * Blocks are extracted VECTORIZED over groups from the separable stack
+    representation (sum_p w[g,p] B_p) — O(G nb P) memory, never O(G P^2).
+  * A_band is factored by block-tridiagonal QR (unconditionally stable
+    without pivoting — no-pivot LU blows up on the nearly-upper Chebyshev
+    ladder structure), vectorized over all groups on host (batched numpy).
+  * The device solve is two lax.scan sweeps of batched (G,nb,nb) matvecs on
+    the MXU + the Woodbury correction, with factors stored in f32 and f64
+    iterative refinement against the exact blocks — machine-precision solves
+    at O(G nb P) HBM traffic per step.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy import sparse
+
+
+def _bmv(A, x):
+    """Batched matvec over arbitrary leading dims: (..., a, b) @ (..., b)."""
+    return jnp.matmul(A, x[..., None])[..., 0]
+
+
+def measure_bandwidth(A_csr, order):
+    """Scalar bandwidth of the permuted INTERIOR block of one group."""
+    rp, cp = order['row_perm'], order['col_perm']
+    nc = order['n_core']
+    coo = A_csr.tocoo()
+    rinv = np.empty(rp.size, dtype=np.int64)
+    rinv[rp] = np.arange(rp.size)
+    cinv = np.empty(cp.size, dtype=np.int64)
+    cinv[cp] = np.arange(cp.size)
+    r, c = rinv[coo.row], cinv[coo.col]
+    core = (r < nc) & (c < nc)
+    if not core.any():
+        return 0
+    return int(np.abs(r[core] - c[core]).max())
+
+
+def _permute_csr(A, order):
+    rp, cp = order['row_perm'], order['col_perm']
+    return A.tocsr()[rp][:, cp].tocsr()
+
+
+class BandedBlocks:
+    """
+    Host-side representation of one pencil stack in the banded ordering:
+
+      diag/sub/sup : (G, Nb, nb, nb)  in-pattern block-tridiagonal part of
+                     the FULL permuted (padded to Nb*nb) matrix
+      Ucol : (G, Pp, nbord)  border columns' out-of-pattern content
+      Vrow : (G, nbord, Pp)  border rows' out-of-pattern content
+
+    Identity: A_full = A_band + U V with
+      U = [ e_borderrows | Ucol ],  V = [ Vrow ; e_bordercols^T ]
+    """
+
+    def __init__(self, diag, sub, sup, Ucol, Vrow, order, nb, pad):
+        self.diag, self.sub, self.sup = diag, sub, sup
+        self.Ucol, self.Vrow = Ucol, Vrow
+        self.order = order
+        self.nb = nb
+        self.pad = pad
+        self.G = diag.shape[0]
+        self.Nb = diag.shape[1]
+        self.Pp = self.Nb * nb          # padded size
+        self.P = self.Pp - pad
+        self.nbord = order['n_border']
+
+    def device_arrays(self, dtype=jnp.float64):
+        return dict(diag=jnp.asarray(self.diag, dtype=dtype),
+                    sub=jnp.asarray(self.sub, dtype=dtype),
+                    sup=jnp.asarray(self.sup, dtype=dtype),
+                    Ucol=jnp.asarray(self.Ucol, dtype=dtype),
+                    Vrow=jnp.asarray(self.Vrow, dtype=dtype))
+
+
+def _split_pattern_single(A_perm, P, nb, Nb, nbord):
+    """One group: in-pattern tridiag blocks + out-of-pattern border content.
+    Returns (diag, sub, sup, Ucol, Vrow) with padded shapes."""
+    Pp = Nb * nb
+    coo = A_perm.tocoo()
+    r, c, v = coo.row, coo.col, coo.data
+    br, bc = r // nb, c // nb
+    in_pattern = np.abs(br - bc) <= 1
+    out = ~in_pattern
+    is_brow = r >= P - nbord
+    is_bcol = c >= P - nbord
+    stray = out & ~(is_brow | is_bcol)
+    if stray.any():
+        raise ValueError("interior entries outside the banded pattern")
+    take_row = out & is_brow
+    take_col = out & is_bcol & ~is_brow
+    diag = np.zeros((Nb, nb, nb))
+    sub = np.zeros((Nb, nb, nb))
+    sup = np.zeros((Nb, nb, nb))
+    ip = np.where(in_pattern)[0]
+    bri, bci = br[ip], bc[ip]
+    ri, ci, vi = r[ip] - bri * nb, c[ip] - bci * nb, v[ip]
+    on_diag = bri == bci
+    on_sub = bri == bci + 1
+    on_sup = bci == bri + 1
+    np.add.at(diag, (bri[on_diag], ri[on_diag], ci[on_diag]), vi[on_diag])
+    np.add.at(sub, (bri[on_sub], ri[on_sub], ci[on_sub]), vi[on_sub])
+    np.add.at(sup, (bri[on_sup], ri[on_sup], ci[on_sup]), vi[on_sup])
+    Vrow = np.zeros((nbord, Pp))
+    kr = np.where(take_row)[0]
+    np.add.at(Vrow, (r[kr] - (P - nbord), c[kr]), v[kr])
+    Ucol = np.zeros((Pp, nbord))
+    kc = np.where(take_col)[0]
+    np.add.at(Ucol, (r[kc], c[kc] - (P - nbord)), v[kc])
+    return diag, sub, sup, Ucol, Vrow
+
+
+def build_banded_blocks(group_csr, weights, bad, order, nb):
+    """
+    Build BandedBlocks vectorized over groups from the separable form
+    A[g] = sum_p weights[g,p] B_p, with exact overrides for exceptional
+    groups ({g: CSR})."""
+    G = weights.shape[0]
+    P = order['col_perm'].size
+    nbord = order['n_border']
+    Nb = -(-P // nb)
+    pad = Nb * nb - P
+    parts = [_split_pattern_single(_permute_csr(Bp, order), P, nb, Nb, nbord)
+             for Bp in group_csr]
+    stacked = [np.stack([p[j] for p in parts]) for j in range(5)]
+    out = [np.einsum('gp,p...->g...', weights, s) for s in stacked]
+    for g, Ag in bad.items():
+        bg = _split_pattern_single(_permute_csr(Ag, order), P, nb, Nb, nbord)
+        for j in range(5):
+            out[j][g] = bg[j]
+    diag, sub, sup, Ucol, Vrow = out
+    # Identity on padded diagonal slots so padded solves pass through
+    for k in range(pad):
+        diag[:, -1, nb - 1 - k, nb - 1 - k] = 1.0
+    return BandedBlocks(diag, sub, sup, Ucol, Vrow, order, nb, pad)
+
+
+def factor_block_tridiag_qr(blocks):
+    """
+    Block-tridiagonal QR factorization, vectorized over groups (host numpy).
+    Unconditionally stable without pivoting; parity with the reference's
+    BandedQR matsolver (matsolvers.py:210).
+
+    Sweep i = 0..Nb-2: QR the stacked first column [C_i; sub_{i+1}] with a
+    complete (2nb x 2nb) Q, rotate the trailing panel; R acquires three block
+    diagonals."""
+    diag, sub, sup = blocks.diag, blocks.sub, blocks.sup
+    G, Nb, nb, _ = diag.shape
+    Qt = np.zeros((G, max(Nb - 1, 0), 2 * nb, 2 * nb))
+    Rinv = np.zeros((G, Nb, nb, nb))
+    R1 = np.zeros((G, Nb, nb, nb))
+    R2 = np.zeros((G, Nb, nb, nb))
+    C = diag[:, 0].copy()
+    S = sup[:, 0].copy() if Nb > 1 else np.zeros((G, nb, nb))
+    for i in range(Nb - 1):
+        M2 = np.concatenate([C, sub[:, i + 1]], axis=1)          # (G, 2nb, nb)
+        Q, R = np.linalg.qr(M2, mode='complete')
+        Qt[:, i] = Q.swapaxes(1, 2)
+        Rii = R[:, :nb, :]
+        panel = np.zeros((G, 2 * nb, 2 * nb))
+        panel[:, :nb, :nb] = S
+        panel[:, nb:, :nb] = diag[:, i + 1]
+        panel[:, nb:, nb:] = sup[:, i + 1]
+        QtP = Qt[:, i] @ panel
+        R1[:, i] = QtP[:, :nb, :nb]
+        R2[:, i] = QtP[:, :nb, nb:]
+        C = QtP[:, nb:, :nb]
+        S = QtP[:, nb:, nb:]
+        Rinv[:, i] = np.linalg.inv(Rii)
+        if not np.isfinite(Rinv[:, i]).all():
+            raise ValueError("block-tridiagonal QR: singular R diagonal")
+    Q, R = np.linalg.qr(C, mode='complete')
+    QtL = Q.swapaxes(1, 2)
+    Rinv[:, -1] = np.linalg.inv(R)
+    if not np.isfinite(Rinv).all():
+        raise ValueError("block-tridiagonal QR: singular R diagonal")
+    R2[:, -2:] = 0.0
+    R1[:, -1] = 0.0
+    return dict(Qt=Qt, QtL=QtL, Rinv=Rinv, R1=R1, R2=R2)
+
+
+@jax.jit
+def block_tridiag_qr_solve(Qt, QtL, Rinv, R1, R2, r):
+    """
+    Solve via the QR factors for all groups: forward Q^T sweep + block
+    back-substitution with two superdiagonals. r: (G, Nb, nb). Both sweeps
+    are lax.scans of batched (G, *, *) matvecs (the MXU path).
+    """
+    G, Nb, nb = r.shape
+    rT = r.swapaxes(0, 1)                      # (Nb, G, nb)
+
+    def fwd(carry, inputs):
+        Qti, ri1 = inputs
+        v = jnp.concatenate([carry, ri1], axis=1)   # (G, 2nb)
+        w = _bmv(Qti, v)
+        return w[:, nb:], w[:, :nb]
+
+    carry, ys = jax.lax.scan(fwd, rT[0], (Qt.swapaxes(0, 1), rT[1:]))
+    yL = _bmv(QtL, carry)
+    y = jnp.concatenate([ys, yL[None]])        # (Nb, G, nb)
+
+    def bwd(carry, inputs):
+        x1, x2 = carry                          # x_{i+1}, x_{i+2}
+        Rinvi, R1i, R2i, yi = inputs
+        xi = _bmv(Rinvi, yi - _bmv(R1i, x1) - _bmv(R2i, x2))
+        return (xi, x1), xi
+
+    zero = jnp.zeros((G, nb), dtype=r.dtype)
+    xN = _bmv(Rinv[:, -1], y[-1])
+    (x1, _), xs = jax.lax.scan(
+        bwd, (xN, zero),
+        (Rinv.swapaxes(0, 1)[:-1], R1.swapaxes(0, 1)[:-1],
+         R2.swapaxes(0, 1)[:-1], y[:-1]), reverse=True)
+    x = jnp.concatenate([xs, xN[None]])
+    return x.swapaxes(0, 1)                    # (G, Nb, nb)
+
+
+def apply_band(mats, x):
+    """In-pattern block-tridiagonal application (jit-safe).
+    mats: device dict (diag/sub/sup); x: (G, Nb, nb) -> (G, Nb, nb)."""
+    y = _bmv(mats['diag'], x)
+    y = y.at[:, 1:].add(_bmv(mats['sub'][:, 1:], x[:, :-1]))
+    y = y.at[:, :-1].add(_bmv(mats['sup'][:, :-1], x[:, 1:]))
+    return y
+
+
+def apply_full(mats, xflat, P, nbord):
+    """Exact full application A_full @ x = A_band x + U (V x) (jit-safe).
+    xflat: (G, Pp) padded flat vector -> (G, Pp)."""
+    G, Pp = xflat.shape
+    nb = mats['diag'].shape[-1]
+    Nb = Pp // nb
+    y = apply_band(mats, xflat.reshape(G, Nb, nb)).reshape(G, Pp)
+    b0 = P - nbord
+    xb = xflat[:, b0:b0 + nbord]
+    y = y + _bmv(mats['Ucol'], xb)
+    vb = _bmv(mats['Vrow'], xflat)
+    y = y.at[:, b0:b0 + nbord].add(vb)
+    return y
+
+
+class BorderedBandedSolver:
+    """
+    Device solver: f32 block-tridiagonal QR sweeps + Woodbury correction for
+    the border content + f64 refinement against the exact blocks (parity:
+    matsolvers.py:285-321 Woodbury over a banded core).
+    """
+
+    def __init__(self, blocks, refinements=3, factor_dtype=jnp.float32,
+                 bad=None, group_dense=None, max_cond=1e7, max_bad=None):
+        self.blocks = blocks
+        self.order = blocks.order
+        self.nb = blocks.nb
+        self.Nb = blocks.Nb
+        self.refinements = refinements
+        G, P, Pp = blocks.G, blocks.P, blocks.Pp
+        nbord = blocks.nbord
+        bad = dict(bad or {})
+        # Equilibrate: two passes of row/col inf-norm scaling crush the scale
+        # disparity (k^2-stiffness vs mass, mode-magnitude spread) so the f32
+        # band sweeps retain enough accuracy for f64 refinement to converge.
+        Dr, Dc = self._equilibrate(blocks)
+        sblocks = self._scaled(blocks, Dr, Dc)
+        fac_blocks = self._neutralized(sblocks, bad)
+        qr = factor_block_tridiag_qr(fac_blocks)
+        W1, Vfull, S = self._woodbury(qr, sblocks)
+        # Dense-override groups whose scaled band or capacitance matrix stays
+        # ill-conditioned (the tau band loses conditioning as k -> 0; the
+        # count is k-local and small at scale).
+        growth = np.abs(qr['Rinv']).max(axis=(1, 2, 3))
+        condS = np.linalg.cond(S)
+        ill = np.nonzero((growth > max_cond) | (condS > max_cond))[0]
+        ill = [int(g) for g in ill if g not in bad]
+        if ill:
+            if group_dense is None:
+                raise ValueError(
+                    f"{len(ill)} ill-conditioned band groups but no dense "
+                    f"group provider")
+            # The ill count is k-local (small-wavenumber groups), not a
+            # fraction of G; cap by count and by dense-override memory.
+            limit = max_bad if max_bad is not None else max(16, G // 16)
+            limit = min(limit, int(2e9 / max(P * P * 4, 1)) + 1)
+            if len(ill) + len(bad) > limit:
+                raise ValueError(
+                    f"too many ill-conditioned band groups "
+                    f"({len(ill) + len(bad)}/{G})")
+            for g in ill:
+                bad[g] = group_dense(int(g))
+            fac_blocks = self._neutralized(sblocks, bad)
+            qr = factor_block_tridiag_qr(fac_blocks)
+            W1, Vfull, S = self._woodbury(qr, sblocks)
+        self.bad_idx = tuple(sorted(bad))
+        for g in self.bad_idx:   # bad groups solve densely; keep S invertible
+            S[g] = np.eye(2 * nbord)
+            W1[g] = 0.0
+        Sinv = np.linalg.inv(S)
+        if not np.isfinite(Sinv).all():
+            raise ValueError("Woodbury capacitance matrix is singular")
+        if self.bad_idx:
+            rp = np.asarray(self.order['row_perm'])
+            cp = np.asarray(self.order['col_perm'])
+            Abad = np.stack(
+                [np.asarray(sparse.csr_matrix(bad[g])[rp][:, cp].todense())
+                 for g in self.bad_idx])
+            # Scaled dense override: solves the equilibrated system
+            Abad = Dr[list(self.bad_idx), :P, None] * Abad \
+                * Dc[list(self.bad_idx), None, :P]
+            self.Abad_inv = jnp.asarray(np.linalg.inv(Abad),
+                                        dtype=factor_dtype)
+        else:
+            self.Abad_inv = None
+        self.fac = {k: jnp.asarray(v, dtype=factor_dtype) for k, v in qr.items()}
+        # Woodbury pieces stay f64: S inherits the border ill-conditioning
+        self.fac.update(W1=jnp.asarray(W1),
+                        Sinv=jnp.asarray(Sinv),
+                        Vfull=jnp.asarray(Vfull))
+        # Exact SCALED blocks for refinement (refinement runs in scaled space)
+        self.exact = sblocks.device_arrays(jnp.float64)
+        rp = np.asarray(self.order['row_perm'])
+        cp = np.asarray(self.order['col_perm'])
+        self.row_perm = jnp.asarray(rp)
+        cinv = np.empty_like(cp)
+        cinv[cp] = np.arange(cp.size)
+        self.col_unperm = jnp.asarray(cinv)
+        self.Dr = jnp.asarray(Dr)
+        self.Dc = jnp.asarray(Dc)
+        self.P = P
+        self.nbord = nbord
+        self.pad = blocks.pad
+
+    @staticmethod
+    def _equilibrate(blocks, passes=2):
+        """Inf-norm row/col scaling vectors (G, Pp) for the FULL matrix."""
+        G, Pp = blocks.G, blocks.Pp
+        nb, Nb, nbord, P = blocks.nb, blocks.Nb, blocks.nbord, blocks.P
+        Dr = np.ones((G, Pp))
+        Dc = np.ones((G, Pp))
+        for _ in range(passes):
+            rmax = np.zeros((G, Pp))
+            cmax = np.zeros((G, Pp))
+            for i in range(Nb):
+                r0 = i * nb
+                for which, arr, coff in (
+                        ('d', blocks.diag[:, i], r0),
+                        ('s', blocks.sub[:, i] if i > 0 else None, r0 - nb),
+                        ('u', blocks.sup[:, i] if i < Nb - 1 else None, r0 + nb)):
+                    if arr is None:
+                        continue
+                    a = np.abs(Dr[:, r0:r0 + nb, None] * arr
+                               * Dc[:, None, coff:coff + nb])
+                    rmax[:, r0:r0 + nb] = np.maximum(
+                        rmax[:, r0:r0 + nb], a.max(axis=2))
+                    cmax[:, coff:coff + nb] = np.maximum(
+                        cmax[:, coff:coff + nb], a.max(axis=1))
+            au = np.abs(Dr[:, :, None] * blocks.Ucol
+                        * Dc[:, None, P - nbord:P])
+            rmax = np.maximum(rmax, au.max(axis=2))
+            cmax[:, P - nbord:P] = np.maximum(
+                cmax[:, P - nbord:P], au.max(axis=1))
+            av = np.abs(Dr[:, P - nbord:P, None] * blocks.Vrow
+                        * Dc[:, None, :])
+            rmax[:, P - nbord:P] = np.maximum(
+                rmax[:, P - nbord:P], av.max(axis=2))
+            cmax = np.maximum(cmax, av.max(axis=1))
+            Dr /= np.sqrt(np.where(rmax > 0, rmax, 1.0))
+            Dc /= np.sqrt(np.where(cmax > 0, cmax, 1.0))
+        return Dr, Dc
+
+    @staticmethod
+    def _scaled(blocks, Dr, Dc):
+        """Apply the equilibration scaling to all block arrays."""
+        G, Pp, nb, Nb = blocks.G, blocks.Pp, blocks.nb, blocks.Nb
+        P, nbord = blocks.P, blocks.nbord
+        DrB = Dr.reshape(G, Nb, nb)
+        DcB = Dc.reshape(G, Nb, nb)
+        diag = blocks.diag * DrB[:, :, :, None] * DcB[:, :, None, :]
+        sub = blocks.sub.copy()
+        sub[:, 1:] = (blocks.sub[:, 1:] * DrB[:, 1:, :, None]
+                      * DcB[:, :-1, None, :])
+        sup = blocks.sup.copy()
+        sup[:, :-1] = (blocks.sup[:, :-1] * DrB[:, :-1, :, None]
+                       * DcB[:, 1:, None, :])
+        Ucol = blocks.Ucol * Dr[:, :, None] * Dc[:, None, P - nbord:P]
+        Vrow = blocks.Vrow * Dr[:, P - nbord:P, None] * Dc[:, None, :]
+        return BandedBlocks(diag, sub, sup, Ucol, Vrow, blocks.order,
+                            blocks.nb, blocks.pad)
+
+    def _woodbury(self, qr, sblocks):
+        """W1 = A_band^-1 U, Vfull, S = I + V W1 for the scaled system."""
+        G, Pp = sblocks.G, sblocks.Pp
+        nbord, P = sblocks.nbord, sblocks.P
+        b0 = P - nbord
+        Ufull = np.zeros((G, Pp, 2 * nbord))
+        for j in range(nbord):
+            Ufull[:, b0 + j, j] = 1.0
+        Ufull[:, :, nbord:] = sblocks.Ucol
+        W1 = self._host_core_solve(
+            qr, Ufull.reshape(G, self.Nb, self.nb, 2 * nbord))
+        W1 = W1.reshape(G, Pp, 2 * nbord)
+        Vfull = np.zeros((G, 2 * nbord, Pp))
+        Vfull[:, :nbord, :] = sblocks.Vrow
+        for j in range(nbord):
+            Vfull[:, nbord + j, b0 + j] = 1.0
+        S = np.eye(2 * nbord) + Vfull @ W1
+        return W1, Vfull, S
+
+    @staticmethod
+    def _neutralized(blocks, bad):
+        """Copy of the blocks with bad groups' band replaced by identity
+        (they solve through dense overrides; keeps the batch factorable)."""
+        if not bad:
+            return blocks
+        fb = BandedBlocks(
+            blocks.diag.copy(), blocks.sub.copy(), blocks.sup.copy(),
+            blocks.Ucol, blocks.Vrow, blocks.order, blocks.nb, blocks.pad)
+        for g in bad:
+            fb.diag[g] = np.eye(blocks.nb)
+            fb.sub[g] = 0.0
+            fb.sup[g] = 0.0
+        return fb
+
+    @staticmethod
+    def _host_core_solve(qr, R):
+        """Host block-tridiagonal QR solve, multiple RHS: R (G,Nb,nb,k)."""
+        G, Nb, nb, k = R.shape
+        Qt, QtL = qr['Qt'], qr['QtL']
+        Rinv, R1, R2 = qr['Rinv'], qr['R1'], qr['R2']
+        y = np.zeros_like(R)
+        carry = R[:, 0]
+        for i in range(Nb - 1):
+            v = np.concatenate([carry, R[:, i + 1]], axis=1)   # (G, 2nb, k)
+            w = Qt[:, i] @ v
+            y[:, i] = w[:, :nb]
+            carry = w[:, nb:]
+        y[:, -1] = QtL @ carry
+        x = np.zeros_like(R)
+        x[:, -1] = Rinv[:, -1] @ y[:, -1]
+        if Nb > 1:
+            x[:, -2] = Rinv[:, -2] @ (y[:, -2] - R1[:, -2] @ x[:, -1])
+        for i in range(Nb - 3, -1, -1):
+            x[:, i] = Rinv[:, i] @ (y[:, i] - R1[:, i] @ x[:, i + 1]
+                                    - R2[:, i] @ x[:, i + 2])
+        return x
+
+    def solve_arrays(self):
+        """All device arrays for the jit-safe solve (passed as arguments)."""
+        arrs = dict(fac=self.fac, exact=self.exact,
+                    row_perm=self.row_perm, col_unperm=self.col_unperm,
+                    Dr=self.Dr, Dc=self.Dc)
+        if self.Abad_inv is not None:
+            arrs['Abad_inv'] = self.Abad_inv
+        return arrs
+
+    def solve_fn(self):
+        """Return a jit-safe function (arrs, R (G,P)) -> X (G,P)."""
+        G = self.blocks.G
+        Nb, nb = self.Nb, self.nb
+        P, nbord, pad = self.P, self.nbord, self.pad
+        refinements = self.refinements
+        bad_idx = self.bad_idx
+
+        def woodbury(arrs, rflat):
+            """One mixed-precision banded+Woodbury solve (scaled space)."""
+            fac = arrs['fac']
+            f32 = fac['Rinv'].dtype
+            rc = rflat.astype(f32).reshape(G, Nb, nb)
+            y = block_tridiag_qr_solve(fac['Qt'], fac['QtL'], fac['Rinv'],
+                                       fac['R1'], fac['R2'], rc)
+            yflat = y.reshape(G, Nb * nb).astype(rflat.dtype)
+            t = _bmv(fac['Sinv'], _bmv(fac['Vfull'], yflat))
+            x = yflat - _bmv(fac['W1'], t)
+            if bad_idx:
+                idx = jnp.asarray(bad_idx)
+                xb = _bmv(arrs['Abad_inv'], rflat[idx, :P])
+                x = x.at[idx, :P].set(xb)
+                if pad:
+                    x = x.at[idx, P:].set(0.0)
+            return x
+
+        def solve(arrs, R):
+            # Scaled system: (Dr A Dc) (Dc^-1 x) = Dr r
+            r = jnp.pad(R[:, arrs['row_perm']], ((0, 0), (0, pad)))
+            r = r * arrs['Dr']
+            x = woodbury(arrs, r)
+            for _ in range(refinements):
+                res = r - apply_full(arrs['exact'], x, P, nbord)
+                x = x + woodbury(arrs, res)
+            x = x * arrs['Dc']
+            return x[:, :P][:, arrs['col_unperm']]
+
+        return solve
+
+    def solve(self, R):
+        if not hasattr(self, '_jit_solve'):
+            self._jit_solve = jax.jit(self.solve_fn())
+        return self._jit_solve(self.solve_arrays(), R)
+
+
+class BandedOperator:
+    """Exact f64 operator application in banded block form (for the M/L
+    applies inside compiled steps: O(G nb P) HBM traffic instead of dense
+    (G,P,P) stacks or separable-GEMM f64 flops)."""
+
+    def __init__(self, blocks):
+        self.blocks = blocks
+        order = blocks.order
+        rp = np.asarray(order['row_perm'])
+        cp = np.asarray(order['col_perm'])
+        rinv = np.empty_like(rp)
+        rinv[rp] = np.arange(rp.size)
+        self.arrs = blocks.device_arrays(jnp.float64)
+        self.arrs['col_perm'] = jnp.asarray(cp)
+        self.arrs['row_unperm'] = jnp.asarray(rinv)
+        self.P = blocks.P
+        self.pad = blocks.pad
+        self.nbord = blocks.nbord
+        self.G = blocks.G
+
+    def apply_fn(self):
+        """Jit-safe (arrs, X (G,P)) -> (G,P)."""
+        P, pad, nbord = self.P, self.pad, self.nbord
+
+        def apply(arrs, X):
+            xp = jnp.pad(X[:, arrs['col_perm']], ((0, 0), (0, pad)))
+            y = apply_full(arrs, xp, P, nbord)
+            return y[:, :P][:, arrs['row_unperm']]
+
+        return apply

@@ -272,11 +272,21 @@ class FactorizedStack:
     def __init__(self, A, method='lu'):
         self.method = method
         if not isinstance(A, (np.ndarray, jnp.ndarray)) and hasattr(A, 'poly_form'):
+            if method == 'banded':
+                from . import banded as ops_banded
+                bf = A.banded_form()
+                blocks = ops_banded.build_banded_blocks(
+                    bf['B_sparse'], bf['weights'], bf['bad'],
+                    bf['order'], bf['nb'])
+                self.banded = ops_banded.BorderedBandedSolver(
+                    blocks, refinements=2, bad=bf['bad'],
+                    group_dense=A.group_sparse)
+                return
             if method != 'poly':
                 raise ValueError(
                     f"matsolver '{method}' needs dense (G,P,P) stacks, which "
                     f"exceed the configured memory limit here; use "
-                    f"matsolver='poly'")
+                    f"matsolver='banded' or 'poly'")
             self._build_poly_from_form(A.poly_form())
             return
         if method == 'lu':
@@ -463,4 +473,6 @@ class FactorizedStack:
             return batched_mixed_solve(self.Ainv, self.A, R)
         if self.method == 'poly':
             return self.poly_solve(R)
+        if self.method == 'banded':
+            return self.banded.solve(R)
         return batched_refined_solve(self.Ainv, self.A, R)

@@ -404,3 +404,38 @@ def test_sampled_assembly_lazy_poly_matches_dense_lu():
     lazy = run(True)
     err = np.abs(ref - lazy).max()
     assert err < 1e-11 * max(1, np.abs(ref).max()), f"lazy path mismatch: {err}"
+
+
+def test_banded_bordered_matsolver_matches_lu():
+    """Bordered block-tridiagonal (Woodbury) solve: force the large-system
+    path with matsolver='banded' and check the trajectory against dense LU
+    (ref matsolvers.py:285-321)."""
+    from dedalus_tpu.models.rbc import build_rbc_problem
+    from dedalus_tpu.utils.config import config
+
+    def run(force_banded):
+        old_gb = config.get('memory', 'max_dense_stack_gb')
+        old_min = config.get('matrix assembly', 'sampled_min_groups')
+        try:
+            if force_banded:
+                config.set('memory', 'max_dense_stack_gb', '0')
+                config.set('matrix assembly', 'sampled_min_groups', '8')
+            problem, ctx = build_rbc_problem(32, 16, Rayleigh=1e5)
+            solver = problem.build_solver(
+                d3.SBDF2, matsolver='banded' if force_banded else 'lu')
+            b = ctx['b']
+            z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
+            Lz = ctx['Lz']
+            b.fill_random('g', seed=42, distribution='normal', scale=1e-3)
+            b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+            solver.run_steps(1e-3, 20)
+            assert solver.matsolver == ('banded' if force_banded else 'lu')
+            return np.asarray(solver.state_flat())
+        finally:
+            config.set('memory', 'max_dense_stack_gb', old_gb)
+            config.set('matrix assembly', 'sampled_min_groups', old_min)
+
+    ref = run(False)
+    got = run(True)
+    err = np.abs(ref - got).max()
+    assert err < 1e-11 * max(1, np.abs(ref).max()), f"banded mismatch: {err}"
