@@ -691,6 +691,26 @@ class PencilSystem:
         return ops_banded.build_banded_blocks(
             list(sep.B), W, dict(sep.bad), plan['order'], plan['nb'])
 
+    def banded_operator(self, name):
+        """Cached device BandedOperator for a named stack (shared between
+        the compiled step's M/L applies and the banded solver's exact
+        refinement applies — one f64 copy on the device)."""
+        from ..ops import banded as ops_banded
+        if not hasattr(self, '_banded_ops'):
+            self._banded_ops = {}
+        if name not in self._banded_ops:
+            self._banded_ops[name] = ops_banded.BandedOperator(
+                self.banded_stack(name))
+        return self._banded_ops[name]
+
+    def generic_pivots(self):
+        """(rows, cols) of the identity pivots shared by generic groups
+        (deviant groups are handled by dense overrides)."""
+        from collections import Counter
+        keys = Counter(_pivot_key(pp) for pp in self.pivot_pairs)
+        rows, cols = max(keys, key=keys.get)
+        return np.asarray(rows, dtype=np.int64), np.asarray(cols, dtype=np.int64)
+
     def combined_with_pivots(self, coeffs):
         """sum_i coeffs[i] * matrix_i with identity pivots installed: a dense
         (G,P,P) stack when small, else a LazyCombined provider."""

@@ -133,10 +133,8 @@ class MultistepIMEX(TimestepperBase):
         """Banded block-form M and L operators (cached): exact f64 applies
         at O(G nb P) HBM traffic inside the compiled step."""
         if not hasattr(self, '_banded_ml_cache'):
-            from ..ops import banded as ops_banded
-            bM = ops_banded.BandedOperator(self.pencil.banded_stack('M'))
-            bL = ops_banded.BandedOperator(self.pencil.banded_stack('L'))
-            self._banded_ml_cache = (bM, bL)
+            self._banded_ml_cache = (self.pencil.banded_operator('M'),
+                                     self.pencil.banded_operator('L'))
         return self._banded_ml_cache
 
     def _prepare(self, a0, b0):

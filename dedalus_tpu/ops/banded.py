@@ -150,7 +150,7 @@ def build_banded_blocks(group_csr, weights, bad, order, nb):
     return BandedBlocks(diag, sub, sup, Ucol, Vrow, order, nb, pad)
 
 
-def factor_block_tridiag_qr(blocks):
+def _factor_host(blocks):
     """
     Block-tridiagonal QR factorization, vectorized over groups (host numpy).
     Unconditionally stable without pivoting; parity with the reference's
@@ -192,6 +192,95 @@ def factor_block_tridiag_qr(blocks):
     R2[:, -2:] = 0.0
     R1[:, -1] = 0.0
     return dict(Qt=Qt, QtL=QtL, Rinv=Rinv, R1=R1, R2=R2)
+
+
+@jax.jit
+def _factor_device(diag, sub, sup):
+    """Device block-tridiagonal QR (lax.scan over blocks; f64 QR and
+    triangular solves are TPU-supported). Returns the same dict as the host
+    factorization, computed in a fraction of the time at large G*Nb."""
+    G, Nb, nb, _ = diag.shape
+    eye = jnp.broadcast_to(jnp.eye(nb, dtype=diag.dtype), (G, nb, nb))
+
+    def tri_inv(Rii):
+        return jax.lax.linalg.triangular_solve(
+            Rii, eye, left_side=True, lower=False)
+
+    def step(carry, inputs):
+        C, S = carry
+        subi, diagi, supi = inputs
+        M2 = jnp.concatenate([C, subi], axis=1)          # (G, 2nb, nb)
+        Q, R = jnp.linalg.qr(M2, mode='complete')
+        Qt = jnp.swapaxes(Q, 1, 2)
+        Rii = R[:, :nb, :]
+        top = jnp.concatenate([S, jnp.zeros_like(S)], axis=2)
+        bot = jnp.concatenate([diagi, supi], axis=2)
+        panel = jnp.concatenate([top, bot], axis=1)      # (G, 2nb, 2nb)
+        QtP = Qt @ panel
+        out = (Qt, tri_inv(Rii), QtP[:, :nb, :nb], QtP[:, :nb, nb:])
+        return (QtP[:, nb:, :nb], QtP[:, nb:, nb:]), out
+
+    (C, _), (Qt, Rinv_s, R1_s, R2_s) = jax.lax.scan(
+        step, (diag[:, 0], sup[:, 0]),
+        (sub[:, 1:].swapaxes(0, 1), diag[:, 1:].swapaxes(0, 1),
+         sup[:, 1:].swapaxes(0, 1)))
+    Q, R = jnp.linalg.qr(C, mode='complete')
+    QtL = jnp.swapaxes(Q, 1, 2)
+    RinvL = tri_inv(R)
+    Rinv = jnp.concatenate([Rinv_s.swapaxes(0, 1), RinvL[:, None]], axis=1)
+    zero = jnp.zeros((G, 1, nb, nb), dtype=diag.dtype)
+    R1 = jnp.concatenate([R1_s.swapaxes(0, 1), zero], axis=1)
+    R2 = jnp.concatenate([R2_s.swapaxes(0, 1), zero], axis=1)
+    return dict(Qt=Qt.swapaxes(0, 1), QtL=QtL, Rinv=Rinv, R1=R1, R2=R2)
+
+
+def factor_block_tridiag_qr(blocks, device=None):
+    """Block-tridiagonal QR factorization of a BandedBlocks (parity with the
+    reference's BandedQR matsolver, matsolvers.py:210). Runs on device for
+    large batches, on host otherwise."""
+    G, Nb, nb = blocks.G, blocks.Nb, blocks.nb
+    if device is None:
+        device = G * Nb * nb ** 3 > 1e8
+    if device:
+        qr = _factor_device(jnp.asarray(blocks.diag), jnp.asarray(blocks.sub),
+                            jnp.asarray(blocks.sup))
+        qr = {k: np.asarray(v) for k, v in qr.items()}
+    else:
+        qr = _factor_host(blocks)
+    if not np.isfinite(qr['Rinv']).all():
+        raise ValueError("block-tridiagonal QR: singular R diagonal")
+    return qr
+
+
+@jax.jit
+def _multi_rhs_solve_device(Qt, QtL, Rinv, R1, R2, R):
+    """Device block-tridiagonal QR solve with multiple RHS: R (G,Nb,nb,k)."""
+    RT = R.swapaxes(0, 1)
+
+    def fwd(carry, inputs):
+        Qti, ri = inputs
+        v = jnp.concatenate([carry, ri], axis=1)
+        w = Qti @ v
+        nb = carry.shape[1]
+        return w[:, nb:], w[:, :nb]
+
+    carry, ys = jax.lax.scan(fwd, RT[0], (Qt.swapaxes(0, 1), RT[1:]))
+    yL = QtL @ carry
+    y = jnp.concatenate([ys, yL[None]])
+
+    def bwd(carry, inputs):
+        x1, x2 = carry
+        Rinvi, R1i, R2i, yi = inputs
+        xi = Rinvi @ (yi - R1i @ x1 - R2i @ x2)
+        return (xi, x1), xi
+
+    zero = jnp.zeros_like(RT[0])
+    xN = Rinv[:, -1] @ y[-1]
+    (_, _), xs = jax.lax.scan(
+        bwd, (xN, zero),
+        (Rinv.swapaxes(0, 1)[:-1], R1.swapaxes(0, 1)[:-1],
+         R2.swapaxes(0, 1)[:-1], y[:-1]), reverse=True)
+    return jnp.concatenate([xs, xN[None]]).swapaxes(0, 1)
 
 
 @jax.jit
@@ -257,17 +346,25 @@ def apply_full(mats, xflat, P, nbord):
 class BorderedBandedSolver:
     """
     Device solver: f32 block-tridiagonal QR sweeps + Woodbury correction for
-    the border content + f64 refinement against the exact blocks (parity:
-    matsolvers.py:285-321 Woodbury over a banded core).
+    the border content + f64 iterative refinement against an exact operator
+    apply (parity: matsolvers.py:285-321 Woodbury over a banded core).
+
+    The factorization runs on DEVICE in f64, chunked over groups to bound
+    peak memory, and only f32 factors persist. The exact apply for
+    refinement is either provided (shared banded M/L operators:
+    A = a0 M + b0 L + pivots) or built from this stack's own blocks.
     """
 
     def __init__(self, blocks, refinements=3, factor_dtype=jnp.float32,
-                 bad=None, group_dense=None, max_cond=1e7, max_bad=None):
+                 bad=None, group_dense=None, max_cond=1e7, max_bad=None,
+                 exact_apply=None, exact_arrs=None, chunk_G=256):
         self.blocks = blocks
         self.order = blocks.order
         self.nb = blocks.nb
         self.Nb = blocks.Nb
         self.refinements = refinements
+        self.factor_dtype = factor_dtype
+        self.chunk_G = chunk_G
         G, P, Pp = blocks.G, blocks.P, blocks.Pp
         nbord = blocks.nbord
         bad = dict(bad or {})
@@ -276,15 +373,29 @@ class BorderedBandedSolver:
         # band sweeps retain enough accuracy for f64 refinement to converge.
         Dr, Dc = self._equilibrate(blocks)
         sblocks = self._scaled(blocks, Dr, Dc)
-        fac_blocks = self._neutralized(sblocks, bad)
-        qr = factor_block_tridiag_qr(fac_blocks)
-        W1, Vfull, S = self._woodbury(qr, sblocks)
+        b0 = P - nbord
+        Ufull = np.zeros((G, Pp, 2 * nbord))
+        for j in range(nbord):
+            Ufull[:, b0 + j, j] = 1.0
+        Ufull[:, :, nbord:] = sblocks.Ucol
+        Ublocks = Ufull.reshape(G, self.Nb, self.nb, 2 * nbord)
+        Vfull = np.zeros((G, 2 * nbord, Pp))
+        Vfull[:, :nbord, :] = sblocks.Vrow
+        for j in range(nbord):
+            Vfull[:, nbord + j, b0 + j] = 1.0
+
+        qr, W1 = self._chunked_factor_W1(self._neutralized(sblocks, bad),
+                                         Ublocks)
+        S = np.eye(2 * nbord) + Vfull @ W1
         # Dense-override groups whose scaled band or capacitance matrix stays
         # ill-conditioned (the tau band loses conditioning as k -> 0; the
         # count is k-local and small at scale).
         growth = np.abs(qr['Rinv']).max(axis=(1, 2, 3))
-        condS = np.linalg.cond(S)
-        ill = np.nonzero((growth > max_cond) | (condS > max_cond))[0]
+        with np.errstate(all='ignore'):
+            condS = np.linalg.cond(np.where(np.isfinite(S), S, 0.0))
+        ill = np.nonzero((growth > max_cond) | (condS > max_cond)
+                         | ~np.isfinite(condS)
+                         | ~np.isfinite(S).all(axis=(1, 2)))[0]
         ill = [int(g) for g in ill if g not in bad]
         if ill:
             if group_dense is None:
@@ -301,9 +412,9 @@ class BorderedBandedSolver:
                     f"({len(ill) + len(bad)}/{G})")
             for g in ill:
                 bad[g] = group_dense(int(g))
-            fac_blocks = self._neutralized(sblocks, bad)
-            qr = factor_block_tridiag_qr(fac_blocks)
-            W1, Vfull, S = self._woodbury(qr, sblocks)
+            qr, W1 = self._chunked_factor_W1(
+                self._neutralized(sblocks, bad), Ublocks)
+            S = np.eye(2 * nbord) + Vfull @ W1
         self.bad_idx = tuple(sorted(bad))
         for g in self.bad_idx:   # bad groups solve densely; keep S invertible
             S[g] = np.eye(2 * nbord)
@@ -320,8 +431,13 @@ class BorderedBandedSolver:
             # Scaled dense override: solves the equilibrated system
             Abad = Dr[list(self.bad_idx), :P, None] * Abad \
                 * Dc[list(self.bad_idx), None, :P]
-            self.Abad_inv = jnp.asarray(np.linalg.inv(Abad),
-                                        dtype=factor_dtype)
+            if Abad.shape[-1] > 1024:
+                # Large pencils: batched f32 LU inverse on device
+                self.Abad_inv = jnp.linalg.inv(
+                    jnp.asarray(Abad, dtype=jnp.float32)).astype(factor_dtype)
+            else:
+                self.Abad_inv = jnp.asarray(np.linalg.inv(Abad),
+                                            dtype=factor_dtype)
         else:
             self.Abad_inv = None
         self.fac = {k: jnp.asarray(v, dtype=factor_dtype) for k, v in qr.items()}
@@ -329,8 +445,6 @@ class BorderedBandedSolver:
         self.fac.update(W1=jnp.asarray(W1),
                         Sinv=jnp.asarray(Sinv),
                         Vfull=jnp.asarray(Vfull))
-        # Exact SCALED blocks for refinement (refinement runs in scaled space)
-        self.exact = sblocks.device_arrays(jnp.float64)
         rp = np.asarray(self.order['row_perm'])
         cp = np.asarray(self.order['col_perm'])
         self.row_perm = jnp.asarray(rp)
@@ -342,6 +456,63 @@ class BorderedBandedSolver:
         self.P = P
         self.nbord = nbord
         self.pad = blocks.pad
+        # Exact apply for refinement (f64): shared operators or own blocks
+        if exact_apply is None:
+            own = BandedOperator(blocks)
+            exact_apply = own.apply_fn()
+            exact_arrs = own.arrs
+        self.exact_apply = exact_apply
+        self.exact_arrs = exact_arrs
+
+    def _chunked_factor_W1(self, fblocks, Ublocks):
+        """f64 factorization + Woodbury RHS solves on device, chunked over
+        groups to bound peak HBM; returns f32 factors + f64 W1 (host)."""
+        G = fblocks.G
+        chunk = max(1, min(self.chunk_G, G))
+        qr_parts, W1_parts = [], []
+        for g0 in range(0, G, chunk):
+            sl = slice(g0, min(g0 + chunk, G))
+            if (G * self.Nb * self.nb ** 3 > 1e8):
+                qr64 = _factor_device(jnp.asarray(fblocks.diag[sl]),
+                                      jnp.asarray(fblocks.sub[sl]),
+                                      jnp.asarray(fblocks.sup[sl]))
+                W1c = _multi_rhs_solve_device(
+                    qr64['Qt'], qr64['QtL'], qr64['Rinv'], qr64['R1'],
+                    qr64['R2'], jnp.asarray(Ublocks[sl]))
+                qr_parts.append({k: np.asarray(v, dtype=np.float32)
+                                 for k, v in qr64.items()})
+                W1_parts.append(np.asarray(W1c))
+                del qr64, W1c
+            else:
+                sub = BandedBlocks(fblocks.diag[sl], fblocks.sub[sl],
+                                   fblocks.sup[sl], fblocks.Ucol[sl],
+                                   fblocks.Vrow[sl], fblocks.order,
+                                   fblocks.nb, fblocks.pad)
+                qr64 = _factor_host(sub)
+                W1_parts.append(self._host_core_solve(qr64, Ublocks[sl]))
+                qr_parts.append({k: np.asarray(v, dtype=np.float32)
+                                 for k, v in qr64.items()})
+        qr = {k: np.concatenate([p[k] for p in qr_parts])
+              for k in qr_parts[0]}
+        if not np.isfinite(qr['Rinv']).all():
+            raise ValueError("block-tridiagonal QR: singular R diagonal")
+        W1 = np.concatenate(W1_parts).reshape(G, fblocks.Pp, -1)
+        return qr, W1
+
+    @staticmethod
+    def _neutralized(blocks, bad):
+        """Copy of the blocks with bad groups' band replaced by identity
+        (they solve through dense overrides; keeps the batch factorable)."""
+        if not bad:
+            return blocks
+        fb = BandedBlocks(
+            blocks.diag.copy(), blocks.sub.copy(), blocks.sup.copy(),
+            blocks.Ucol, blocks.Vrow, blocks.order, blocks.nb, blocks.pad)
+        for g in bad:
+            fb.diag[g] = np.eye(blocks.nb)
+            fb.sub[g] = 0.0
+            fb.sup[g] = 0.0
+        return fb
 
     @staticmethod
     def _equilibrate(blocks, passes=2):
@@ -355,10 +526,10 @@ class BorderedBandedSolver:
             cmax = np.zeros((G, Pp))
             for i in range(Nb):
                 r0 = i * nb
-                for which, arr, coff in (
-                        ('d', blocks.diag[:, i], r0),
-                        ('s', blocks.sub[:, i] if i > 0 else None, r0 - nb),
-                        ('u', blocks.sup[:, i] if i < Nb - 1 else None, r0 + nb)):
+                for arr, coff in (
+                        (blocks.diag[:, i], r0),
+                        (blocks.sub[:, i] if i > 0 else None, r0 - nb),
+                        (blocks.sup[:, i] if i < Nb - 1 else None, r0 + nb)):
                     if arr is None:
                         continue
                     a = np.abs(Dr[:, r0:r0 + nb, None] * arr
@@ -400,40 +571,6 @@ class BorderedBandedSolver:
         return BandedBlocks(diag, sub, sup, Ucol, Vrow, blocks.order,
                             blocks.nb, blocks.pad)
 
-    def _woodbury(self, qr, sblocks):
-        """W1 = A_band^-1 U, Vfull, S = I + V W1 for the scaled system."""
-        G, Pp = sblocks.G, sblocks.Pp
-        nbord, P = sblocks.nbord, sblocks.P
-        b0 = P - nbord
-        Ufull = np.zeros((G, Pp, 2 * nbord))
-        for j in range(nbord):
-            Ufull[:, b0 + j, j] = 1.0
-        Ufull[:, :, nbord:] = sblocks.Ucol
-        W1 = self._host_core_solve(
-            qr, Ufull.reshape(G, self.Nb, self.nb, 2 * nbord))
-        W1 = W1.reshape(G, Pp, 2 * nbord)
-        Vfull = np.zeros((G, 2 * nbord, Pp))
-        Vfull[:, :nbord, :] = sblocks.Vrow
-        for j in range(nbord):
-            Vfull[:, nbord + j, b0 + j] = 1.0
-        S = np.eye(2 * nbord) + Vfull @ W1
-        return W1, Vfull, S
-
-    @staticmethod
-    def _neutralized(blocks, bad):
-        """Copy of the blocks with bad groups' band replaced by identity
-        (they solve through dense overrides; keeps the batch factorable)."""
-        if not bad:
-            return blocks
-        fb = BandedBlocks(
-            blocks.diag.copy(), blocks.sub.copy(), blocks.sup.copy(),
-            blocks.Ucol, blocks.Vrow, blocks.order, blocks.nb, blocks.pad)
-        for g in bad:
-            fb.diag[g] = np.eye(blocks.nb)
-            fb.sub[g] = 0.0
-            fb.sup[g] = 0.0
-        return fb
-
     @staticmethod
     def _host_core_solve(qr, R):
         """Host block-tridiagonal QR solve, multiple RHS: R (G,Nb,nb,k)."""
@@ -459,7 +596,7 @@ class BorderedBandedSolver:
 
     def solve_arrays(self):
         """All device arrays for the jit-safe solve (passed as arguments)."""
-        arrs = dict(fac=self.fac, exact=self.exact,
+        arrs = dict(fac=self.fac, ex=self.exact_arrs,
                     row_perm=self.row_perm, col_unperm=self.col_unperm,
                     Dr=self.Dr, Dc=self.Dc)
         if self.Abad_inv is not None:
@@ -473,11 +610,15 @@ class BorderedBandedSolver:
         P, nbord, pad = self.P, self.nbord, self.pad
         refinements = self.refinements
         bad_idx = self.bad_idx
+        exact_apply = self.exact_apply
 
-        def woodbury(arrs, rflat):
-            """One mixed-precision banded+Woodbury solve (scaled space)."""
+        def once(arrs, R):
+            """One mixed-precision banded+Woodbury solve in pencil coords."""
             fac = arrs['fac']
             f32 = fac['Rinv'].dtype
+            # Scaled system: (Dr A Dc) (Dc^-1 x) = Dr r
+            rflat = jnp.pad(R[:, arrs['row_perm']], ((0, 0), (0, pad)))
+            rflat = rflat * arrs['Dr']
             rc = rflat.astype(f32).reshape(G, Nb, nb)
             y = block_tridiag_qr_solve(fac['Qt'], fac['QtL'], fac['Rinv'],
                                        fac['R1'], fac['R2'], rc)
@@ -486,22 +627,20 @@ class BorderedBandedSolver:
             x = yflat - _bmv(fac['W1'], t)
             if bad_idx:
                 idx = jnp.asarray(bad_idx)
-                xb = _bmv(arrs['Abad_inv'], rflat[idx, :P])
+                xb = _bmv(arrs['Abad_inv'], rflat[idx, :P].astype(f32)
+                          ).astype(rflat.dtype)
                 x = x.at[idx, :P].set(xb)
                 if pad:
                     x = x.at[idx, P:].set(0.0)
-            return x
-
-        def solve(arrs, R):
-            # Scaled system: (Dr A Dc) (Dc^-1 x) = Dr r
-            r = jnp.pad(R[:, arrs['row_perm']], ((0, 0), (0, pad)))
-            r = r * arrs['Dr']
-            x = woodbury(arrs, r)
-            for _ in range(refinements):
-                res = r - apply_full(arrs['exact'], x, P, nbord)
-                x = x + woodbury(arrs, res)
             x = x * arrs['Dc']
             return x[:, :P][:, arrs['col_unperm']]
+
+        def solve(arrs, R):
+            X = once(arrs, R)
+            for _ in range(refinements):
+                res = R - exact_apply(arrs['ex'], X)
+                X = X + once(arrs, res)
+            return X
 
         return solve
 

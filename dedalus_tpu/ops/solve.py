@@ -278,9 +278,37 @@ class FactorizedStack:
                 blocks = ops_banded.build_banded_blocks(
                     bf['B_sparse'], bf['weights'], bf['bad'],
                     bf['order'], bf['nb'])
+                # Exact refinement apply shared with the step's M/L banded
+                # operators: A = a0 M + b0 L + pivots (one f64 copy on device)
+                pencil = getattr(A, 'pencil', None)
+                exact_apply = exact_arrs = None
+                if pencil is not None and set(A.coeffs) <= {'M', 'L'}:
+                    bM = pencil.banded_operator('M')
+                    bL = pencil.banded_operator('L')
+                    applyM, applyL = bM.apply_fn(), bL.apply_fn()
+                    a0 = A.coeffs.get('M', 0.0)
+                    b0 = A.coeffs.get('L', 0.0)
+                    gs, rs, cs = [], [], []
+                    for g, (ir, ic) in enumerate(pencil.pivot_pairs):
+                        gs.extend([g] * len(ir))
+                        rs.extend(ir.tolist())
+                        cs.extend(ic.tolist())
+                    gidx = jnp.asarray(gs, dtype=jnp.int32)
+                    ridx = jnp.asarray(rs, dtype=jnp.int32)
+                    cidx = jnp.asarray(cs, dtype=jnp.int32)
+                    npiv = len(gs)
+
+                    def exact_apply(arrs, X):
+                        Y = a0 * applyM(arrs['M'], X) + b0 * applyL(arrs['L'], X)
+                        if npiv:
+                            Y = Y.at[gidx, ridx].add(X[gidx, cidx])
+                        return Y
+
+                    exact_arrs = {'M': bM.arrs, 'L': bL.arrs}
                 self.banded = ops_banded.BorderedBandedSolver(
-                    blocks, refinements=2, bad=bf['bad'],
-                    group_dense=A.group_sparse)
+                    blocks, refinements=3, bad=bf['bad'],
+                    group_dense=A.group_sparse,
+                    exact_apply=exact_apply, exact_arrs=exact_arrs)
                 return
             if method != 'poly':
                 raise ValueError(
