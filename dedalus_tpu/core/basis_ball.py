@@ -231,10 +231,12 @@ class BallRadialBasis(SphericalRadialBasis, Basis):
 
     # --- validity: JOINT over (ell-slot, n) for azimuthal group m ---
 
-    def joint_valid_for_m(self, m, tensorsig=(), comp_idx=()):
-        """Flattened (L, n) mask: slot j holds ell = |m|+j; radial slot n
-        valid while n < n_size(ell); tensor components additionally require
-        their regularity class to exist at ell (parity: regularity_allowed)."""
+    def joint_valid_for_m(self, m, tensorsig=(), comp_idx=(), az_w=1):
+        """Flattened (az pair, L, n) mask: slot j holds ell = |m|+j; radial
+        slot n valid while n < n_size(ell); tensor components additionally
+        require their regularity class to exist at ell. The m=0 sin parts
+        follow the cos parts except (ell == 0, sin) drops for rank <= 1
+        (ref basis.py:3204-3210)."""
         L = self.parent.colatitude_basis.size
         mask = np.zeros((L, self.size), dtype=bool)
         for j in range(max(L - abs(m), 0)):
@@ -242,7 +244,14 @@ class BallRadialBasis(SphericalRadialBasis, Basis):
             if comp_idx and not intertwiner_lib.regularity_allowed(ell, comp_idx):
                 continue
             mask[j, :self.n_size(ell)] = True
-        return mask.ravel()
+        out = np.zeros((az_w,) + mask.shape, dtype=bool)
+        out[0] = mask
+        if az_w > 1:
+            sinmask = mask.copy()
+            if len(tensorsig) <= 1 and m == 0:
+                sinmask[0] = False  # slot j = 0 holds ell = 0 at m = 0
+            out[1] = sinmask
+        return out.ravel()
 
     # --- operator matrices: block-diagonal over ell slots for a given m ---
 
@@ -511,7 +520,7 @@ class SphericalShellRadialBasis(SphericalRadialBasis, Basis):
 
     # --- validity ---
 
-    def joint_valid_for_m(self, m, tensorsig=(), comp_idx=()):
+    def joint_valid_for_m(self, m, tensorsig=(), comp_idx=(), az_w=1):
         L = self.parent.colatitude_basis.size
         mask = np.zeros((L, self.size), dtype=bool)
         for j in range(max(L - abs(m), 0)):
@@ -519,7 +528,14 @@ class SphericalShellRadialBasis(SphericalRadialBasis, Basis):
             if comp_idx and not intertwiner_lib.regularity_allowed(ell, comp_idx):
                 continue
             mask[j, :] = True
-        return mask.ravel()
+        out = np.zeros((az_w,) + mask.shape, dtype=bool)
+        out[0] = mask
+        if az_w > 1:
+            sinmask = mask.copy()
+            if len(tensorsig) <= 1 and m == 0:
+                sinmask[0] = False  # slot j = 0 holds ell = 0 at m = 0
+            out[1] = sinmask
+        return out.ravel()
 
     # --- per-m block interface ---
 

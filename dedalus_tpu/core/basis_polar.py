@@ -231,12 +231,17 @@ def spin_recombine(coordsys, tensorsig, data, azimuth_axis, forward, real):
     """
     if not tensorsig:
         return data
-    U = coordsys.U_forward(1)
-    if not forward:
-        U = U.T.conj()
+    s2 = getattr(coordsys, '_S2coordsys', None)
     for i, cs in enumerate(tensorsig):
-        if cs is not coordsys:
+        if cs is coordsys:
+            U = coordsys.U_forward(1)
+        elif s2 is not None and cs is s2:
+            # Angular (S2) tensor ranks over a spherical parent
+            U = cs.U_forward(1)
+        else:
             continue
+        if not forward:
+            U = U.T.conj()
         if real:
             M = data.shape[azimuth_axis]
             # Reshape azimuth axis into (M/2 pairs, 2)
@@ -321,7 +326,8 @@ class AnnulusBasis:
 def _azimuth_tensor_all_valid(tensorsig, cs):
     """Spin recombination binds components to parity pairs: tensors over the
     polar system keep all m=0 slots (parity: basis.py:1780 valid_elements)."""
-    return any(getattr(t, 'coords', None) is not None and t is cs for t in tensorsig)
+    s2 = getattr(cs, '_S2coordsys', None)
+    return any(t is cs or (s2 is not None and t is s2) for t in tensorsig)
 
 
 def _azimuth_group_valid_mask(self, group, tensorsig=()):

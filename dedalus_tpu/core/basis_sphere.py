@@ -178,6 +178,27 @@ class ColatitudeBasis(Basis):
         # Scalar fallback (per-component masks are used when tensorsig present)
         return self.component_valid_for_m(m, (), ())
 
+    def surface_pair_valid_for_m(self, m, tensorsig, cidx, az_w):
+        """Joint (azimuth pair, ell-slot) validity: the sin parts follow the
+        cos parts except that (ell == 0, sin) drops for rank <= 1 (real
+        scalars/vectors; ref basis.py:3204-3210 — m = 0 symmetry is NOT
+        imposed for ell > 0)."""
+        cosmask = self.component_valid_for_m(m, tensorsig, cidx)
+        out = np.zeros((az_w, self.size), dtype=bool)
+        out[0] = cosmask
+        if az_w > 1:
+            sinmask = cosmask.copy()
+            if len(tensorsig) <= 1 and m == 0:
+                off = self.slot_offset(0, 0)
+                # slot holding ell = 0 (scalars/spin-0 only; higher |s|
+                # components exclude ell = 0 already)
+                s = (self.parent.coordsys.spintotal(tensorsig, cidx)
+                     if tensorsig else 0)
+                if s == 0 and off < self.size:
+                    sinmask[off] = False
+            out[1] = sinmask
+        return out.ravel()
+
     # --- operator matrices (per m, s) ---
 
     @CachedMethod

@@ -177,6 +177,19 @@ class SphericalCoordinates(CurvilinearCoordinateSystem):
             return self.coords[self.names.index(key)]
         return self.coords[key]
 
+    @property
+    def S2coordsys(self):
+        """S2 view sharing this system's azimuth/colatitude coordinates
+        (the tensorsig of AngularComponent outputs; ref coords.py:330)."""
+        if not hasattr(self, '_S2coordsys'):
+            s2 = S2Coordinates.__new__(S2Coordinates)
+            s2.names = self.names[:2]
+            s2.azimuth = self.azimuth
+            s2.colatitude = self.colatitude
+            s2.coords = (self.azimuth, self.colatitude)
+            self._S2coordsys = s2
+        return self._S2coordsys
+
     @classmethod
     def U_forward(cls, order=1):
         """Unitary coord->spin map: u_s = (u_theta + s*1j*u_phi)/sqrt(2) for
@@ -199,9 +212,13 @@ class SphericalCoordinates(CurvilinearCoordinateSystem):
 
     def spintotal(self, tensorsig, comp_index):
         total = 0
+        s2 = getattr(self, '_S2coordsys', None)
         for cs, idx in zip(tensorsig, comp_index):
             if cs is self:
                 total += self.spin_ordering[idx]
+            elif s2 is not None and cs is s2:
+                # Angular (S2) tensor ranks over this spherical system
+                total += cs.spin_ordering[idx]
         return total
 
     def regtotal(self, tensorsig, comp_index):

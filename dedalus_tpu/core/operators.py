@@ -857,7 +857,11 @@ def Laplacian(operand, coordsys=None):
 
 
 def Curl(operand, index=0):
+    from .coords import SphericalCoordinates
     coordsys = operand.tensorsig[index]
+    if isinstance(coordsys, SphericalCoordinates):
+        from .operators_ball import SphericalCurl
+        return SphericalCurl(operand, index)
     dim = coordsys.dim
     cs = coordsys.coords
     if dim == 2:
@@ -889,9 +893,12 @@ def Skew(operand):
 
 
 def Trace(operand):
-    from .coords import PolarCoordinates
+    from .coords import PolarCoordinates, SphericalCoordinates
     if len(operand.tensorsig) < 2:
         raise ValueError("Trace requires a rank-2+ tensor")
+    if isinstance(operand.tensorsig[0], SphericalCoordinates):
+        from .operators_ball import SphericalTrace
+        return SphericalTrace(operand)
     if isinstance(operand.tensorsig[0], PolarCoordinates):
         from .operators_polar import PolarTrace
         return PolarTrace(operand)
@@ -900,10 +907,34 @@ def Trace(operand):
     return Add(*terms) if len(terms) > 1 else terms[0]
 
 
+def RadialComponent(operand, index=0):
+    """Radial component of a spin-component spherical operand
+    (parity: operators.py:2231 RadialComponent)."""
+    from .coords import SphericalCoordinates
+    if isinstance(operand.tensorsig[index], SphericalCoordinates):
+        from .operators_ball import SphericalComponent
+        return SphericalComponent(operand, index, comps=(2,), s2_out=False)
+    raise NotImplementedError("RadialComponent: unsupported coordinate system")
+
+
+def AngularComponent(operand, index=0):
+    """Angular (S2) components of a spin-component spherical operand
+    (parity: operators.py:2255 AngularComponent)."""
+    from .coords import SphericalCoordinates
+    if isinstance(operand.tensorsig[index], SphericalCoordinates):
+        from .operators_ball import SphericalComponent
+        return SphericalComponent(operand, index, comps=(0, 1), s2_out=True)
+    raise NotImplementedError("AngularComponent: unsupported coordinate system")
+
+
 def TransposeComponents(operand, indices=(0, 1)):
     i0, i1 = indices
     if i0 != 0 or i1 != 1:
         raise NotImplementedError("Only leading-pair transposition supported")
+    from .coords import SphericalCoordinates
+    if isinstance(operand.tensorsig[0], SphericalCoordinates):
+        from .operators_ball import SphericalTransposeComponents
+        return SphericalTransposeComponents(operand, indices)
     cs0, cs1 = operand.tensorsig[0], operand.tensorsig[1]
     rows = []
     for j in range(cs1.dim):
@@ -1139,6 +1170,8 @@ Operand.__call__ = _operand_call
 # Lowercase aliases matching the reference's public names (public.py:1-17)
 grad = Gradient
 div = Divergence
+radial = RadialComponent
+angular = AngularComponent
 curl = Curl
 lap = Laplacian
 skew = Skew
@@ -1156,5 +1189,6 @@ __all__ = ['Differentiate', 'Gradient', 'Divergence', 'Laplacian', 'Curl', 'Skew
            'Lift', 'TimeDerivative', 'Component', 'TensorStack', 'Power',
            'UnaryGridFunction', 'GeneralFunction', 'convert',
            'HilbertTransform', 'Grid', 'Coeff', 'AdvectiveCFL',
+           'RadialComponent', 'AngularComponent', 'radial', 'angular',
            'grad', 'div', 'curl', 'lap', 'skew', 'trace', 'transpose',
            'integ', 'ave', 'interp', 'dt', 'lift']

@@ -91,9 +91,10 @@ class BallRegOperator(LinearOperator):
         shape = tuple(cs.dim for cs in tensorsig)
         return [()] if not shape else list(np.ndindex(*shape))
 
-    def _pair_block_m(self, in_idx, out_idx, m):
+    def _pair_block_m(self, in_idx, out_idx, m, part=None):
         """(L*n_out, L*n_in) block-diagonal pair matrix at azimuthal mode m,
-        zeroed where either regularity class is forbidden."""
+        zeroed where either regularity class is forbidden. `part` selects
+        np.real/np.imag for complex radial matrices (real dtype pairs)."""
         from ..spectral import intertwiner as it
         rb = self.radial_in
         L = rb.parent.colatitude_basis.size
@@ -109,10 +110,15 @@ class BallRegOperator(LinearOperator):
                 A = self.radial_matrix_ell(in_idx, out_idx, ell)
                 if A is None:
                     A = sparse.csr_matrix((n_out, n_in))
-                blocks.append(sparse.csr_matrix(A)[:n_out, :n_in])
+                A = sparse.csr_matrix(A)[:n_out, :n_in]
+                if part is not None:
+                    A = sparse.csr_matrix(part(A.toarray()))
+                blocks.append(A)
             else:
                 blocks.append(sparse.csr_matrix((n_out, n_in)))
         return sparse.block_diag(blocks, format='csr')
+
+    complex_matrices = False  # subclasses with imaginary radial parts set True
 
     def subproblem_matrix(self, subproblem):
         m = subproblem.group[self.azimuth_axis]
@@ -123,13 +129,25 @@ class BallRegOperator(LinearOperator):
         out_idxs = self._comp_indices(self.tensorsig)
         rb = self.radial_in
         L = rb.parent.colatitude_basis.size
+        complex_dtype = np.issubdtype(self.dtype, np.complexfloating)
+        # i * (a + i b) = -b + i a: pair rotation for real-dtype (cos, -sin)
+        J = sparse.csr_matrix(np.array([[0.0, -1.0], [1.0, 0.0]])[:az_w, :az_w])
         rows = []
         for oi in out_idxs:
             row = []
             for ii in in_idxs:
                 if oi in self.regindices_out(ii):
-                    blk = sparse.kron(sparse.identity(az_w),
-                                      self._pair_block_m(ii, oi, m))
+                    if not self.complex_matrices:
+                        blk = sparse.kron(sparse.identity(az_w),
+                                          self._pair_block_m(ii, oi, m))
+                    elif complex_dtype:
+                        blk = sparse.kron(sparse.identity(az_w),
+                                          self._pair_block_m(ii, oi, m))
+                    else:
+                        blk = (sparse.kron(sparse.identity(az_w),
+                                           self._pair_block_m(ii, oi, m, np.real))
+                               + sparse.kron(J,
+                                             self._pair_block_m(ii, oi, m, np.imag)))
                 else:
                     blk = sparse.csr_matrix(
                         (az_w * L * self.radial_out.size, az_w * L * rb.size))
@@ -144,7 +162,7 @@ class BallRegOperator(LinearOperator):
         mat = self.subproblem_matrix(subproblem)
         return {var: mat @ m for var, m in op_mats.items()}
 
-    def _pair_stack(self, in_idx, out_idx):
+    def _pair_stack(self, in_idx, out_idx, part=None, pname=''):
         """(KM+1, L, n_out, n_in) device stack for one component pair."""
         from ..spectral import intertwiner as it
         rb = self.radial_in
@@ -153,10 +171,12 @@ class BallRegOperator(LinearOperator):
         L = rb.parent.colatitude_basis.size
         n_in, n_out = rb.size, self.radial_out.size
         key = (type(self).__name__, rb._key(), self.radial_out._key(),
-               in_idx, out_idx, KM, L, self._extra_key())
+               in_idx, out_idx, KM, L, pname, self._extra_key())
 
         def build():
-            S = np.zeros((KM + 1, L, n_out, n_in))
+            cplx = self.complex_matrices and part is None
+            S = np.zeros((KM + 1, L, n_out, n_in),
+                         dtype=complex if cplx else float)
             for m in range(KM + 1):
                 for j in range(L - abs(m)):
                     ell = abs(m) + j
@@ -167,6 +187,8 @@ class BallRegOperator(LinearOperator):
                     if A is None:
                         continue
                     A = sparse.csr_matrix(A)[:n_out, :n_in].toarray()
+                    if part is not None:
+                        A = part(A)
                     S[m, j, :A.shape[0], :A.shape[1]] = A
             return np.ascontiguousarray(S)
         return device_matrix(key, build)
@@ -184,12 +206,22 @@ class BallRegOperator(LinearOperator):
         P = max(M // 2, 1)
         out_shape = tuple(cs.dim for cs in self.tensorsig)
         out = jnp.zeros(out_shape + (M, L, n_out), dtype=self.dtype)
+        complex_dtype = np.issubdtype(self.dtype, np.complexfloating)
         for ii in self._comp_indices(self.operand.tensorsig):
             comp = data[ii]
             dm = comp.reshape((P, M // P) + comp.shape[-2:])
             for oi in self.regindices_out(ii):
-                stack = self._pair_stack(ii, oi)
-                res = jnp.einsum('mlon,mpln->mplo', stack, dm)
+                if not self.complex_matrices or complex_dtype:
+                    stack = self._pair_stack(ii, oi)
+                    res = jnp.einsum('mlon,mpln->mplo', stack, dm)
+                else:
+                    sr = self._pair_stack(ii, oi, np.real, 're')
+                    si = self._pair_stack(ii, oi, np.imag, 'im')
+                    res = jnp.einsum('mlon,mpln->mplo', sr, dm)
+                    if M // P == 2:
+                        # i * (a + i b) = (-b, a): rotate the (cos, -sin) pair
+                        rot = jnp.stack([-dm[:, 1], dm[:, 0]], axis=1)
+                        res = res + jnp.einsum('mlon,mpln->mplo', si, rot)
                 out = out.at[oi].add(res.reshape((M, L, n_out)))
         return self._build_output(self.dist.coeff_layout, out, scales=field.scales)
 
@@ -274,6 +306,141 @@ class SphericalDivergence(BallRegOperator):
                 'D+', ell, reg)
         return _xi(+1, ell + reg - 1) * self.radial_in.operator_matrix_ell(
             'D-', ell, reg)
+
+
+class SphericalCurl(BallRegOperator):
+    """curl on the ball/shell (parity: operators.py:3838 SphericalCurl):
+    regularity mapping (-,+) -> 0 and 0 -> (-,+) with pure-imaginary radial
+    factors (pair rotations in real dtype):
+      (-) -> (0): -i xi(+1, l+1) D+      (+) -> (0): +i xi(-1, l-1) D-
+      (0) -> (-): -i xi(+1, l)   D-      (0) -> (+): +i xi(-1, l)   D+
+    with l = ell + regtotal(in)."""
+
+    dk = 1
+    name = 'Curl'
+    complex_matrices = True
+
+    def __init__(self, operand, index=0):
+        if index != 0:
+            raise ValueError("Curl only implemented along index 0")
+        if not operand.tensorsig:
+            raise ValueError("Curl requires a vector operand")
+        super().__init__(operand, operand.tensorsig[0])
+
+    def out_tensorsig(self, in_sig):
+        return in_sig
+
+    def regindices_out(self, in_idx):
+        if in_idx[0] in (0, 1):
+            return ((2,) + tuple(in_idx[1:]),)
+        return ((0,) + tuple(in_idx[1:]), (1,) + tuple(in_idx[1:]))
+
+    def new_operands(self, operand):
+        return SphericalCurl(operand)
+
+    def radial_matrix_ell(self, in_idx, out_idx, ell):
+        from ..spectral import intertwiner as it
+        reg = it.regtotal(in_idx)
+        rb = self.radial_in
+        if in_idx[0] == 0 and out_idx[0] == 2:
+            return -1j * _xi(+1, ell + reg + 1) * rb.operator_matrix_ell(
+                'D+', ell, reg)
+        if in_idx[0] == 1 and out_idx[0] == 2:
+            return 1j * _xi(-1, ell + reg - 1) * rb.operator_matrix_ell(
+                'D-', ell, reg)
+        if in_idx[0] == 2 and out_idx[0] == 0:
+            return -1j * _xi(+1, ell + reg) * rb.operator_matrix_ell(
+                'D-', ell, reg)
+        if in_idx[0] == 2 and out_idx[0] == 1:
+            return 1j * _xi(-1, ell + reg) * rb.operator_matrix_ell(
+                'D+', ell, reg)
+        return None
+
+
+class SphericalTransposeComponents(BallRegOperator):
+    """Transpose of a rank-2 spherical tensor. In SPIN space the transpose is
+    a plain index swap; in the REGULARITY coefficient space it is the
+    Q-conjugated swap per ell: reg_out = Q(ell)^T P_swap Q(ell) reg_in
+    (parity: operators.py:1879 TransposeComponents + spin_operators.Transpose)."""
+
+    dk = 0
+    name = 'TransposeComponents'
+
+    def __init__(self, operand, indices=(0, 1)):
+        if tuple(indices) != (0, 1):
+            raise NotImplementedError("Only leading-pair transposition supported")
+        if len(operand.tensorsig) < 2:
+            raise ValueError("Transpose requires rank >= 2")
+        super().__init__(operand, operand.tensorsig[0])
+
+    def out_tensorsig(self, in_sig):
+        return in_sig
+
+    def regindices_out(self, in_idx):
+        return tuple(np.ndindex(*(3,) * len(in_idx)))
+
+    def new_operands(self, operand):
+        return SphericalTransposeComponents(operand)
+
+    @staticmethod
+    def _mix_matrix(ell, rank):
+        """Q(ell)^T P_swap Q(ell) over the full 3^rank component space."""
+        from ..spectral import intertwiner as it
+        C = 3**rank
+        P = np.zeros((C, C))
+        idxs = list(np.ndindex(*(3,) * rank))
+        for i, idx in enumerate(idxs):
+            sw = (idx[1], idx[0]) + idx[2:]
+            P[i, idxs.index(sw)] = 1.0
+        Q = it.Q_matrix(ell, rank)   # spin = Q reg
+        return Q.T @ P @ Q
+
+    def radial_matrix_ell(self, in_idx, out_idx, ell):
+        rank = len(self.operand.tensorsig)
+        M = self._mix_matrix(ell, rank)
+        idxs = list(np.ndindex(*(3,) * rank))
+        c = M[idxs.index(tuple(out_idx)), idxs.index(tuple(in_idx))]
+        if abs(c) < 1e-15:
+            return None
+        return c * sparse.identity(self.radial_in.size, format='csr')
+
+
+class SphericalTrace(BallRegOperator):
+    """Trace of a rank-2 spherical tensor: in spin space
+    tr = T_{-+} + T_{+-} + T_{00}; in regularity space the Q-conjugated row
+    per ell (parity: operators.py:1720 Trace)."""
+
+    dk = 0
+    name = 'Trace'
+
+    def __init__(self, operand):
+        if len(operand.tensorsig) < 2:
+            raise ValueError("Trace requires a rank-2+ tensor")
+        super().__init__(operand, operand.tensorsig[0])
+
+    def out_tensorsig(self, in_sig):
+        return in_sig[2:]
+
+    def regindices_out(self, in_idx):
+        return (tuple(in_idx[2:]),)
+
+    def new_operands(self, operand):
+        return SphericalTrace(operand)
+
+    def radial_matrix_ell(self, in_idx, out_idx, ell):
+        from ..spectral import intertwiner as it
+        rank = len(self.operand.tensorsig)
+        # Spin-space trace row over the first two ranks: (-,+), (+,-), (0,0)
+        t = np.zeros(9)
+        idx2 = list(np.ndindex(3, 3))
+        for pair in ((0, 1), (1, 0), (2, 2)):
+            t[idx2.index(pair)] = 1.0
+        Q2 = it.Q_matrix(ell, 2)
+        row = t @ Q2                    # acts on the first two reg ranks
+        c = row[idx2.index(tuple(in_idx[:2]))]
+        if abs(c) < 1e-15 or tuple(in_idx[2:]) != tuple(out_idx):
+            return None
+        return c * sparse.identity(self.radial_in.size, format='csr')
 
 
 class BallConvert(BallRegOperator):
@@ -450,6 +617,86 @@ class BallLift(LinearOperator):
         if rank:
             out = out.reshape(tuple(cs.dim for cs in self.tensorsig) + (M, L, n))
         return self._build_output(self.dist.coeff_layout, out, scales=None)
+
+
+class SphericalComponent(LinearOperator):
+    """
+    Radial/angular component selection on spin-component spherical operands
+    (surface fields and grid data; parity: operators.py:2231-2312 +
+    basis.py:5892-5970 S2Radial/AngularComponent). Spin ordering (-, +, 0):
+    radial = component 2, angular = components (0, 1) re-signed as an S2
+    tensorsig.
+    """
+
+    name = 'Comp'
+
+    def __init__(self, operand, index=0, comps=(2,), s2_out=False):
+        if index < 0:
+            index += len(operand.tensorsig)
+        cs = operand.tensorsig[index]
+        from .coords import SphericalCoordinates
+        if not isinstance(cs, SphericalCoordinates):
+            raise NotImplementedError("SphericalComponent needs spherical tensorsig")
+        self.index = index
+        self.comps = tuple(comps)
+        self.s2_out = s2_out
+        self.coordsys = cs
+        super().__init__(operand)
+
+    def _init_metadata(self):
+        op = self.operand
+        ts = list(op.tensorsig)
+        if self.s2_out:
+            ts[self.index] = self.coordsys.S2coordsys
+        else:
+            ts.pop(self.index)
+        self.tensorsig = tuple(ts)
+        self.dtype = op.dtype
+        self.domain = op.domain
+
+    def new_operands(self, operand):
+        return SphericalComponent(operand, self.index, self.comps, self.s2_out)
+
+    def matrix_dependence(self, *vars):
+        return self.operand.matrix_dependence(*vars)
+
+    def matrix_coupling(self, *vars):
+        return self.operand.matrix_coupling(*vars)
+
+    def subproblem_matrix(self, subproblem):
+        in_dims = [cs.dim for cs in self.operand.tensorsig]
+        in_idxs = list(np.ndindex(*in_dims)) if in_dims else [()]
+        out_rows = [i for i, idx in enumerate(in_idxs)
+                    if idx[self.index] in self.comps]
+        # Order rows by the OUTPUT component enumeration
+        def out_key(i):
+            idx = list(in_idxs[i])
+            if self.s2_out:
+                idx[self.index] = self.comps.index(idx[self.index])
+            else:
+                idx.pop(self.index)
+            return tuple(idx)
+        out_rows.sort(key=out_key)
+        S = sparse.lil_matrix((len(out_rows), len(in_idxs)))
+        for r, i in enumerate(out_rows):
+            S[r, i] = 1.0
+        spatial = subproblem.spatial_size(self.operand.domain)
+        return sparse.kron(sparse.csr_matrix(S),
+                           sparse.identity(spatial), format='csr')
+
+    def expression_matrices(self, subproblem, vars, **kw):
+        op_mats = self.operand.expression_matrices(subproblem, vars, **kw)
+        mat = self.subproblem_matrix(subproblem)
+        return {var: mat @ m for var, m in op_mats.items()}
+
+    def operate(self, arg_fields):
+        field = arg_fields[0]
+        data = field.data
+        sel = jnp.asarray(self.comps)
+        out = jnp.take(data, sel, axis=self.index)
+        if not self.s2_out:
+            out = jnp.squeeze(out, axis=self.index)
+        return self._build_output(field.layout, out, scales=field.scales)
 
 
 class BallInterpolate(LinearOperator):

@@ -272,17 +272,27 @@ class Subproblem:
                         axis_masks.append(np.array([self.group[axis] == 0]))
                 elif self.coupled[axis]:
                     if hasattr(basis, 'joint_valid_for_m'):
-                        # Validity joint over (colatitude, radius): the radial
-                        # truncation depends on ell = |m| + colatitude slot
-                        # (ball). The hook returns the flattened joint mask;
-                        # the preceding colatitude mask is absorbed into it.
+                        # Validity joint over (azimuth pair, colatitude,
+                        # radius): radial truncation depends on ell = |m| +
+                        # colatitude slot, and the m=0 sin slots drop only at
+                        # ell == 0 for rank <= 1 (ref basis.py:3204-3210).
+                        # The hook returns the flattened joint mask; the
+                        # azimuth and colatitude masks are absorbed into it.
                         m = self.group[axis - 2] or 0
+                        az_basis = domain.bases[axis - 2]
+                        az_w = az_basis.group_shape[0] if az_basis is not None else 1
+                        axis_masks[axis - 2] = np.ones(1, dtype=bool)
                         axis_masks[-1] = np.ones(1, dtype=bool)
-                        axis_masks.append(basis.joint_valid_for_m(m, tensorsig, cidx))
-                    elif hasattr(basis, 'component_valid_for_m') and tensorsig:
-                        # Spin-dependent truncation (sphere): per-component
+                        axis_masks.append(
+                            basis.joint_valid_for_m(m, tensorsig, cidx, az_w))
+                    elif hasattr(basis, 'surface_pair_valid_for_m'):
+                        # Sphere surface: joint over (azimuth pair, ell)
                         m = self.group[axis - 1] or 0
-                        axis_masks.append(basis.component_valid_for_m(m, tensorsig, cidx))
+                        az_basis = domain.bases[axis - 1]
+                        az_w = az_basis.group_shape[0] if az_basis is not None else 1
+                        axis_masks[axis - 1] = np.ones(1, dtype=bool)
+                        axis_masks.append(basis.surface_pair_valid_for_m(
+                            m, tensorsig, cidx, az_w))
                     elif hasattr(basis, 'group_valid_for_m'):
                         # m-dependent radial truncation (disk/ball)
                         m = self.group[axis - 1] or 0

@@ -21,8 +21,11 @@ from .core.operators import (
     Differentiate, Gradient, Divergence, Laplacian, Curl, Skew, Trace,
     TransposeComponents, Interpolate, Integrate, Average, Lift, TimeDerivative,
     Component, Power, UnaryGridFunction, GeneralFunction,
+    RadialComponent, AngularComponent, AdvectiveCFL,
     grad, div, curl, lap, skew, trace, transpose, integ, ave, interp, dt, lift,
+    radial, angular,
 )
+trans = TransposeComponents
 from .core.arithmetic import Add, Multiply, DotProduct, CrossProduct
 from .core.arithmetic import DotProduct as dot
 from .core.arithmetic import CrossProduct as cross

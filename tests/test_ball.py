@@ -439,3 +439,152 @@ def test_ball_volume_integral():
     v = d3.integ(f).evaluate()
     v.require_grid_space()
     assert abs(float(np.asarray(v.data).ravel()[0]) - 4 * np.pi * (1/3 - 1/5)) < 1e-13
+
+
+def test_ball_convection_stress_free():
+    """Internally heated ball convection with STRESS-FREE boundary conditions
+    (gating config 5b full parity; ref examples/ivp_ball_internally_heated_
+    convection): no-penetration radial(u)=0 + vanishing shear stress via the
+    angular/radial component selectors on the boundary strain rate."""
+    from dedalus_tpu.core.timesteppers import SBDF2
+    import jax.numpy as jnp
+    Nphi, Ntheta, Nr = 8, 4, 10
+    Rayleigh, Prandtl = 1e4, 1
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    ball = d3.BallBasis(coords, (Nphi, Ntheta, Nr), radius=1, dealias=1.5,
+                        dtype=np.float64)
+    u = dist.VectorField(coords, name='u', bases=ball)
+    p = dist.Field(name='p', bases=ball)
+    T = dist.Field(name='T', bases=ball)
+    tau_p = dist.Field(name='tau_p')
+    tau_u = dist.VectorField(coords, name='tau_u', bases=ball.surface)
+    tau_T = dist.Field(name='tau_T', bases=ball.surface)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    r_vec = dist.VectorField(coords, name='r_vec', bases=ball)
+    r_vec.change_scales(1)
+    rv = np.zeros((3, Nphi, Ntheta, Nr)); rv[2] = r
+    r_vec.preset_data(dist.grid_layout, jnp.asarray(rv))
+    T_source = 6
+    kappa = (Rayleigh * Prandtl)**(-1/2)
+    nu = (Rayleigh / Prandtl)**(-1/2)
+    lift = lambda A: d3.Lift(A, ball, -1)
+    strain_rate = d3.grad(u) + d3.transpose(d3.grad(u))
+    shear_stress = d3.angular(d3.radial(strain_rate(r=1), index=1))
+    problem = d3.IVP([p, u, T, tau_p, tau_u, tau_T], namespace=locals())
+    problem.add_equation("div(u) + tau_p = 0")
+    problem.add_equation(
+        "dt(u) - nu*lap(u) + grad(p) + lift(tau_u) = - u@grad(u) + r_vec*T")
+    problem.add_equation(
+        "dt(T) - kappa*lap(T) + lift(tau_T) = - u@grad(T) + kappa*T_source")
+    problem.add_equation("shear_stress = 0")
+    problem.add_equation("radial(u(r=1)) = 0")
+    problem.add_equation("T(r=1) = 0")
+    problem.add_equation("integ(p) = 0")
+    solver = problem.build_solver(SBDF2)
+    T.fill_random('g', seed=42, distribution='normal', scale=0.01)
+    T.change_scales(1); T.require_grid_space()
+    T.preset_data(dist.grid_layout,
+                  T.data + jnp.asarray(np.broadcast_to(1 - r**2, (Nphi, Ntheta, Nr)).copy()))
+    solver.run_steps(2e-3, 20)
+    for f in (u, T, p):
+        f.require_coeff_space()
+        assert np.isfinite(np.asarray(f.data)).all()
+    # No penetration
+    bc = d3.radial(u(r=1)).evaluate(); bc.require_coeff_space()
+    assert np.abs(np.asarray(bc.data)).max() < 1e-13
+    # Stress-free
+    ss = shear_stress.evaluate(); ss.require_coeff_space()
+    assert np.abs(np.asarray(ss.data)).max() < 1e-12
+
+
+def test_spherical_curl_identities():
+    """curl(grad f) = 0, div(curl v) = 0 to roundoff, and
+    curl(Omega z_hat x r) = 2 Omega z_hat (ref operators.py:3838)."""
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    ball = d3.BallBasis(coords, (16, 8, 8), radius=1.0, dtype=np.float64)
+    f = dist.Field(name='f', bases=ball)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    x = r * np.sin(theta) * np.cos(phi)
+    z = r * np.cos(theta)
+    f.change_scales(1)
+    f['g'] = x * (x + z) + 0.3 * z**2
+    cg = d3.curl(d3.grad(f)).evaluate()
+    cg.require_coeff_space()
+    assert np.abs(np.asarray(cg.data)).max() < 1e-14
+    dc = d3.div(d3.curl(d3.grad(f) + 2 * d3.grad(f * f))).evaluate()
+    dc.require_coeff_space()
+    assert np.abs(np.asarray(dc.data)).max() < 1e-14
+    # Rigid rotation: curl(Omega ez x r) = 2 Omega ez
+    Omega = 1.3
+    urot = dist.VectorField(coords, name='urot', bases=ball)
+    urot.change_scales(1)
+    shape = np.broadcast_shapes(phi.shape, theta.shape, r.shape)
+    data = np.zeros((3,) + shape)
+    data[0] = Omega * r * np.sin(theta)
+    urot['g'] = data
+    w = d3.curl(urot).evaluate()
+    w.change_scales(1)
+    w.require_grid_space()
+    wg = np.asarray(w.data)
+    exp = np.zeros_like(wg)
+    exp[1] = np.broadcast_to(-2 * Omega * np.sin(theta), shape)
+    exp[2] = np.broadcast_to(2 * Omega * np.cos(theta), shape)
+    assert np.abs(wg - exp).max() < 1e-12
+
+
+def test_spherical_component_selectors():
+    """radial/angular selectors on surface fields match analytic components
+    (ref operators.py:2231-2312)."""
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    ball = d3.BallBasis(coords, (16, 8, 8), radius=1.0, dtype=np.float64)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    x = r * np.sin(theta) * np.cos(phi)
+    z = r * np.cos(theta)
+    f = dist.Field(bases=ball)
+    f.change_scales(1)
+    f['g'] = x * z
+    u = d3.grad(f)  # cartesian (z, 0, x)
+    ph = phi.ravel()[:, None]
+    th = theta.ravel()[None, :]
+    xs = np.sin(th) * np.cos(ph)
+    zs = np.cos(th) * np.ones_like(ph)
+    ur = d3.radial(u(r=1)).evaluate()
+    ur.change_scales(1)
+    ur.require_grid_space()
+    assert np.abs(np.asarray(ur.data)[..., 0] - 2 * xs * zs).max() < 1e-12
+    ua = d3.angular(u(r=1)).evaluate()
+    assert ua.tensorsig[0].dim == 2
+    ua.change_scales(1)
+    ua.require_grid_space()
+    ga = np.asarray(ua.data)[..., 0]
+    assert np.abs(ga[0] - (-zs * np.sin(ph))).max() < 1e-12
+    assert np.abs(ga[1] - (zs * np.cos(th) * np.cos(ph) - xs * np.sin(th))).max() < 1e-12
+
+
+def test_spherical_trace_transpose():
+    """Trace and transpose act through the per-ell Q-conjugation: for
+    T = grad(u), trace(T) = div(u) and transpose is an involution matching
+    the grid-space component swap."""
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    ball = d3.BallBasis(coords, (16, 8, 8), radius=1.0, dtype=np.float64)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    x = r * np.sin(theta) * np.cos(phi)
+    z = r * np.cos(theta)
+    f = dist.Field(bases=ball)
+    f.change_scales(1)
+    f['g'] = x * z + 0.2 * x * x
+    u = d3.grad(f)
+    T = d3.grad(u)
+    tr = d3.trace(T).evaluate()
+    dv = d3.div(u).evaluate()
+    tr.require_coeff_space(); dv.require_coeff_space()
+    assert np.abs(np.asarray(tr.data) - np.asarray(dv.data)).max() < 1e-13
+    # transpose is an involution; grad(grad f) is symmetric
+    TT = d3.transpose(T).evaluate()
+    T0 = T.evaluate()
+    T0.require_coeff_space(); TT.require_coeff_space()
+    assert np.abs(np.asarray(TT.data) - np.asarray(T0.data)).max() < 1e-12
