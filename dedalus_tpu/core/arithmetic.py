@@ -295,6 +295,14 @@ class Multiply(Future):
         ncc, operand = (a, b) if b_dep else (b, a)
         ncc_first = (operand is b)
         op_mats = operand.expression_matrices(subproblem, vars, **kw)
+        # Curvilinear tensor NCCs couple components through Gamma intertwiners
+        if ncc.tensorsig:
+            from .basis_ball import SphericalRadialBasis
+            if any(isinstance(bb, SphericalRadialBasis)
+                   for bb in operand.domain.bases if bb is not None):
+                M = _spherical_ncc_matrix(ncc, operand, self.domain,
+                                          subproblem, ncc_first)
+                return {v: self.scalar * (M @ mm) for v, mm in op_mats.items()}
         ncc_blocks = build_ncc_blocks(ncc, operand, self.domain, subproblem)
         # Assemble tensor structure: out comps = ncc comps (x) operand comps,
         # ordered (ncc, operand) if ncc first else (operand, ncc).
@@ -321,6 +329,118 @@ def _operand_first_stack(ncc_blocks, n_op_comp):
 
 def _strip_kron(x):
     return x
+
+
+def _spherical_ncc_matrix(ncc, operand, out_domain, subproblem, ncc_first):
+    """
+    Tensor NCC coupling on ball/shell geometries via Gamma intertwiner
+    tensors (parity: arithmetic.py:560-583 Gamma). The NCC must be
+    spherically symmetric (m=0, ell=0 content only: e.g. er, r_vec, radial
+    profiles); the coefficient coupling per ell is then
+
+        Gamma(ell) = Q_C(ell)^T (Q_A(0) (x) Q_B(ell))
+
+    (spin-level products are plain outer products since the coordinate delta
+    conjugates through the kron of unitaries), and each (out comp a, operand
+    comp b) block is sum_c Gamma[a,(c,b)](ell) * R_c with R_c the radial
+    Clenshaw product matrix of NCC component c.
+
+    Shell radial bases have regularity-independent radial matrices; the ball
+    needs envelope-shifted Zernike products per (ell, reg) and currently
+    supports scalar NCCs only.
+    """
+    from ..spectral import intertwiner as it
+    from .basis_ball import SphericalRadialBasis, BallRadialBasis
+    dist = ncc.dist
+    ncc_field = ncc.evaluate() if isinstance(ncc, Future) else ncc
+    ncc_field.require_coeff_space()
+    ncc_field.change_scales(1)
+    coeffs = np.asarray(ncc_field.data)
+    rank_A = len(ncc_field.tensorsig)
+    rank_B = len(operand.tensorsig)
+    C_A, C_B = 3**rank_A, 3**rank_B
+    # Locate the spherical axes
+    ball_axis = None
+    for ax in range(dist.dim):
+        if isinstance(operand.domain.bases[ax], SphericalRadialBasis):
+            ball_axis = ax
+    rb_op = operand.domain.bases[ball_axis]
+    rb_out = out_domain.bases[ball_axis]
+    if isinstance(rb_op, BallRadialBasis) and rank_A:
+        raise NotImplementedError(
+            "Ball tensor NCCs need envelope-shifted radial products")
+    rb_ncc = ncc_field.domain.bases[ball_axis]
+    L = rb_op.parent.colatitude_basis.size
+    n = rb_op.size
+    m = subproblem.group[ball_axis - 2] or 0
+    az_basis = operand.domain.bases[ball_axis - 2]
+    az_w = subproblem.axis_width(az_basis, ball_axis - 2)
+    dk_out = rb_out.k - rb_op.k
+    # Spherical symmetry check + radial coefficient extraction per component
+    spatial = coeffs.reshape((C_A,) + coeffs.shape[rank_A:])
+    y00 = ncc_field.domain.bases[ball_axis - 1].constant_mode_value()
+    R_c = []
+    for c in range(C_A):
+        comp = spatial[c]
+        tail = 0.0
+        if comp.shape[0] > 1:
+            tail = max(tail, np.abs(comp[1:]).max())
+        if comp.shape[1] > 1:
+            tail = max(tail, np.abs(comp[0, 1:]).max())
+        if tail > 1e-12 * max(np.abs(spatial).max(), 1e-300):
+            raise NotImplementedError(
+                "Spherical tensor NCCs must be spherically symmetric")
+        if np.abs(comp).max() == 0.0:
+            R_c.append(None)
+            continue
+        if rb_ncc is None:
+            # Constant component: value times conversion
+            val = float(comp.ravel()[0])
+            conv = (rb_op.conversion_matrix_ell(0, 0, dk_out, size=n)[:n, :n]
+                    if dk_out and hasattr(rb_op, 'conversion_matrix_ell')
+                    else sparse.identity(n))
+            R_c.append(sparse.csr_matrix(val * conv))
+        else:
+            block = rb_op.ncc_block_m(m, comp[0, 0, :] * y00, rb_ncc.k,
+                                      rb_ncc.alpha, dk_out)
+            # ncc_block_m returns the (L*n, L*n) kron; extract one radial block
+            R_c.append(sparse.csr_matrix(block[:n, :n]))
+    # Assemble (a, b) blocks: block-diagonal over ell with Gamma(ell) weights
+    Q_A0 = it.Q_matrix(0, rank_A) if rank_A else np.eye(1)
+    rank_C = rank_A + rank_B
+    rows = []
+    for a in range(C_A * C_B):
+        row = []
+        for b in range(C_B):
+            blocks = []
+            for j in range(L):
+                ell = abs(m) + j
+                if j >= L - abs(m):
+                    blocks.append(sparse.csr_matrix((n, n)))
+                    continue
+                Q_B = it.Q_matrix(ell, rank_B) if rank_B else np.eye(1)
+                Q_C = it.Q_matrix(ell, rank_C)
+                if ncc_first:
+                    G = Q_C.T @ np.kron(Q_A0, Q_B)   # (a, (c, b))
+                    col = lambda c: c * C_B + b
+                else:
+                    G = Q_C.T @ np.kron(Q_B, Q_A0)   # (a, (b, c))
+                    col = lambda c: b * C_A + c
+                blk = None
+                for c in range(C_A):
+                    if R_c[c] is None:
+                        continue
+                    g = G[a, col(c)]
+                    if abs(g) < 1e-14:
+                        continue
+                    term = g * R_c[c]
+                    blk = term if blk is None else blk + term
+                blocks.append(sparse.csr_matrix((n, n)) if blk is None
+                              else sparse.csr_matrix(blk))
+            row.append(sparse.kron(sparse.identity(az_w),
+                                   sparse.block_diag(blocks), format='csr'))
+        rows.append(row)
+    return sparse.bmat(rows, format='csr')
 
 
 def build_ncc_blocks(ncc, operand, out_domain, subproblem):
@@ -619,6 +739,10 @@ class CrossProduct(Future):
         a = _to_dealias_grid(arg_fields[0])
         b = _to_dealias_grid(arg_fields[1])
         out = jnp.cross(a, b, axis=0)
+        # Left-handed component orderings (spherical (phi, theta, r)) flip
+        # the sign of the standard component formula (ref operators.py:3708)
+        if not getattr(self.tensorsig[0], 'right_handed', True):
+            out = -out
         return self._build_output(self.dist.grid_layout, out, scales=self.domain.dealias)
 
 

@@ -164,6 +164,8 @@ class SphericalCoordinates(CurvilinearCoordinateSystem):
     # spin_operators indexing=(-1,+1,0), regorder=[-1,1,0])
     reg_ordering = (-1, +1, 0)
     dim = 3
+    # (phi, theta, r) is a LEFT-handed frame (ref coords.py:326)
+    right_handed = False
 
     def __init__(self, azimuth, colatitude, radius):
         self.names = (azimuth, colatitude, radius)

@@ -885,7 +885,10 @@ class SphericalIntegrate(LinearOperator):
             bwd = rb._transform_stacks(1, 0, 'b')  # (KM+1, L, Ng, n)
             Q = bwd[0, 0]                          # m=0, ell=0 radial functions
         else:
-            Q = None
+            # Shell: radial functions via the (ell-independent) backward
+            # transform of unit coefficient vectors
+            Q = np.asarray(rb.backward_transform(
+                np.eye(rb.size), axis=1, scale=1, dtype=np.float64)).T
         return w @ Q
 
     def operate(self, arg_fields):

@@ -20,6 +20,8 @@ from ..utils.general import unify_attributes
 parseables = {name: getattr(operators, name) for name in operators.__all__}
 parseables.update({name: getattr(arithmetic, name) for name in arithmetic.__all__})
 parseables['np'] = np
+parseables['cross'] = arithmetic.CrossProduct
+parseables['dot'] = arithmetic.DotProduct
 
 from . import operators_sphere as _ops_sphere
 parseables['MulCosine'] = _ops_sphere.MulCosine

@@ -23,10 +23,27 @@ TPU-native formulation:
     at O(G nb P) HBM traffic per step.
 """
 
+import logging
+import time
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 from scipy import sparse
+
+logger = logging.getLogger(__name__)
+
+
+class _Timer:
+    def __init__(self, label):
+        self.label = label
+
+    def __enter__(self):
+        self.t0 = time.perf_counter()
+
+    def __exit__(self, *exc):
+        logger.info("banded: %s took %.1fs", self.label,
+                    time.perf_counter() - self.t0)
 
 
 def _bmv(A, x):
@@ -130,6 +147,7 @@ def build_banded_blocks(group_csr, weights, bad, order, nb):
     Build BandedBlocks vectorized over groups from the separable form
     A[g] = sum_p weights[g,p] B_p, with exact overrides for exceptional
     groups ({g: CSR})."""
+    t0 = time.perf_counter()
     G = weights.shape[0]
     P = order['col_perm'].size
     nbord = order['n_border']
@@ -147,6 +165,8 @@ def build_banded_blocks(group_csr, weights, bad, order, nb):
     # Identity on padded diagonal slots so padded solves pass through
     for k in range(pad):
         diag[:, -1, nb - 1 - k, nb - 1 - k] = 1.0
+    logger.info("banded: block extraction took %.1fs (G=%d, Nb=%d, nb=%d)",
+                time.perf_counter() - t0, G, Nb, nb)
     return BandedBlocks(diag, sub, sup, Ucol, Vrow, order, nb, pad)
 
 
@@ -371,8 +391,9 @@ class BorderedBandedSolver:
         # Equilibrate: two passes of row/col inf-norm scaling crush the scale
         # disparity (k^2-stiffness vs mass, mode-magnitude spread) so the f32
         # band sweeps retain enough accuracy for f64 refinement to converge.
-        Dr, Dc = self._equilibrate(blocks)
-        sblocks = self._scaled(blocks, Dr, Dc)
+        with _Timer('equilibrate'):
+            Dr, Dc = self._equilibrate(blocks)
+            sblocks = self._scaled(blocks, Dr, Dc)
         b0 = P - nbord
         Ufull = np.zeros((G, Pp, 2 * nbord))
         for j in range(nbord):
@@ -384,8 +405,9 @@ class BorderedBandedSolver:
         for j in range(nbord):
             Vfull[:, nbord + j, b0 + j] = 1.0
 
-        qr, W1 = self._chunked_factor_W1(self._neutralized(sblocks, bad),
-                                         Ublocks)
+        with _Timer('factor+W1 (pass 1)'):
+            qr, W1 = self._chunked_factor_W1(self._neutralized(sblocks, bad),
+                                             Ublocks)
         S = np.eye(2 * nbord) + Vfull @ W1
         # Dense-override groups whose scaled band or capacitance matrix stays
         # ill-conditioned (the tau band loses conditioning as k -> 0; the
@@ -410,10 +432,13 @@ class BorderedBandedSolver:
                 raise ValueError(
                     f"too many ill-conditioned band groups "
                     f"({len(ill) + len(bad)}/{G})")
-            for g in ill:
-                bad[g] = group_dense(int(g))
-            qr, W1 = self._chunked_factor_W1(
-                self._neutralized(sblocks, bad), Ublocks)
+            logger.info("banded: %d ill-conditioned groups get dense overrides",
+                        len(ill))
+            with _Timer('dense overrides + refactor'):
+                for g in ill:
+                    bad[g] = group_dense(int(g))
+                qr, W1 = self._chunked_factor_W1(
+                    self._neutralized(sblocks, bad), Ublocks)
             S = np.eye(2 * nbord) + Vfull @ W1
         self.bad_idx = tuple(sorted(bad))
         for g in self.bad_idx:   # bad groups solve densely; keep S invertible
@@ -433,8 +458,9 @@ class BorderedBandedSolver:
                 * Dc[list(self.bad_idx), None, :P]
             if Abad.shape[-1] > 1024:
                 # Large pencils: batched f32 LU inverse on device
-                self.Abad_inv = jnp.linalg.inv(
-                    jnp.asarray(Abad, dtype=jnp.float32)).astype(factor_dtype)
+                with _Timer(f'dense inverses ({Abad.shape[0]} groups)'):
+                    self.Abad_inv = jnp.linalg.inv(
+                        jnp.asarray(Abad, dtype=jnp.float32)).astype(factor_dtype)
             else:
                 self.Abad_inv = jnp.asarray(np.linalg.inv(Abad),
                                             dtype=factor_dtype)
