@@ -14,10 +14,26 @@ import jax.numpy as jnp
 from scipy import sparse
 
 from ..utils.caching import CachedClass, CachedMethod, CachedAttribute
+from ..utils.config import config
 from ..utils.general import is_real_dtype
 from ..spectral import jacobi as jacobi_lib
 from ..spectral import clenshaw
 from ..ops import transforms as ops_transforms
+from ..ops import fft64
+
+FAST_THRESHOLD = int(config.get('transforms', 'fast_threshold', fallback='64'))
+
+
+def _fast_enabled(library_key, size):
+    """Transform plan selection: 'matrix' = always MMT, 'fast' = always the
+    mixed-radix matmul path, 'auto' = fast above the size threshold (the
+    reference's @register_transform library dispatch, transforms.py:52-64)."""
+    lib = config.get('transforms', library_key, fallback='auto')
+    if lib == 'matrix':
+        return False
+    if lib in ('fast', 'fft'):
+        return True
+    return size >= FAST_THRESHOLD
 
 # Device cache for transform matrices. Arrays created inside a jit trace are
 # tracers and must NOT be cached; under trace the host numpy matrix is passed
@@ -231,6 +247,98 @@ class Jacobi(Basis):
         P[N:, :] = 0
         return np.ascontiguousarray(P.T.astype(dtype))
 
+    # --- fast (DCT) transform path ---
+    # Valid when the grid is Gauss-Chebyshev (a0 = b0 = -1/2) and the coeff
+    # params sit an integer number of ultraspherical conversions above it
+    # (the reference's FastChebyshevTransform, transforms.py:801-900). The
+    # grid here is z-ascending (theta-descending), so grid data is reversed
+    # around the DCT instead of sign-flipping odd modes.
+
+    @CachedAttribute
+    def _fast_da(self):
+        """Integer ultraspherical offset, or None if the fast path is invalid."""
+        if (self.a0, self.b0) != (-0.5, -0.5):
+            return None
+        da, db = self.a - self.a0, self.b - self.b0
+        if da != db or da < 0 or da != round(da):
+            return None
+        return int(round(da))
+
+    def _use_fast(self, N):
+        return self._fast_da is not None and _fast_enabled('jacobi_library', max(N, self.size))
+
+    @CachedMethod
+    def _conversion_diags(self, M):
+        """Banded diagonals of the T -> (a,b) conversion (M x M), as dense
+        offset vectors for fft64.banded_shift_matmul."""
+        K = jacobi_lib.conversion_matrix(M, self.a0, self.b0, self.a, self.b).tocsr()
+        coo = K.tocoo()
+        offsets = sorted(set((coo.col - coo.row).tolist()))
+        diags = []
+        for off in offsets:
+            d = np.zeros(M)
+            vals = K.diagonal(off)
+            d[:len(vals)] = vals
+            diags.append(d)
+        return diags, offsets, K
+
+    @CachedMethod
+    def _conversion_solve_data(self, P):
+        _, _, K = self._conversion_diags(P)
+        return fft64.build_blocked_upper_solve(K)
+
+    def _fast_forward(self, data, axis, N, dtype):
+        """Grid -> coeff: reverse, DCT-II, orthonormal-T scaling, conversion."""
+        M = self.size
+        x = jnp.flip(data, axis=axis)
+        if jnp.iscomplexobj(x):
+            t = fft64.dct2_64(jnp.real(x), axis) + 1j * fft64.dct2_64(jnp.imag(x), axis)
+        else:
+            t = fft64.dct2_64(x, axis)
+        # Orthonormal-T projection from unnormalized DCT-II (validated vs MMT)
+        scale = np.full(N, np.sqrt(np.pi / 2) / N)
+        scale[0] = np.sqrt(np.pi) / (2 * N)
+        shape = [1] * data.ndim
+        shape[axis] = N
+        t = t * jnp.asarray(scale.reshape(shape))
+        t = ops_transforms.resize_axis(t, M, axis)
+        if self._fast_da:
+            diags, offsets, _ = self._conversion_diags(M)
+            t = fft64.banded_shift_matmul(diags, offsets, t, axis)
+        return t
+
+    def _fast_backward(self, data, axis, N, dtype):
+        """Coeff -> grid: inverse conversion, scaling, DCT-III, reverse."""
+        M = self.size
+        P = min(M, N)
+        c = ops_transforms.resize_axis(data, P, axis)
+        if self._fast_da:
+            solve_data = self._conversion_solve_data(P)
+            c = fft64.blocked_upper_solve(solve_data, c, axis)
+        c = ops_transforms.resize_axis(c, N, axis)
+        scale = np.full(N, 1 / np.sqrt(2 * np.pi))
+        scale[0] = 1 / np.sqrt(np.pi)
+        shape = [1] * data.ndim
+        shape[axis] = N
+        c = c * jnp.asarray(scale.reshape(shape))
+        if jnp.iscomplexobj(c):
+            g = fft64.dct3_64(jnp.real(c), axis) + 1j * fft64.dct3_64(jnp.imag(c), axis)
+        else:
+            g = fft64.dct3_64(c, axis)
+        return jnp.flip(g, axis=axis)
+
+    def forward_transform(self, data, axis, scale, dtype, tensorsig=()):
+        N = self.grid_size(scale)
+        if self._use_fast(N):
+            return self._fast_forward(data, axis, N, dtype)
+        return super().forward_transform(data, axis, scale, dtype, tensorsig)
+
+    def backward_transform(self, data, axis, scale, dtype, tensorsig=()):
+        N = self.grid_size(scale)
+        if self._use_fast(N):
+            return self._fast_backward(data, axis, N, dtype)
+        return super().backward_transform(data, axis, scale, dtype, tensorsig)
+
     # --- operator matrices ---
 
     @CachedMethod
@@ -400,6 +508,18 @@ class ComplexFourier(FourierBase):
         mat *= (np.abs(K) <= Kmax)
         return np.ascontiguousarray(mat.astype(dtype))
 
+    def forward_transform(self, data, axis, scale, dtype, tensorsig=()):
+        N = self.grid_size(scale)
+        if _fast_enabled('fourier_library', max(N, self.size)):
+            return ops_transforms.complex_fft_forward(data, axis, self.size, self.Kmax_for(N))
+        return super().forward_transform(data, axis, scale, dtype, tensorsig)
+
+    def backward_transform(self, data, axis, scale, dtype, tensorsig=()):
+        N = self.grid_size(scale)
+        if _fast_enabled('fourier_library', max(N, self.size)):
+            return ops_transforms.complex_fft_backward(data, axis, N, self.Kmax_for(N))
+        return super().backward_transform(data, axis, scale, dtype, tensorsig)
+
     def valid_coeff_mask(self, tensorsig=()):
         # For even sizes the wrap-around slot k = KM+1 is the zeroed Nyquist mode
         mask = np.ones(self.size, dtype=bool)
@@ -518,6 +638,18 @@ class RealFourier(FourierBase):
         mat *= (self.wavenumbers_native[None, :] <= Kmax)
         mat = mat[:, :self.size]
         return np.ascontiguousarray(mat.astype(dtype))
+
+    def forward_transform(self, data, axis, scale, dtype, tensorsig=()):
+        N = self.grid_size(scale)
+        if self.size > 1 and _fast_enabled('fourier_library', max(N, self.size)):
+            return ops_transforms.real_fft_forward(data, axis, self.size, self.Kmax_for(N))
+        return super().forward_transform(data, axis, scale, dtype, tensorsig)
+
+    def backward_transform(self, data, axis, scale, dtype, tensorsig=()):
+        N = self.grid_size(scale)
+        if self.size > 1 and _fast_enabled('fourier_library', max(N, self.size)):
+            return ops_transforms.real_fft_backward(data, axis, N, self.Kmax_for(N))
+        return super().backward_transform(data, axis, scale, dtype, tensorsig)
 
     def valid_coeff_mask(self, tensorsig=()):
         mask = np.ones(self.size, dtype=bool)

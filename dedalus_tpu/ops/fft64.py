@@ -1,0 +1,349 @@
+"""
+Fast float64-capable spectral transforms for TPU.
+
+TPU has no f64 FFT and no complex128 AT ALL (c128 programs fail to compile),
+but f64 matmuls work (MXU + XLA emulation). This module therefore implements
+the *four-step* (Bailey) mixed-radix DFT in SPLIT-COMPLEX form: complex values
+are carried as (real, imag) pairs of f64 arrays and every complex product is
+expanded into real matmuls/elementwise ops, so no complex dtype ever
+materializes on device. For N = N1*N2 a DFT is an (N1 x N1) batched matmul,
+an elementwise twiddle, and an (N2 x N2) batched matmul — O(N*(N1+N2)) work
+instead of the O(N^2) dense MMT, with full f64 accuracy (twiddles built on
+host in f64). At N=2048 this is ~21x fewer flops than MMT, all on the MXU.
+
+On top of the split-complex DFT:
+  * rfft64 / irfft64 (np.fft half-spectrum convention) with even-N packing
+    (2x saving: the real sequence IS the split-complex pair)
+  * DCT-II / DCT-III via Makhoul's length-N permutation (scipy.fft.dct
+    types 2/3, unnormalized) — the fast path for Chebyshev transforms,
+    real-in/real-out with no complex intermediates
+  * banded_shift_matmul: banded (upper) matrix apply via shifted adds, used
+    for ultraspherical conversion after a fast Chebyshev forward
+  * blocked_upper_solve: banded upper-triangular solve along an axis via
+    block back-substitution (lax.scan over blocks, batched matmuls per step),
+    used to invert the ultraspherical conversion before a fast backward.
+
+Parity targets (behavior, not design): dedalus/core/transforms.py:303 (FFTW
+FFT plans), :801-900 (FastChebyshevTransform = DCT + ultraspherical
+conversion / solve_upper_sparse). The reference reaches O(N log N) through
+FFTW on CPU; the TPU-native equivalent is mixed-radix matmul factorization.
+
+All functions are pure and jit-safe: shapes, axes, and factorizations are
+static Python values; host-built matrices become baked constants under trace.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ['fft64', 'ifft64', 'rfft64', 'irfft64', 'rfft64_split',
+           'irfft64_split', 'dct2_64', 'dct3_64', 'banded_shift_matmul',
+           'blocked_upper_solve', 'build_blocked_upper_solve', 'good_factors']
+
+
+def good_factors(N, min_factor=4):
+    """Most balanced factor pair (N1, N2), N1 <= N2, or None if N has no
+    factorization with N1 >= min_factor (small or prime sizes)."""
+    best = None
+    for n1 in range(min_factor, int(np.sqrt(N)) + 1):
+        if N % n1 == 0:
+            best = (n1, N // n1)
+    return best
+
+
+# Host-built transform constants, cached per (kind, size, sign). Baked into
+# compiled programs as constants; tiny (O(N) total for the four-step set).
+_HOST_CACHE = {}
+
+
+def _dft_mats(N, sign):
+    """(cos, sin-with-sign) parts of the N-point DFT matrix."""
+    key = ('dft', N, sign)
+    if key not in _HOST_CACHE:
+        ang = sign * 2 * np.pi * np.outer(np.arange(N), np.arange(N)) / N
+        _HOST_CACHE[key] = (np.cos(ang), np.sin(ang))
+    return _HOST_CACHE[key]
+
+
+def _twiddles(N1, N2, sign):
+    key = ('tw', N1, N2, sign)
+    if key not in _HOST_CACHE:
+        ang = sign * 2 * np.pi * np.outer(np.arange(N1), np.arange(N2)) / (N1 * N2)
+        _HOST_CACHE[key] = (np.cos(ang), np.sin(ang))
+    return _HOST_CACHE[key]
+
+
+def _cmul(ar, ai, br, bi):
+    """Split-complex elementwise product; either imag part may be None."""
+    if ai is None and bi is None:
+        return ar * br, None
+    if ai is None:
+        return ar * br, ar * bi
+    if bi is None:
+        return ar * br, ai * br
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _cmatmul(Wr, Wi, xr, xi, sub):
+    """Split-complex matmul W @ x along `sub` einsum pattern; xi may be None."""
+    if xi is None:
+        return jnp.einsum(sub, Wr, xr), jnp.einsum(sub, Wi, xr)
+    yr = jnp.einsum(sub, Wr, xr) - jnp.einsum(sub, Wi, xi)
+    yi = jnp.einsum(sub, Wi, xr) + jnp.einsum(sub, Wr, xi)
+    return yr, yi
+
+
+def _dft_last_s(xr, xi, sign):
+    """Split-complex DFT along the last axis (four-step when N factors).
+
+    xr is required; xi may be None (real input). Returns (yr, yi).
+    """
+    N = xr.shape[-1]
+    dt = xr.dtype
+    factors = good_factors(N)
+    if factors is None or N < 16:
+        Wr, Wi = _dft_mats(N, sign)
+        Wr, Wi = jnp.asarray(Wr, dt), jnp.asarray(Wi, dt)
+        return _cmatmul(Wr, Wi, xr, xi, 'kn,...n->...k')
+    N1, N2 = factors
+    # n = n2 + N2*n1, k = k1 + N1*k2:
+    # X[k1 + N1 k2] = sum_{n2} W_{N2}^{n2 k2} [W_N^{n2 k1} sum_{n1} W_{N1}^{n1 k1} x[n2 + N2 n1]]
+    shape = xr.shape[:-1] + (N1, N2)
+    Ar = xr.reshape(shape)
+    Ai = xi.reshape(shape) if xi is not None else None
+    W1r, W1i = (jnp.asarray(m, dt) for m in _dft_mats(N1, sign))
+    twr, twi = (jnp.asarray(m, dt) for m in _twiddles(N1, N2, sign))
+    W2r, W2i = (jnp.asarray(m, dt) for m in _dft_mats(N2, sign))
+    Br, Bi = _cmatmul(W1r, W1i, Ar, Ai, 'kn,...nm->...km')
+    Cr, Ci = _cmul(Br, Bi, twr, twi)
+    Dr, Di = _cmatmul(W2r, W2i, Cr, Ci, 'ln,...kn->...kl')
+    # D is (..., k1, k2); output index k = k1 + N1 k2 -> transpose to (k2, k1)
+    out_shape = xr.shape[:-1] + (N,)
+    yr = jnp.swapaxes(Dr, -1, -2).reshape(out_shape)
+    yi = jnp.swapaxes(Di, -1, -2).reshape(out_shape) if Di is not None else None
+    return yr, yi
+
+
+def _split(x):
+    if jnp.iscomplexobj(x):
+        return jnp.real(x), jnp.imag(x)
+    return x, None
+
+
+def _combine(yr, yi):
+    if yi is None:
+        return yr
+    return jax.lax.complex(yr, yi) if yr.dtype != jnp.float64 else yr + 1j * yi
+
+
+def fft64(x, axis=-1):
+    """Complex DFT (np.fft.fft convention) via mixed-radix matmuls; f64-safe.
+
+    Complex in/out: only usable where the backend supports the complex dtype
+    (c64 on TPU, c128 on CPU). The split-complex internals never form complex
+    intermediates, so real-input callers should use rfft64_split/dct paths.
+    """
+    x = jnp.moveaxis(jnp.asarray(x), axis, -1)
+    yr, yi = _dft_last_s(*_split(x), -1)
+    if yi is None:
+        yi = jnp.zeros_like(yr)
+    return jnp.moveaxis(yr + 1j * yi, -1, axis)
+
+
+def ifft64(x, axis=-1):
+    """Inverse complex DFT (np.fft.ifft convention, includes 1/N)."""
+    x = jnp.moveaxis(jnp.asarray(x), axis, -1)
+    N = x.shape[-1]
+    yr, yi = _dft_last_s(*_split(x), +1)
+    if yi is None:
+        yi = jnp.zeros_like(yr)
+    return jnp.moveaxis((yr + 1j * yi) / N, -1, axis)
+
+
+def rfft64_split(x, axis=-1):
+    """Real-input DFT returning split halves (re, im) of modes 0..N//2.
+
+    For even N the real sequence IS the packed split-complex pair
+    (z[n] = x[2n] + i x[2n+1]), so the DFT runs at half length with no
+    complex dtype anywhere — the standard 2x saving for real transforms.
+    """
+    x = jnp.moveaxis(jnp.asarray(x), axis, -1)
+    N = x.shape[-1]
+    if N % 2 == 0 and N >= 16:
+        Nh = N // 2
+        Zr, Zi = _dft_last_s(x[..., 0::2], x[..., 1::2], -1)
+        # Unpack: X[k] = E[k] + e^{-2pi i k/N} O[k], k = 0..Nh, Z[Nh] = Z[0]
+        Zfr = jnp.concatenate([Zr, Zr[..., :1]], axis=-1)
+        Zfi = jnp.concatenate([Zi, Zi[..., :1]], axis=-1)
+        # Z[Nh-k] for k = 0..Nh
+        Zrr = jnp.concatenate([Zr[..., :1], Zr[..., :0:-1], Zr[..., :1]], axis=-1)
+        Zri = jnp.concatenate([Zi[..., :1], Zi[..., :0:-1], Zi[..., :1]], axis=-1)
+        Er, Ei = (Zfr + Zrr) / 2, (Zfi - Zri) / 2
+        Or, Oi = (Zfi + Zri) / 2, (Zrr - Zfr) / 2
+        k = np.arange(Nh + 1)
+        wr = jnp.asarray(np.cos(2 * np.pi * k / N), x.dtype)
+        wi = jnp.asarray(-np.sin(2 * np.pi * k / N), x.dtype)
+        tr, ti = _cmul(Or, Oi, wr, wi)
+        yr, yi = Er + tr, Ei + ti
+    else:
+        yr, yi = _dft_last_s(x, None, -1)
+        yr, yi = yr[..., :N // 2 + 1], yi[..., :N // 2 + 1]
+    return jnp.moveaxis(yr, -1, axis), jnp.moveaxis(yi, -1, axis)
+
+
+def rfft64(x, axis=-1):
+    """Real-input DFT returning complex modes 0..N//2 (np.fft.rfft)."""
+    yr, yi = rfft64_split(x, axis)
+    return yr + 1j * yi
+
+
+def _resize_last(x, n):
+    if x.shape[-1] < n:
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
+    return x[..., :n]
+
+
+def irfft64_split(cr, ci, n, axis=-1):
+    """Inverse real DFT from split half-spectrum (re, im) -> length-n real."""
+    cr = jnp.moveaxis(jnp.asarray(cr), axis, -1)
+    ci = jnp.moveaxis(jnp.asarray(ci), axis, -1)
+    nf = n // 2 + 1
+    cr, ci = _resize_last(cr, nf), _resize_last(ci, nf)
+    # Hermitian-extend to the full spectrum: X[n-k] = conj(X[k])
+    lo = -2 if n % 2 == 0 else -1
+    fullr = jnp.concatenate([cr, cr[..., lo:0:-1]], axis=-1)
+    fulli = jnp.concatenate([ci, -ci[..., lo:0:-1]], axis=-1)
+    yr, _ = _dft_last_s(fullr, fulli, +1)
+    return jnp.moveaxis(yr / n, -1, axis)
+
+
+def irfft64(c, n, axis=-1):
+    """Inverse of rfft64 (np.fft.irfft convention)."""
+    c = jnp.asarray(c)
+    return irfft64_split(jnp.real(c), jnp.imag(c), n, axis)
+
+
+def dct2_64(x, axis=-1):
+    """DCT-II, unnormalized scipy convention: X[k] = 2 sum_j x_j cos(pi k (2j+1) / 2N).
+
+    Makhoul's single-length trick: permute v = [x[0::2], reversed(x[1::2])],
+    then X[k] = 2 Re(e^{-i pi k / 2N} FFT(v)[k]). Real-in/real-out.
+    """
+    x = jnp.moveaxis(jnp.asarray(x), axis, -1)
+    N = x.shape[-1]
+    v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]], axis=-1)
+    Vr, Vi = _dft_last_s(v, None, -1)
+    k = np.arange(N)
+    wr = jnp.asarray(2 * np.cos(np.pi * k / (2 * N)), x.dtype)
+    wi = jnp.asarray(2 * np.sin(np.pi * k / (2 * N)), x.dtype)
+    out = wr * Vr + wi * Vi  # Re(2 e^{-i pi k/2N} V)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def dct3_64(x, axis=-1):
+    """DCT-III, unnormalized scipy convention (inverse pair of dct2_64 up to 2N)."""
+    x = jnp.moveaxis(jnp.asarray(x), axis, -1)
+    N = x.shape[-1]
+    k = np.arange(N)
+    xN = jnp.concatenate([jnp.zeros_like(x[..., :1]), x[..., :0:-1]], axis=-1)
+    wr = jnp.asarray(np.cos(np.pi * k / (2 * N)), x.dtype)
+    wi = jnp.asarray(np.sin(np.pi * k / (2 * N)), x.dtype)
+    # V = (x - i xN) e^{i pi k/2N}
+    Vr = x * wr + xN * wi
+    Vi = x * wi - xN * wr
+    v, _ = _dft_last_s(Vr, Vi, +1)
+    half = (N + 1) // 2
+    out = jnp.zeros_like(v)
+    out = out.at[..., 0::2].set(v[..., :half])
+    out = out.at[..., 1::2].set(v[..., half:][..., ::-1])
+    return jnp.moveaxis(out, -1, axis)
+
+
+# ---------------------------------------------------------------------------
+# Banded upper-triangular apply / solve along an axis (ultraspherical
+# conversion and its inverse for fast Chebyshev transforms).
+# ---------------------------------------------------------------------------
+
+def banded_shift_matmul(diags, offsets, x, axis, out_size=None):
+    """
+    Apply a banded matrix B (rows m, cols m+offset) along `axis`:
+        out[m] = sum_d diags[d][m] * x[m + offsets[d]]
+    `diags[d]` has length out_size (zero-padded where m+offset is out of range).
+    O(len(offsets) * size * batch) elementwise work — negligible vs the DCT.
+    """
+    x = jnp.moveaxis(jnp.asarray(x), axis, -1)
+    N = x.shape[-1]
+    M = out_size if out_size is not None else N
+    out = jnp.zeros(x.shape[:-1] + (M,), dtype=x.dtype)
+    for d, off in zip(diags, offsets):
+        lo, hi = max(0, -off), min(M, N - off)
+        if hi <= lo:
+            continue
+        dvec = jnp.asarray(d[lo:hi])
+        out = out.at[..., lo:hi].add(dvec * x[..., lo + off:hi + off])
+    return jnp.moveaxis(out, -1, axis)
+
+
+def build_blocked_upper_solve(U_csr, nb=64):
+    """
+    Precompute the blocked back-substitution data for a banded upper-triangular
+    matrix U (scipy sparse, bandwidth < nb). Returns (inv_blocks, couple, meta)
+    suitable for blocked_upper_solve.
+
+    inv_blocks: (nB, nb, nb) inverses of the diagonal blocks (host f64)
+    couple:     (nB, nb, bw) coupling of each block's rows into the first bw
+                entries of the NEXT block (zero for the last block)
+    """
+    import scipy.sparse as sp
+    M = U_csr.shape[0]
+    U = sp.csr_matrix(U_csr)
+    coo = U.tocoo()
+    bw = int(max(1, (coo.col - coo.row).max(initial=0)))
+    if bw >= nb:
+        nb = int(2 ** np.ceil(np.log2(bw + 1)))
+    nB = -(-M // nb)
+    Mp = nB * nb
+    if Mp != M:
+        Upad = sp.identity(Mp, format='lil')
+        Upad[:M, :M] = U
+        U = sp.csr_matrix(Upad)
+    Ud = U.toarray()
+    inv_blocks = np.empty((nB, nb, nb))
+    couple = np.zeros((nB, nb, bw))
+    for i in range(nB):
+        sl = slice(i * nb, (i + 1) * nb)
+        inv_blocks[i] = np.linalg.inv(Ud[sl, sl])
+        if i + 1 < nB:
+            couple[i] = Ud[sl, (i + 1) * nb:(i + 1) * nb + bw]
+    return (jnp.asarray(inv_blocks), jnp.asarray(couple),
+            {'M': M, 'Mp': Mp, 'nb': nb, 'nB': nB, 'bw': bw})
+
+
+def blocked_upper_solve(solve_data, b, axis):
+    """Solve U x = b along `axis` using data from build_blocked_upper_solve.
+
+    lax.scan over blocks in reverse: x_i = U_ii^{-1} (b_i - C_i x_{i+1}[:bw]).
+    nB sequential steps, each a batched (nb x nb) matmul on the MXU.
+    """
+    inv_blocks, couple, meta = solve_data
+    M, Mp, nb, nB, bw = (meta[k] for k in ('M', 'Mp', 'nb', 'nB', 'bw'))
+    b = jnp.moveaxis(jnp.asarray(b), axis, -1)
+    batch_shape = b.shape[:-1]
+    if Mp != M:
+        b = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, Mp - M)])
+    bb = b.reshape(batch_shape + (nB, nb))
+    bb = jnp.moveaxis(bb, -2, 0)                    # (nB, ..., nb)
+    inv_b = inv_blocks.astype(b.dtype)
+    cpl = couple.astype(b.dtype)
+
+    def step(carry, inputs):
+        # carry: x_{i+1}[:bw] of shape (..., bw)
+        bi, inv_i, c_i = inputs
+        rhs = bi - jnp.einsum('nk,...k->...n', c_i, carry)
+        xi = jnp.einsum('nk,...k->...n', inv_i, rhs)
+        return xi[..., :bw], xi
+
+    x0 = jnp.zeros(batch_shape + (bw,), dtype=b.dtype)
+    _, xs = jax.lax.scan(step, x0, (bb, inv_b, cpl), reverse=True)
+    x = jnp.moveaxis(xs, 0, -2).reshape(batch_shape + (Mp,))[..., :M]
+    return jnp.moveaxis(x, -1, axis)

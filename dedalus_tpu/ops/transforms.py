@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import fft64
+
 
 def apply_matrix(matrix, data, axis):
     """Contract `matrix` (M, N) against `data` along `axis` (size N) -> size M."""
@@ -43,7 +45,7 @@ def apply_matrix_batched(matrices, data, axis, batch_axis):
 def complex_fft_forward(gdata, axis, M, Kmax):
     """Forward complex Fourier transform: grid -> ordered coeffs (k = 0..KM, -KM..-1)."""
     N = gdata.shape[axis]
-    cdata = jnp.fft.fft(gdata, axis=axis) / N
+    cdata = fft64.fft64(gdata, axis=axis) / N
     # Select retained modes: positive 0..Kmax, negative -Kmax..-1, zero-fill middle
     KM = (M - 1) // 2
     k_out = (jnp.arange(M) + KM) % M - KM  # ordered wavenumbers
@@ -69,27 +71,34 @@ def complex_fft_backward(cdata, axis, N, Kmax):
     src = cdata * jnp.asarray(valid).reshape(shape)
     full = full.at[tuple(slice(None) if d != (axis % cdata.ndim) else idx
                          for d in range(cdata.ndim))].add(src)
-    return jnp.fft.ifft(full, axis=axis) * N
+    return fft64.ifft64(full, axis=axis) * N
 
 
 def real_fft_forward(gdata, axis, M, Kmax):
-    """Forward real Fourier transform -> interleaved (cos, -sin) coefficients."""
+    """Forward real Fourier transform -> interleaved (cos, -sin) coefficients.
+
+    Split-complex throughout (fft64.rfft64_split): no complex dtype is ever
+    formed, so the path runs in f64 on TPU (which has no complex128).
+    """
     N = gdata.shape[axis]
-    c = jnp.fft.rfft(gdata, axis=axis)  # complex, length N//2+1
+    cr, ci = fft64.rfft64_split(gdata, axis=axis)  # split, length N//2+1
     KM = (M - 1) // 2
     nk = KM + 1
+    if cr.shape[axis] < nk:  # coarse grid (scale < 1): pad; Kmax masks them anyway
+        cr = _resize_axis(cr, nk, axis)
+        ci = _resize_axis(ci, nk, axis)
     sel = tuple(slice(None) if d != (axis % gdata.ndim) else slice(0, nk)
                 for d in range(gdata.ndim))
-    ck = c[sel]
-    a = 2 * jnp.real(ck) / N   # cos coefficients
-    b = 2 * jnp.imag(ck) / N   # -sin coefficients: Re*cos + i*Im; f = sum c_k e^{ikx} + c.c.
+    cr, ci = cr[sel], ci[sel]
+    a = 2 * cr / N   # cos coefficients
+    b = 2 * ci / N   # -sin coefficients: Re*cos + i*Im; f = sum c_k e^{ikx} + c.c.
     k = jnp.arange(nk)
     valid = (k <= Kmax)
     shape = [1] * gdata.ndim
     shape[axis] = nk
     validb = valid & (k > 0)
     a = a * valid.reshape(shape)
-    a = jnp.where(jnp.reshape(k == 0, shape), jnp.real(ck) / N, a)
+    a = jnp.where(jnp.reshape(k == 0, shape), cr / N, a)
     b = b * validb.reshape(shape)
     out = jnp.stack([a, b], axis=axis + 1)
     new_shape = list(gdata.shape)
@@ -114,20 +123,21 @@ def real_fft_backward(cdata, axis, N, Kmax):
     shape[axis] = nk
     a = a * valid.reshape(shape)
     b = b * (valid & (k > 0)).reshape(shape)
-    # f = sum_k a_k cos - b_k sin = Re sum_k (a_k + i b_k) e^{ikx}; rfft convention
-    half = (a + 1j * b) * (N / 2)
+    # f = sum_k a_k cos - b_k sin = Re sum_k (a_k + i b_k) e^{ikx}; rfft
+    # convention, kept split-complex (TPU has no complex128)
     k0 = jnp.reshape(k == 0, shape)
-    half = jnp.where(k0, 2 * half, half)
+    scale = jnp.where(k0, float(N), N / 2)
+    hr, hi = a * scale, b * scale
     nfreq = N // 2 + 1
     if nk < nfreq:
-        pad = [(0, 0)] * half.ndim
+        pad = [(0, 0)] * hr.ndim
         pad[axis] = (0, nfreq - nk)
-        half = jnp.pad(half, pad)
+        hr, hi = jnp.pad(hr, pad), jnp.pad(hi, pad)
     elif nk > nfreq:
-        sel = tuple(slice(None) if d != (axis % half.ndim) else slice(0, nfreq)
-                    for d in range(half.ndim))
-        half = half[sel]
-    return jnp.fft.irfft(half, n=N, axis=axis)
+        sel = tuple(slice(None) if d != (axis % hr.ndim) else slice(0, nfreq)
+                    for d in range(hr.ndim))
+        hr, hi = hr[sel], hi[sel]
+    return fft64.irfft64_split(hr, hi, N, axis=axis)
 
 
 def _resize_axis(data, new_size, axis):

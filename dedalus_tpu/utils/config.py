@@ -15,9 +15,12 @@ DEFAULTS = {
         'filename': 'none',
     },
     'transforms': {
-        # 'matrix' (MMT on the MXU, any dtype incl. f64) or 'fft' (XLA FFT, f32/c64 only on TPU)
+        # Transform plan per basis family: 'matrix' (dense MMT on the MXU,
+        # any dtype), 'fast' (mixed-radix matmul FFT/DCT, f64-capable,
+        # O(N^1.5) — ops/fft64.py), or 'auto' (fast above fast_threshold).
         'fourier_library': 'auto',
-        'jacobi_library': 'matrix',
+        'jacobi_library': 'auto',
+        'fast_threshold': '64',
         'dealias_before_converting': 'True',
     },
     'parallelism': {
