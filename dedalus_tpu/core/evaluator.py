@@ -203,6 +203,132 @@ class H5FileHandler(Handler):
         self.current_file = path
 
 
+class H5VirtualFileHandler(H5FileHandler):
+    """
+    Sharded HDF5 output: each data shard goes to its own file and a master
+    file exposes the global arrays through HDF5 virtual datasets (parity:
+    evaluator.py:703-865 H5VirtualFileHandler). The TPU-native shard unit is
+    a slab along the first sharded data axis (mesh axis 0); serial runs write
+    `n_shards` slabs so the format is mesh-count independent.
+
+    Layout on disk:
+        {stem}_s{set}/{stem}_s{set}_p{r}.h5   shard files (real datasets)
+        {stem}_s{set}.h5                      master (virtual datasets + scales)
+    """
+
+    def __init__(self, evaluator, base_path, n_shards=None, **kw):
+        super().__init__(evaluator, base_path, **kw)
+        if n_shards is None:
+            mesh = evaluator.dist.mesh
+            n_shards = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+        self.n_shards = max(1, int(n_shards))
+
+    def _shard_axis_slices(self, data_shape, n_tensor):
+        """Slices of the first spatial axis divisible into n_shards slabs."""
+        for axis in range(n_tensor, len(data_shape)):
+            n = data_shape[axis]
+            if n % self.n_shards == 0 and n >= self.n_shards:
+                edges = np.linspace(0, n, self.n_shards + 1, dtype=int)
+                return axis, [slice(int(a), int(b)) for a, b in zip(edges[:-1], edges[1:])]
+        return None, [slice(None)]  # non-divisible: single shard
+
+    def shard_path(self, rank):
+        stem = f"{self.base_path.stem}_s{self.set_num}"
+        folder = self.base_path / stem
+        folder.mkdir(parents=True, exist_ok=True)
+        return folder / f"{stem}_p{rank}.h5"
+
+    def process(self, wall_time=0.0, sim_time=0.0, iteration=0, timestep=0.0, **kw):
+        import h5py
+        if self.current_file is None or self.writes_in_set >= self.max_writes:
+            self.set_num += 1
+            self.writes_in_set = 0
+        self.write_num += 1
+        self.writes_in_set += 1
+        # Evaluate all tasks, stash outputs
+        entries = []
+        for task in self.tasks:
+            out = task.operand.evaluate() if isinstance(task.operand, Future) else task.operand
+            if task.layout in ('g', 'grid'):
+                out.change_scales(task.scales)
+                out.require_grid_space()
+            else:
+                out.require_coeff_space()
+            entries.append((task, out, np.asarray(out.data)))
+        # Append each task's shard slab to its shard file
+        shard_info = {}
+        for rank in range(self.n_shards):
+            with h5py.File(self.shard_path(rank), 'a') as f:
+                tg = f.require_group('tasks')
+                for task, out, data in entries:
+                    nt = len(out.tensorsig)
+                    axis, slices = self._shard_axis_slices(data.shape, nt)
+                    sl = [slice(None)] * data.ndim
+                    if axis is not None:
+                        sl[axis] = slices[rank if len(slices) > 1 else 0]
+                    piece = data[tuple(sl)]
+                    shard_info[task.name] = (axis, data.shape, data.dtype)
+                    if task.name in tg:
+                        d = tg[task.name]
+                        d.resize(d.shape[0] + 1, axis=0)
+                    else:
+                        d = tg.create_dataset(task.name, shape=(1,) + piece.shape,
+                                              maxshape=(None,) + piece.shape,
+                                              dtype=piece.dtype)
+                    d[-1] = piece
+        # Rewrite the master file: virtual datasets over the shard files
+        with h5py.File(self.current_path, 'w') as f:
+            f.attrs['set_number'] = self.set_num
+            f.attrs['final_write_num'] = self.write_num
+            f.attrs['handler_name'] = self.base_path.stem
+            f.attrs['virtual'] = True
+            scales = f.require_group('scales')
+            tg = f.require_group('tasks')
+            nw = self.writes_in_set
+            for task, out, data in entries:
+                axis, gshape, dtype = shard_info[task.name]
+                layout = h5py.VirtualLayout(shape=(nw,) + gshape, dtype=dtype)
+                _, slices = self._shard_axis_slices(gshape, len(out.tensorsig))
+                for rank in range(self.n_shards):
+                    sl = [slice(None)] * (len(gshape) + 1)
+                    if axis is not None:
+                        sl[axis + 1] = slices[rank if len(slices) > 1 else 0]
+                    pshape = list(gshape)
+                    if axis is not None and len(slices) > 1:
+                        s = slices[rank]
+                        pshape[axis] = s.stop - s.start
+                    vs = h5py.VirtualSource(
+                        self.shard_path(rank).relative_to(self.base_path).as_posix(),
+                        f'tasks/{task.name}', shape=(nw,) + tuple(pshape))
+                    layout[tuple(sl)] = vs
+                dset = tg.create_virtual_dataset(task.name, layout)
+                dset.attrs['layout'] = 'g' if task.layout in ('g', 'grid') else 'c'
+                dset.attrs['scales'] = task.scales
+                nt = len(out.tensorsig)
+                for i, basis in enumerate(out.domain.bases):
+                    if basis is None:
+                        continue
+                    scale_name = f"{basis.coord.name}_{task.scales}"
+                    if scale_name not in scales:
+                        grid = np.asarray(basis.global_grid(
+                            task.scales if np.isscalar(task.scales) else task.scales[i]))
+                        scales.create_dataset(scale_name, data=grid)
+                    dset.dims[1 + nt + i].attach_scale(scales[scale_name])
+                    dset.dims[1 + nt + i].label = basis.coord.name
+            # Time scales: keep full history for the set in the master
+            hist = getattr(self, '_scale_hist', None)
+            if hist is None or self.writes_in_set == 1:
+                hist = self._scale_hist = {n: [] for n in
+                                           ('sim_time', 'wall_time', 'iteration',
+                                            'timestep', 'write_number')}
+            for name, val in [('sim_time', sim_time), ('wall_time', wall_time),
+                              ('iteration', iteration), ('timestep', timestep),
+                              ('write_number', self.write_num)]:
+                hist[name].append(val)
+                scales.create_dataset(name, data=np.asarray(hist[name], dtype=np.float64))
+        self.current_file = self.current_path
+
+
 class Evaluator:
     """Coordinates handler scheduling (parity: evaluator.py:31-205)."""
 
@@ -216,8 +342,21 @@ class Evaluator:
         self.handlers.append(handler)
         return handler
 
-    def add_file_handler(self, base_path, **kw):
-        handler = H5FileHandler(self, base_path, **kw)
+    def add_file_handler(self, base_path, parallel='gather', **kw):
+        """File output handler. `parallel` selects the write strategy
+        (parity: evaluator.py:120-135): 'gather' (global arrays, one file),
+        'virtual' (per-shard files + virtual-dataset master), or 'mpio'
+        (unsupported here: single-process runtime writes via 'gather')."""
+        if parallel == 'virtual':
+            handler = H5VirtualFileHandler(self, base_path, **kw)
+        elif parallel in ('gather', None):
+            handler = H5FileHandler(self, base_path, **kw)
+        elif parallel == 'mpio':
+            raise ValueError(
+                "parallel='mpio' requires an MPI build of h5py; the TPU "
+                "runtime is single-process per host — use 'gather' or 'virtual'.")
+        else:
+            raise ValueError(f"Unknown parallel mode: {parallel!r}")
         self.handlers.append(handler)
         return handler
 

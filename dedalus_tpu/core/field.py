@@ -253,20 +253,20 @@ class Field(Operand):
     # --- randomized/filter utilities (parity: field.py:898-996) ---
 
     def fill_random(self, layout='g', seed=None, distribution='standard_normal', scale=None, **kw):
-        rng = np.random.default_rng(seed)
+        """Fill with random data drawn from a chunked global stream: values are
+        a deterministic function of (seed, global shape) alone — independent of
+        the device mesh and producible shard-by-shard (parity: reference
+        field.py:898-943 + tools/random_arrays.py ChunkedRandomArray)."""
+        from ..utils.random_arrays import chunked_random_field
         if layout in ('g', 'grid'):
             target = self.dist.grid_layout
         else:
             target = self.dist.coeff_layout
         shape = self.required_shape(target, self.scales)
-        sampler = getattr(rng, distribution)
         if distribution == 'normal' and 'scale' not in kw and scale is not None:
             kw['scale'] = scale
             scale = None
-        if np.issubdtype(self.dtype, np.complexfloating):
-            data = sampler(size=shape, **kw) + 1j * sampler(size=shape, **kw)
-        else:
-            data = sampler(size=shape, **kw)
+        data = chunked_random_field(shape, seed, distribution, self.dtype, **kw)
         if scale is not None:
             data = data * scale
         self.preset_data(target, data)

@@ -171,7 +171,8 @@ def rfft64_split(x, axis=-1):
     N = x.shape[-1]
     if N % 2 == 0 and N >= 16:
         Nh = N // 2
-        Zr, Zi = _dft_last_s(x[..., 0::2], x[..., 1::2], -1)
+        xp = x.reshape(x.shape[:-1] + (Nh, 2))  # contiguous even/odd split
+        Zr, Zi = _dft_last_s(xp[..., 0], xp[..., 1], -1)
         # Unpack: X[k] = E[k] + e^{-2pi i k/N} O[k], k = 0..Nh, Z[Nh] = Z[0]
         Zfr = jnp.concatenate([Zr, Zr[..., :1]], axis=-1)
         Zfi = jnp.concatenate([Zi, Zi[..., :1]], axis=-1)
@@ -231,7 +232,13 @@ def dct2_64(x, axis=-1):
     """
     x = jnp.moveaxis(jnp.asarray(x), axis, -1)
     N = x.shape[-1]
-    v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]], axis=-1)
+    if N % 2 == 0:
+        # Contiguous even/odd split via reshape (strided slices scatter/gather
+        # poorly on TPU inside large fused programs)
+        xp = x.reshape(x.shape[:-1] + (N // 2, 2))
+        v = jnp.concatenate([xp[..., 0], xp[..., 1][..., ::-1]], axis=-1)
+    else:
+        v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]], axis=-1)
     Vr, Vi = _dft_last_s(v, None, -1)
     k = np.arange(N)
     wr = jnp.asarray(2 * np.cos(np.pi * k / (2 * N)), x.dtype)
@@ -253,9 +260,15 @@ def dct3_64(x, axis=-1):
     Vi = x * wi - xN * wr
     v, _ = _dft_last_s(Vr, Vi, +1)
     half = (N + 1) // 2
-    out = jnp.zeros_like(v)
-    out = out.at[..., 0::2].set(v[..., :half])
-    out = out.at[..., 1::2].set(v[..., half:][..., ::-1])
+    if N % 2 == 0:
+        # Inverse Makhoul permutation as an interleave: stack + reshape keeps
+        # memory movement contiguous (no strided scatter on TPU)
+        out = jnp.stack([v[..., :half], v[..., half:][..., ::-1]], axis=-1)
+        out = out.reshape(v.shape[:-1] + (N,))
+    else:
+        out = jnp.zeros_like(v)
+        out = out.at[..., 0::2].set(v[..., :half])
+        out = out.at[..., 1::2].set(v[..., half:][..., ::-1])
     return jnp.moveaxis(out, -1, axis)
 
 
@@ -315,7 +328,9 @@ def build_blocked_upper_solve(U_csr, nb=64):
         inv_blocks[i] = np.linalg.inv(Ud[sl, sl])
         if i + 1 < nB:
             couple[i] = Ud[sl, (i + 1) * nb:(i + 1) * nb + bw]
-    return (jnp.asarray(inv_blocks), jnp.asarray(couple),
+    # Host arrays only: callers cache this result, and device arrays created
+    # under a jit trace would leak tracers into the cache.
+    return (inv_blocks, couple,
             {'M': M, 'Mp': Mp, 'nb': nb, 'nB': nB, 'bw': bw})
 
 
@@ -333,8 +348,8 @@ def blocked_upper_solve(solve_data, b, axis):
         b = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, Mp - M)])
     bb = b.reshape(batch_shape + (nB, nb))
     bb = jnp.moveaxis(bb, -2, 0)                    # (nB, ..., nb)
-    inv_b = inv_blocks.astype(b.dtype)
-    cpl = couple.astype(b.dtype)
+    inv_b = jnp.asarray(inv_blocks, dtype=b.dtype)
+    cpl = jnp.asarray(couple, dtype=b.dtype)
 
     def step(carry, inputs):
         # carry: x_{i+1}[:bw] of shape (..., bw)

@@ -85,11 +85,79 @@ def merge_sets(base_path, output_path):
                     data = np.asarray(dset)
                     if data.ndim != 1:
                         continue
+                    time_like = name in ('sim_time', 'wall_time', 'iteration',
+                                         'timestep', 'write_number')
                     if first:
-                        scales_group.create_dataset(name, data=data, maxshape=(None,))
-                    elif name in scales_group:
+                        scales_group.create_dataset(
+                            name, data=data, maxshape=(None,) if time_like else data.shape)
+                    elif time_like and name in scales_group:
                         d = scales_group[name]
                         d.resize(d.shape[0] + data.shape[0], axis=0)
                         d[-data.shape[0]:] = data
             first = False
     return output_path
+
+
+def merge_virtual(base_path, output_path):
+    """
+    Materialize a virtual handler's output into one monolithic file
+    (parity: reference merge tools for per-process files). Virtual datasets
+    read transparently through h5py, so this is a merge of the master files;
+    the result is self-contained (shard files no longer needed).
+    """
+    return merge_sets(base_path, output_path)
+
+
+def load_tasks(base_path, tasks=None, sets=None):
+    """
+    Load handler output into plain arrays: returns a dict
+    {task: (dim_names, coords, data)} with the write axis concatenated and
+    grid coordinates read from the attached HDF5 dimension scales.
+    """
+    import h5py
+    paths = list_sets(base_path)
+    if sets is not None:
+        paths = [paths[i] for i in sets]
+    if not paths:
+        raise FileNotFoundError(f"No set files under {base_path}")
+    out = {}
+    times = load_scales(base_path, names=('sim_time',))['sim_time']
+    with h5py.File(paths[0], 'r') as f:
+        names = list(f['tasks']) if tasks is None else list(tasks)
+        meta = {}
+        for name in names:
+            dset = f['tasks'][name]
+            dims, coords = ['t'], {'t': times}
+            for i in range(1, len(dset.shape)):
+                dim = dset.dims[i]
+                label = dim.label or f"dim_{i}"
+                dims.append(label)
+                if len(dim) and dim[0].shape == (dset.shape[i],):
+                    coords[label] = np.asarray(dim[0])
+            meta[name] = (dims, coords)
+    for name in names:
+        _, data = load_task(base_path, name, sets=sets)
+        dims, coords = meta[name]
+        out[name] = (dims, coords, data)
+    return out
+
+
+def load_tasks_to_xarray(base_path, tasks=None, sets=None):
+    """
+    Load handler output as an xarray.Dataset (parity: the reference's xarray
+    loading backend, tools/post.py). Requires the optional xarray package.
+    """
+    try:
+        import xarray as xr
+    except ImportError as exc:
+        raise ImportError(
+            "load_tasks_to_xarray requires the optional 'xarray' package; "
+            "use load_tasks() for a plain dict of (dims, coords, data).") from exc
+    raw = load_tasks(base_path, tasks=tasks, sets=sets)
+    arrays = {}
+    for name, (dims, coords, data) in raw.items():
+        dims = [d if d in coords else f"{name}_{i}" for i, d in enumerate(dims)]
+        arrays[name] = xr.DataArray(data, dims=dims,
+                                    coords={d: c for d, c in coords.items() if d in dims},
+                                    name=name)
+    return xr.Dataset(arrays)
