@@ -189,63 +189,138 @@ class EigenvalueSolver(SolverBase):
         self.eigenvectors = None
         self.eigenvalue_subproblem = None
 
-    def _dense_pair(self, sp_index):
-        """Dense (L, M) for one subproblem with invalid rows/cols dropped."""
+    def _sparse_pair(self, sp_index):
+        """Sparse reduced (L, M) for one subproblem: invalid rows/cols dropped
+        without densifying (the valid masks play the role of the reference's
+        pre_left/pre_right preconditioners, solvers.py:207-294)."""
+        from scipy import sparse as ss
         pencil = self.pencil
-        L = pencil.matrices_scipy['L'][sp_index].toarray()
-        M = pencil.matrices_scipy['M'][sp_index].toarray()
         rv = pencil.row_valid[sp_index]
         cv = pencil.col_valid[sp_index]
-        return L[np.ix_(rv, cv)], M[np.ix_(rv, cv)], rv, cv
+        L = ss.csr_matrix(pencil.matrices_scipy['L'][sp_index])[rv][:, cv].tocsc()
+        M = ss.csr_matrix(pencil.matrices_scipy['M'][sp_index])[rv][:, cv].tocsc()
+        return L, M, rv, cv
 
-    def solve_dense(self, subproblem=None, sp_index=0, left=False, **kw):
+    def _embed(self, pre_evecs, valid):
+        """Embed reduced eigenvectors into full pencil coordinates."""
+        full = np.zeros((valid.size, pre_evecs.shape[1]), dtype=pre_evecs.dtype)
+        full[valid, :] = pre_evecs
+        return full
+
+    def _store_left(self, pre_left, pre_right, M_red, rv, cv, normalize_left):
+        """Left eigenvectors (row space) and modified left eigenvectors
+        (column space, w -> M^H w) with biorthonormal normalization
+        (parity: solvers.py:216-222, 280-294)."""
+        self.left_eigenvectors = self._embed(pre_left, rv)
+        self.modified_left_eigenvectors = self._embed(
+            np.asarray(M_red.conj().T @ pre_left), cv)
+        if normalize_left:
+            norms = np.diag(pre_left.conj().T @ (M_red @ pre_right))
+            self.left_eigenvectors = self.left_eigenvectors / np.conj(norms)
+            self.modified_left_eigenvectors = self.modified_left_eigenvectors / np.conj(norms)
+
+    def solve_dense(self, subproblem=None, sp_index=0, left=False,
+                    normalize_left=True, **kw):
+        """Full dense eigensolve of one subproblem. With left=True also
+        computes left and modified-left eigenvectors (scipy.linalg.eig
+        definitions, matching reference solvers.py:180-228)."""
         if subproblem is not None:
             sp_index = self.subproblems.index(subproblem)
         self.eigenvalue_subproblem = sp_index
-        L, M, rv, cv = self._dense_pair(sp_index)
+        Ls, Ms, rv, cv = self._sparse_pair(sp_index)
+        L, M = Ls.toarray(), Ms.toarray()
         # lam M x + L x = 0  ->  L x = lam (-M) x
         out = sla.eig(L, b=-M, left=left, **kw)
         if left:
-            self.eigenvalues, self.left_eigenvectors, pre_evecs = out
+            self.eigenvalues, pre_left, pre_evecs = out
+            self._store_left(pre_left, pre_evecs, -Ms, rv, cv, normalize_left)
         else:
             self.eigenvalues, pre_evecs = out
-        # Re-embed eigenvectors into full pencil coordinates
-        full = np.zeros((self.pencil.C, pre_evecs.shape[1]), dtype=pre_evecs.dtype)
-        full[cv, :] = pre_evecs
-        self.eigenvectors = full
+        self.right_eigenvectors = self.eigenvectors = self._embed(pre_evecs, cv)
 
-    def solve_sparse(self, subproblem=None, N=10, target=0.0, sp_index=0, **kw):
-        """Sparse shift-invert eigensolve around `target` via host ARPACK."""
+    def solve_sparse(self, subproblem=None, N=10, target=0.0, sp_index=0,
+                     left=False, normalize_left=True, raise_on_mismatch=True,
+                     v0=None, **kw):
+        """Sparse shift-invert eigensolve around `target` via host ARPACK
+        (matrices stay sparse end-to-end; parity: solvers.py:229-294 +
+        libraries/matsolvers shift-invert)."""
         from scipy.sparse import linalg as spla
-        from scipy import sparse as ss
         if subproblem is not None:
             sp_index = self.subproblems.index(subproblem)
         self.eigenvalue_subproblem = sp_index
-        L, M, rv, cv = self._dense_pair(sp_index)
-        A = ss.csc_matrix(L)
-        B = ss.csc_matrix(-M)
-        # Solve A x = lam B x with shift-invert: C = A - target B
-        C = (A - target * B).tocsc()
-        solve = spla.factorized(C)
-        n = A.shape[0]
-        op = spla.LinearOperator((n, n), matvec=lambda x: solve(B @ x), dtype=A.dtype)
-        evals, evecs = spla.eigs(op, k=N, which='LM')
-        evals = 1 / evals + target
-        self.eigenvalues = evals
-        full = np.zeros((self.pencil.C, evecs.shape[1]), dtype=evecs.dtype)
-        full[cv, :] = evecs
-        self.eigenvectors = full
+        A, Ms, rv, cv = self._sparse_pair(sp_index)
+        B = (-Ms).tocsc()
+
+        def shift_invert_eigs(A, B, target, v0=None):
+            # A x = lam B x around target: C = A - target B, op = C^{-1} B
+            dtype = np.promote_types(np.promote_types(A.dtype, B.dtype),
+                                     np.asarray(target).dtype)
+            C = (A.astype(dtype) - target * B.astype(dtype)).tocsc()
+            solve = spla.factorized(C)
+            Bd = B.astype(dtype)
+            n = A.shape[0]
+            op = spla.LinearOperator((n, n), matvec=lambda x: solve(Bd @ x),
+                                     dtype=dtype)
+            evals, evecs = spla.eigs(op, k=N, which='LM', v0=v0, **kw)
+            return 1 / evals + target, evecs
+
+        self.eigenvalues, pre_evecs = shift_invert_eigs(A, B, target, v0=v0)
+        self.right_eigenvectors = self.eigenvectors = self._embed(pre_evecs, cv)
+        if left:
+            # Left eigenvectors of (A, B) = right eigenvectors of the adjoint
+            # problem at the conjugate target
+            self.left_eigenvalues, pre_left = shift_invert_eigs(
+                A.conj().T.tocsc(), B.conj().T.tocsc(), np.conj(target))
+            if not np.allclose(np.sort_complex(self.eigenvalues),
+                               np.sort_complex(np.conj(self.left_eigenvalues))):
+                if raise_on_mismatch:
+                    raise RuntimeError(
+                        "Conjugate of left eigenvalues does not match right "
+                        "eigenvalues; left/right vectors won't form a "
+                        "biorthogonal set. Pass raise_on_mismatch=False to "
+                        "proceed anyway.")
+                logger.warning("Left/right eigenvalue mismatch; skipping "
+                               "left-eigenvector normalization.")
+                normalize_left = False
+            else:
+                # Reorder left pairs to match the right eigenvalues
+                order = []
+                used = set()
+                for lam in self.eigenvalues:
+                    diffs = np.abs(np.conj(self.left_eigenvalues) - lam)
+                    for j in np.argsort(diffs):
+                        if j not in used:
+                            order.append(j)
+                            used.add(j)
+                            break
+                pre_left = pre_left[:, order]
+                self.left_eigenvalues = self.left_eigenvalues[order]
+            self._store_left(pre_left, pre_evecs, -Ms, rv, cv, normalize_left)
 
     def set_state(self, index, subsystem=None):
-        """Load eigenvector `index` into the problem variables."""
+        """Load eigenvector `index` into the problem variables and the
+        eigenvalue into the problem's eigenvalue field (parity:
+        solvers.py:296-321)."""
         sp_index = self.eigenvalue_subproblem or 0
         vec = self.eigenvectors[:, index]
         G = self.pencil.G
         X = np.zeros((G, self.pencil.C), dtype=complex if np.iscomplexobj(vec) else float)
         X[sp_index] = vec
         if np.iscomplexobj(vec) and not np.issubdtype(self.dtype, np.complexfloating):
-            X = X.real  # caller can rescale phases first
+            scale = np.max(np.abs(vec)) or 1.0
+            if np.max(np.abs(X.imag)) > 1e-10 * scale:
+                raise ValueError(
+                    "Eigenvector has significant imaginary part but the "
+                    "problem dtype is real; rescale the phase first (e.g. "
+                    "solver.eigenvectors[:, i] /= phase) or use a complex dtype.")
+            X = X.real
         self.set_state_pencils(jnp.asarray(X))
+        eig_field = getattr(self.problem, 'eigenvalue', None)
+        if eig_field is not None and self.eigenvalues is not None:
+            lam = self.eigenvalues[index]
+            if not np.issubdtype(eig_field.dtype, np.complexfloating):
+                lam = lam.real
+            eig_field['g'] = lam
 
 
 class InitialValueSolver(SolverBase):

