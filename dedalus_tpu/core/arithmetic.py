@@ -303,6 +303,15 @@ class Multiply(Future):
                 M = _spherical_ncc_matrix(ncc, operand, self.domain,
                                           subproblem, ncc_first)
                 return {v: self.scalar * (M @ mm) for v, mm in op_mats.items()}
+        # Disk (Zernike) radial NCCs: multiplication depends on the operand
+        # component's (m, spin), so build per-component radial blocks
+        from .basis_polar import DiskRadialBasis
+        ncc_field_probe = ncc.evaluate() if isinstance(ncc, Future) else ncc
+        if any(isinstance(bb, DiskRadialBasis)
+               for bb in ncc_field_probe.domain.bases if bb is not None):
+            M = _disk_ncc_matrix(ncc_field_probe, operand, self.domain,
+                                 subproblem, ncc_first=ncc_first)
+            return {v: self.scalar * (M @ mm) for v, mm in op_mats.items()}
         ncc_blocks = build_ncc_blocks(ncc, operand, self.domain, subproblem)
         # Assemble tensor structure: out comps = ncc comps (x) operand comps,
         # ordered (ncc, operand) if ncc first else (operand, ncc).
@@ -318,6 +327,129 @@ class Multiply(Future):
                             sparse.vstack([b_ for b_ in _strip_kron(ncc_blocks)])) \
                 if False else _operand_first_stack(ncc_blocks, n_op_comp)
         return {v: self.scalar * (M @ m) for v, m in op_mats.items()}
+
+
+def _disk_ncc_pair_blocks(ncc_field, operand, out_domain, subproblem):
+    """
+    Per-(ncc comp, operand comp) multiplication blocks for disk geometry:
+    an axisymmetric (m=0) NCC acting through per-(m, spin) Zernike Clenshaw
+    radial matrices with the azimuthal (cos, -sin) pair structure
+    (parity: reference basis.py:2554). Returns (blocks, meta) where
+    blocks[(a_idx, b_idx)] maps the operand component's pair-pencil to the
+    output component's, and None marks spin-forbidden couplings.
+    """
+    from .basis_polar import DiskRadialBasis
+    from .coords import PolarCoordinates
+    ncc_field.require_coeff_space()
+    coeffs = np.asarray(ncc_field.data)
+    r_axis = next(ax for ax, bb in enumerate(ncc_field.domain.bases)
+                  if isinstance(bb, DiskRadialBasis))
+    az_axis = r_axis - 1
+    ncc_rbasis = ncc_field.domain.bases[r_axis]
+    op_rbasis = operand.domain.bases[r_axis]
+    out_rbasis = out_domain.bases[r_axis]
+    if op_rbasis is None:
+        raise NotImplementedError("Disk NCC times constant operand not supported yet")
+    n_tens = len(ncc_field.tensorsig)
+    az_basis = ncc_field.domain.bases[az_axis]
+    gs = az_basis.group_shape[0] if az_basis is not None else 1
+    # Axisymmetry check: only the m=0 azimuth group may carry content
+    c_all = coeffs.reshape((-1,) + coeffs.shape[n_tens:])
+    if az_basis is not None:
+        moved = np.moveaxis(c_all, 1 + az_axis, 1)
+        tail = np.abs(moved[:, gs:]).max() if moved.shape[1] > gs else 0.0
+        if tail > 1e-10 * max(np.abs(moved).max(), 1e-300):
+            raise NotImplementedError(
+                "Disk NCCs must be axisymmetric (m=0 content only)")
+
+    def comp_rows(a_flat):
+        """(cos, sin) m=0 radial coefficient rows of ncc component a."""
+        comp = c_all[a_flat]
+        if az_basis is None:
+            return np.ravel(comp), None
+        comp = np.moveaxis(comp, az_axis, 0)
+        c0 = np.ravel(comp[0])
+        c1 = np.ravel(comp[1]) if comp.shape[0] > 1 else None
+        if c1 is not None and np.abs(c1).max() <= 1e-14 * max(np.abs(c0).max(), 1e-300):
+            c1 = None
+        return c0, c1
+
+    m = subproblem.group[az_axis]
+    m = 0 if m is None else m
+    polar_cs = next((cs for cs in (list(ncc_field.tensorsig) + list(operand.tensorsig))
+                     if isinstance(cs, PolarCoordinates)), None)
+    ncc_shape = tuple(cs.dim for cs in ncc_field.tensorsig)
+    op_shape = tuple(cs.dim for cs in operand.tensorsig)
+    ncc_idxs = list(np.ndindex(*ncc_shape)) if ncc_shape else [()]
+    op_idxs = list(np.ndindex(*op_shape)) if op_shape else [()]
+    az_w = subproblem.axis_width(operand.domain.bases[az_axis], az_axis)
+    N = op_rbasis.size
+    blocks = {}
+    for a_flat, a_idx in enumerate(ncc_idxs):
+        s_ncc = polar_cs.spintotal(ncc_field.tensorsig, a_idx) if (a_idx and polar_cs) else 0
+        c0, c1 = comp_rows(a_flat)
+        for b_idx in op_idxs:
+            s_arg = polar_cs.spintotal(operand.tensorsig, b_idx) if (b_idx and polar_cs) else 0
+            S0 = op_rbasis.ncc_comp_matrix(ncc_rbasis, out_rbasis, c0, m, s_ncc, s_arg)
+            S1 = (op_rbasis.ncc_comp_matrix(ncc_rbasis, out_rbasis, c1, m, s_ncc, s_arg)
+                  if c1 is not None else None)
+            if S0 is None and S1 is None:
+                blocks[(a_idx, b_idx)] = None
+                continue
+            Z = sparse.csr_matrix((S0 if S0 is not None else S1).shape)
+            S0 = S0 if S0 is not None else Z
+            if az_w == 1:
+                blocks[(a_idx, b_idx)] = sparse.csr_matrix(S0)
+            elif S1 is None:
+                blocks[(a_idx, b_idx)] = sparse.kron(sparse.identity(az_w), S0)
+            else:
+                # (cos, -sin) pair coupling of the m=0 NCC's sin content
+                blocks[(a_idx, b_idx)] = sparse.bmat(
+                    [[S0, -S1], [S1, S0]], format='csr')
+    meta = dict(ncc_idxs=ncc_idxs, op_idxs=op_idxs, az_w=az_w, N=N)
+    return blocks, meta
+
+
+def _disk_ncc_matrix(ncc_field, operand, out_domain, subproblem, ncc_first=True):
+    """Full Multiply matrix on disk geometry: out comps = (ncc x operand)
+    (or (operand x ncc)) with per-pair spin-resolved radial blocks."""
+    blocks, meta = _disk_ncc_pair_blocks(ncc_field, operand, out_domain, subproblem)
+    ncc_idxs, op_idxs = meta['ncc_idxs'], meta['op_idxs']
+    zshape = next(b for b in blocks.values() if b is not None).shape
+    Z = sparse.csr_matrix(zshape)
+    get = lambda a, b: blocks[(a, b)] if blocks[(a, b)] is not None else Z
+
+    def rows_for(a_idx):
+        return sparse.block_diag([get(a_idx, b) for b in op_idxs], format='csr') \
+            if len(op_idxs) > 1 else get(a_idx, op_idxs[0])
+    if ncc_first:
+        M = sparse.vstack([rows_for(a) for a in ncc_idxs]) \
+            if len(ncc_idxs) > 1 else rows_for(ncc_idxs[0])
+    else:
+        # operand-major ordering: rows (b, a)
+        cols = []
+        for b in op_idxs:
+            col = sparse.vstack([get(a, b) for a in ncc_idxs]) \
+                if len(ncc_idxs) > 1 else get(ncc_idxs[0], b)
+            cols.append(col)
+        M = sparse.block_diag(cols, format='csr') if len(cols) > 1 else cols[0]
+    return sparse.csr_matrix(M)
+
+
+def _disk_ncc_dot_matrix(ncc_field, operand, out_domain, subproblem, ncc_first):
+    """DotProduct matrix on disk geometry for vector ncc (.) vector operand
+    -> scalar: coordinate contraction sum_c ncc_c op_c. In the spin basis the
+    metric is antidiagonal (e+ . e- = 1), so out = sum_s B[(-s), (s)]."""
+    if len(ncc_field.tensorsig) != 1 or len(operand.tensorsig) != 1:
+        raise NotImplementedError(
+            "Disk NCC dot products support vector@vector only")
+    blocks, meta = _disk_ncc_pair_blocks(ncc_field, operand, out_domain, subproblem)
+    zshape = next(b for b in blocks.values() if b is not None).shape
+    Z = sparse.csr_matrix(zshape)
+    get = lambda a, b: blocks[(a, b)] if blocks[(a, b)] is not None else Z
+    # spin_ordering components: index 0 <-> index 1 are opposite spins
+    cols = [get((1,), (0,)), get((0,), (1,))]
+    return sparse.csr_matrix(sparse.hstack(cols))
 
 
 def _operand_first_stack(ncc_blocks, n_op_comp):
@@ -649,9 +781,16 @@ class DotProduct(Future):
 
     def matrix_coupling(self, *vars):
         out = super().matrix_coupling(*vars)
+        # As in Multiply: curvilinear azimuth axes stay separable for NCC
+        # factors (axisymmetry enforced at block build)
+        from .basis_polar import AzimuthBasis
         for op in self._operands:
             if not op.has(*vars):
-                out |= np.array(op.domain.nonconstant)
+                ncc_vary = np.array(op.domain.nonconstant)
+                for ax in range(len(ncc_vary)):
+                    if isinstance(op.domain.bases[ax], AzimuthBasis):
+                        ncc_vary[ax] = False
+                out |= ncc_vary
         return out
 
     def expression_matrices(self, subproblem, vars, **kw):
@@ -662,6 +801,15 @@ class DotProduct(Future):
         ncc, operand = (a, b) if b_dep else (b, a)
         ncc_first = (operand is b)
         op_mats = operand.expression_matrices(subproblem, vars, **kw)
+        # Disk (Zernike) NCC dot products: spin-resolved radial blocks with
+        # the antidiagonal spin metric
+        from .basis_polar import DiskRadialBasis
+        ncc_field_probe = ncc.evaluate() if isinstance(ncc, Future) else ncc
+        if any(isinstance(bb, DiskRadialBasis)
+               for bb in ncc_field_probe.domain.bases if bb is not None):
+            M = _disk_ncc_dot_matrix(ncc_field_probe, operand, self.domain,
+                                     subproblem, ncc_first)
+            return {v: (M @ m) for v, m in op_mats.items()}
         ncc_blocks = build_ncc_blocks(ncc, operand, self.domain, subproblem)
         dim_c = (a.tensorsig[-1] if ncc_first else b.tensorsig[0]).dim
         n_ncc_comp = prod(tuple(cs.dim for cs in ncc.tensorsig))

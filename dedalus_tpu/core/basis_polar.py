@@ -551,6 +551,64 @@ class DiskRadialBasis(Basis):
                                     abs(m + spintotal), np.array([znat]))
         return sparse.csr_matrix(Q[:, 0][None, :])
 
+    def ncc_matrix_m(self, ncc_basis, out_basis, coeffs, m, spintotal, cutoff=1e-10):
+        """Scalar axisymmetric NCC (spin 0) special case of ncc_comp_matrix."""
+        return self.ncc_comp_matrix(ncc_basis, out_basis, coeffs, m,
+                                    0, spintotal, cutoff=cutoff)
+
+    def ncc_comp_matrix(self, ncc_basis, out_basis, coeffs, m, s_ncc, s_arg,
+                        cutoff=1e-10):
+        """
+        Radial multiplication matrix of one (m=0) NCC spin component s_ncc
+        acting on the (m, s_arg) operand component, producing the
+        (m, s_ncc + s_arg) output component (parity: reference basis.py:2554
+        DiskBasis._last_axis_component_ncc_matrix). The NCC's Zernike
+        functions Q_n^{(a, l_ncc)} = kappa * (r/R)^{l_ncc} * P_n^{(a, l_ncc)}(z)
+        with kappa = 2 * 2^{(a + l_ncc)/2}: the polynomial part is Clenshaw on
+        the operand's Z operator (unpadded: truncated mode algebra, matching
+        the dealiased pipeline), and the (r/R)^{l_ncc} envelope is applied by
+        Zernike R+- ladder operators carrying l_arg -> l_out. Returns None if
+        the spin selection rule (d = l_ncc - |l_out - l_arg| even >= 0) fails.
+        """
+        N = self.size
+        a_ncc = ncc_basis.alpha + ncc_basis.k
+        l_ncc = abs(s_ncc)
+        s_out = s_ncc + s_arg
+        l_arg = abs(m + s_arg)
+        l_out = abs(m + s_out)
+        dreg = l_out - l_arg
+        d = l_ncc - abs(dreg)
+        if d < 0 or d % 2:
+            return None
+        kk = self.alpha + self.k
+        J = self.operator_matrix('Z', m, s_arg, size=N)
+        kappa = 2 * 2**((a_ncc + l_ncc) / 2)
+        S = clenshaw.matrix_clenshaw(kappa * np.ravel(coeffs)[:N], a_ncc,
+                                     float(l_ncc), J, cutoff=cutoff)
+        # (r/R)^{l_ncc} envelope: |dreg| ladder steps l_arg -> l_out, then
+        # (d/2) neutral r^2 factors
+        if l_ncc:
+            pre = sparse.identity(N, format='csr')
+            l_cur = l_arg
+            sgn = 1 if dreg >= 0 else -1
+            for _ in range(abs(dreg)):
+                Rop = sparse.csr_matrix(
+                    zernike_lib.operator(2, 'R', sgn, N, kk, l_cur, radius=1))
+                pre = Rop @ pre
+                l_cur += sgn
+            for _ in range(d // 2):
+                Rp = sparse.csr_matrix(
+                    zernike_lib.operator(2, 'R', +1, N, kk, l_cur, radius=1))
+                Rm = sparse.csr_matrix(
+                    zernike_lib.operator(2, 'R', -1, N, kk, l_cur + 1, radius=1))
+                pre = (Rm @ Rp) @ pre
+            S = pre @ S
+        S = sparse.csr_matrix(S)[:N, :N]
+        dk_out = int(round(out_basis.k - self.k))
+        if dk_out:
+            S = self.conversion_matrix_m(m, s_out, dk_out) @ S
+        return sparse.csr_matrix(S)
+
     def integration_vector(self):
         """m=0 radial integral: integral f r dr on [0, R]."""
         Nq = self.size + self.k + 2

@@ -45,6 +45,12 @@ class SolverBase:
             self.dist, self.subproblems, problem.LHS_variables, problem.equations,
             list(self.matrix_names))
 
+    @property
+    def subproblems_by_group(self):
+        """Map group tuple -> Subproblem (None entries for coupled axes),
+        parity: reference solvers.py subproblems_by_group."""
+        return {sp.group: sp for sp in self.subproblems}
+
     # --- state plumbing ---
 
     @property

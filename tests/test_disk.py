@@ -108,3 +108,58 @@ def test_disk_vector_diffusion_smoke(disk):
     bb = u(r=1).evaluate()
     bb.change_scales(1)
     assert np.abs(np.array(bb.data)).max() < 1e-8
+
+
+@pytest.mark.parametrize('dtype', [np.float64, np.complex128])
+def test_disk_scalar_ncc_lhs(dtype):
+    """Axisymmetric scalar NCC on the LHS: solve (1 + w0)*u = rhs
+    (parity: reference basis.py:2554 disk NCC matrices)."""
+    coords = d3.PolarCoordinates('phi', 'r')
+    dist = d3.Distributor(coords, dtype=dtype)
+    disk = d3.DiskBasis(coords, shape=(12, 24), radius=1.3, dtype=dtype)
+    phi, r = dist.local_grids(disk, scales=1)
+    w0 = dist.Field(name='w0', bases=disk)
+    w0['g'] = np.broadcast_to(1 - (r / 1.3)**2 + 0.3 * (r / 1.3)**4, w0['g'].shape)
+    target = dist.Field(name='target', bases=disk)
+    target['g'] = (np.cos(2 * phi) * r**2 + 0.5 * np.sin(phi) * r + 0.1).astype(dtype)
+    rhs = dist.Field(name='rhs', bases=disk)
+    rhs['g'] = (1 + np.asarray(w0['g'])) * np.asarray(target['g'])
+    u = dist.Field(name='u', bases=disk)
+    problem = d3.LBVP([u], namespace=locals())
+    problem.add_equation("u + w0*u = rhs")
+    solver = problem.build_solver()
+    solver.solve()
+    u.change_scales(1)
+    u.require_grid_space()
+    assert np.abs(np.asarray(u['g']) - np.asarray(target['g'])).max() < 1e-12
+
+
+@pytest.mark.parametrize('dtype', [np.float64, np.complex128])
+def test_disk_vector_ncc_lhs(dtype):
+    """Axisymmetric NCC times a vector operand: per-spin Zernike blocks."""
+    coords = d3.PolarCoordinates('phi', 'r')
+    dist = d3.Distributor(coords, dtype=dtype)
+    disk = d3.DiskBasis(coords, shape=(12, 24), radius=1.0, dtype=dtype)
+    phi, r = dist.local_grids(disk, scales=1)
+    w0 = dist.Field(name='w0', bases=disk)
+    w0['g'] = np.broadcast_to(1 - r**2, w0['g'].shape)
+    # Smooth (Cartesian-polynomial) vector data: spin components then decay
+    # to roundoff well inside the truncation, so the truncated-Clenshaw NCC
+    # matrices and the quadrature transform agree
+    x = r * np.cos(phi)
+    y = r * np.sin(phi)
+    f = dist.Field(name='f', bases=disk)
+    f['g'] = (x**2 * y + 0.5 * x * y - y**3 + 0.2 * x).astype(dtype)
+    vt = d3.grad(f).evaluate()
+    vt.change_scales(1)
+    vt.require_grid_space()
+    rhsv = dist.VectorField(coords, name='rhsv', bases=disk)
+    rhsv['g'] = (1 + np.asarray(w0['g'])) * np.asarray(vt['g'])
+    w = dist.VectorField(coords, name='w', bases=disk)
+    problem = d3.LBVP([w], namespace=locals())
+    problem.add_equation("w + w0*w = rhsv")
+    solver = problem.build_solver()
+    solver.solve()
+    w.change_scales(1)
+    w.require_grid_space()
+    assert np.abs(np.asarray(w['g']) - np.asarray(vt['g'])).max() < 1e-10
