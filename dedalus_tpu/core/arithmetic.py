@@ -295,11 +295,17 @@ class Multiply(Future):
         ncc, operand = (a, b) if b_dep else (b, a)
         ncc_first = (operand is b)
         op_mats = operand.expression_matrices(subproblem, vars, **kw)
-        # Curvilinear tensor NCCs couple components through Gamma intertwiners
-        if ncc.tensorsig:
-            from .basis_ball import SphericalRadialBasis
-            if any(isinstance(bb, SphericalRadialBasis)
-                   for bb in operand.domain.bases if bb is not None):
+        # Curvilinear tensor NCCs couple components through Gamma intertwiners;
+        # ball tensor OPERANDS additionally need per-regularity radial blocks
+        # (the Zernike family shifts with the component's regularity total),
+        # so any spherical product with tensor structure takes this path.
+        if ncc.tensorsig or operand.tensorsig:
+            from .basis_ball import SphericalRadialBasis, BallRadialBasis
+            spherical = any(isinstance(bb, SphericalRadialBasis)
+                            for bb in operand.domain.bases if bb is not None)
+            ball = any(isinstance(bb, BallRadialBasis)
+                       for bb in operand.domain.bases if bb is not None)
+            if spherical and (ncc.tensorsig or ball):
                 M = _spherical_ncc_matrix(ncc, operand, self.domain,
                                           subproblem, ncc_first)
                 return {v: self.scalar * (M @ mm) for v, mm in op_mats.items()}
@@ -510,7 +516,49 @@ def _spherical_ncc_matrix(ncc, operand, out_domain, subproblem, ncc_first):
     dk_out = rb_out.k - rb_op.k
     # Spherical symmetry check + radial coefficient extraction per component
     spatial = coeffs.reshape((C_A,) + coeffs.shape[rank_A:])
-    y00 = ncc_field.domain.bases[ball_axis - 1].constant_mode_value()
+    ncc_colat = ncc_field.domain.bases[ball_axis - 1]
+    y00 = ncc_colat.constant_mode_value() if ncc_colat is not None else 1.0
+    if isinstance(rb_op, BallRadialBasis):
+        # Scalar NCC times a ball tensor operand: multiplication by an ell=0
+        # scalar commutes with the spin->regularity unitaries, so it stays
+        # diagonal over components — but each component's radial expansion
+        # lives in the regularity-shifted Zernike family l_eff = ell + reg,
+        # so the Clenshaw blocks are built per (ell, regtotal).
+        comp = spatial[0]
+        tail = 0.0
+        if comp.shape[0] > 1:
+            tail = max(tail, np.abs(comp[1:]).max())
+        if comp.shape[1] > 1:
+            tail = max(tail, np.abs(comp[0, 1:]).max())
+        if tail > 1e-12 * max(np.abs(comp).max(), 1e-300):
+            raise NotImplementedError(
+                "Ball NCCs must be spherically symmetric (ell=0 content only)")
+        comp_indices = list(np.ndindex(*(3,) * rank_B)) if rank_B else [()]
+        cache = {}
+        diag = []
+        for idx in comp_indices:
+            reg = it.regtotal(idx)
+            if reg not in cache:
+                if rb_ncc is None:
+                    val = float(np.ravel(comp)[0])
+                    blocks = []
+                    for j in range(L):
+                        ell = abs(m) + j
+                        if j >= L - abs(m) or ell + reg < 0:
+                            blocks.append(sparse.csr_matrix((n, n)))
+                            continue
+                        conv = (rb_op.conversion_matrix_ell(ell, reg, dk_out,
+                                                            size=n + 2 * dk_out)[:n, :n]
+                                if dk_out else sparse.identity(n))
+                        blocks.append(sparse.csr_matrix(val * conv))
+                    cache[reg] = sparse.block_diag(blocks, format='csr')
+                else:
+                    cache[reg] = sparse.csr_matrix(rb_op.ncc_block_m(
+                        m, comp[0, 0, :] * y00, rb_ncc.k, rb_ncc.alpha,
+                        dk_out, reg=reg))
+            diag.append(sparse.kron(sparse.identity(az_w), cache[reg],
+                                    format='csr'))
+        return sparse.block_diag(diag, format='csr')
     R_c = []
     for c in range(C_A):
         comp = spatial[c]
@@ -637,8 +685,11 @@ def build_ncc_blocks(ncc, operand, out_domain, subproblem):
                         "Ball NCCs must be spherically symmetric (round 1)")
                 coeffs_consumed = True
                 # Undo the angular (Y_00) normalization carried by the
-                # spectral coefficients: coeff_00(r) = ncc(r) / Y00_value
-                y00 = ncc_field.domain.bases[axis - 1].constant_mode_value()
+                # spectral coefficients: coeff_00(r) = ncc(r) / Y00_value.
+                # Standalone radial-basis NCCs carry no angular transform
+                # (constant angular axes), so no normalization to undo.
+                ncc_colat = ncc_field.domain.bases[axis - 1]
+                y00 = ncc_colat.constant_mode_value() if ncc_colat is not None else 1.0
                 axis_mats.append(op_basis.ncc_block_m(
                     m, c[0, 0, :] * y00, ncc_basis.k, ncc_basis.alpha, dk_out))
                 continue

@@ -71,8 +71,12 @@ class SphericalRadialBasis:
             return data
         C = 3**rank
         M = data.shape[-3]
+        L = data.shape[-2]
         P = max(M // 2, 1)
         Qs = _stack_device(self._Q_stack_host(rank))
+        if (M, L) == (1, 1) and Qs.shape[:2] != (1, 1):
+            # Standalone radial field: constant angular axes -> ell = 0 slot
+            Qs = Qs[:1, :1]
         d = data.reshape((C, P, M // P) + data.shape[-2:])
         if forward:
             res = jnp.einsum('mlba,bmpln->ampln', Qs, d)  # reg = Q^T spin
@@ -185,11 +189,18 @@ class BallRadialBasis(SphericalRadialBasis, Basis):
         return np.ascontiguousarray(fwd if direction == 'f' else bwd)
 
     def _apply_stack(self, data, stack_np, out_size):
-        """data (..., M, L, N_in) -> (..., M, L, out_size), batched einsum."""
+        """data (..., M, L, N_in) -> (..., M, L, out_size), batched einsum.
+
+        Standalone radial-basis fields carry constant angular axes (M = L = 1);
+        their content lives in the m = 0, ell = 0 slot of the per-(m, slot)
+        stacks (parity: reference radial bases transform at ell = 0,
+        basis.py:3917)."""
         M = data.shape[-3]
         L = data.shape[-2]
         P = max(M // 2, 1)
         stack = _stack_device(stack_np)
+        if (M, L) == (1, 1) and stack_np.shape[:2] != (1, 1):
+            stack = stack[:1, :1]
         lead = data.shape[:-3]
         dm = data.reshape(lead + (P, M // P if P else M, L, data.shape[-1]))
         res = jnp.einsum('mlon,...mpln->...mplo', stack, dm)
@@ -367,12 +378,15 @@ class BallRadialBasis(SphericalRadialBasis, Basis):
         return sparse.csr_matrix(col)
 
     def ncc_block_m(self, m, ncc_radial_coeffs, ncc_k, ncc_alpha, dk_out,
-                    cutoff=1e-10):
+                    cutoff=1e-10, reg=0):
         """
         (L*n x L*n) multiplication matrix by a spherically symmetric (ell=0)
         NCC, block-diagonal over ell (multiplication by an ell=0 function maps
-        each ell to itself). Parity: basis.py:4088 _last_axis_component_ncc_
-        matrix (scalar regtotals).
+        each ell to itself). For tensor operands, the target component's
+        regularity total shifts the Zernike family: the component at ell is
+        expanded at l_eff = ell + reg, so the Clenshaw recursion and the
+        conversion run in that family. Parity: basis.py:4088
+        _last_axis_component_ncc_matrix.
         """
         L = self.parent.colatitude_basis.size
         n = self.size
@@ -393,14 +407,14 @@ class BallRadialBasis(SphericalRadialBasis, Basis):
         for j in range(L):
             ell = abs(m) + j
             ns = self.n_size(ell)
-            if j >= L - abs(m) or ns <= 0:
+            if j >= L - abs(m) or ns <= 0 or ell + reg < 0:
                 blocks.append(sparse.csr_matrix((n, n)))
                 continue
-            J = self.operator_matrix_ell('Z', ell, 0, size=Nmat, truncate=False)
+            J = self.operator_matrix_ell('Z', ell, reg, size=Nmat, truncate=False)
             mat = rescale * clenshaw_lib.matrix_clenshaw(
                 np.asarray(ncc_radial_coeffs), a_ncc, b_ncc, J, cutoff=cutoff)
             if dk_out:
-                conv = self.conversion_matrix_ell(ell, 0, dk_out, size=Nmat)
+                conv = self.conversion_matrix_ell(ell, reg, dk_out, size=Nmat)
                 mat = conv @ mat
             mat = sparse.csr_matrix(mat)[:n, :n].tolil()
             mat[ns:, :] = 0

@@ -327,6 +327,14 @@ def enumerate_subproblems(dist, domains, coupling):
                 # Keep the basis with primitive (lowest) parameters for grouping
                 if axis_bases[i] is None:
                     axis_bases[i] = b
+    # Ball/shell radial bases use the joint (colatitude-slot, n) pencil
+    # layout (joint_valid_for_m): whenever such a radial axis is coupled,
+    # the colatitude axis joins the pencil even if no operator couples it
+    # (e.g. problems whose only coupling is a radial NCC).
+    for i in range(dim):
+        if coupled[i] and axis_bases[i] is not None \
+                and hasattr(axis_bases[i], 'joint_valid_for_m') and i >= 1:
+            coupled[i - 1] = True
     # Group counts per separable axis
     group_counts = []
     for i in range(dim):
