@@ -231,6 +231,7 @@ def spin_recombine(coordsys, tensorsig, data, azimuth_axis, forward, real):
     """
     if not tensorsig:
         return data
+    from .coords import DirectProduct
     s2 = getattr(coordsys, '_S2coordsys', None)
     for i, cs in enumerate(tensorsig):
         if cs is coordsys:
@@ -238,6 +239,12 @@ def spin_recombine(coordsys, tensorsig, data, azimuth_axis, forward, real):
         elif s2 is not None and cs is s2:
             # Angular (S2) tensor ranks over a spherical parent
             U = cs.U_forward(1)
+        elif isinstance(cs, DirectProduct) and coordsys in cs.coordsystems:
+            # Product ranks: block-diagonal unitary (identity on the
+            # straight subsystems, the spin unitary on this one)
+            U = np.eye(cs.dim, dtype=complex)
+            sl = cs.sub_slice(coordsys)
+            U[sl, sl] = coordsys.U_forward(1)
         else:
             continue
         if not forward:
@@ -454,26 +461,27 @@ class DiskRadialBasis(Basis):
         return np.ascontiguousarray(fwd if direction == 'f' else bwd)
 
     def _apply_stack(self, data, axis, stack_np, out_size, tensorsig, comp_spins):
-        """Apply per-m matrices batched over azimuthal pairs, per spin comp."""
-        from .operators import device_matrix
+        """Apply per-m matrices batched over azimuthal pairs, per spin comp.
+        Supports leading batch axes before the azimuth axis (e.g. cylinder
+        geometry: Fourier x Disk, reference test_cylinder_* suites)."""
         n_tens = len(tensorsig)
-        M = data.shape[n_tens + 0] if False else data.shape[axis - 1]
-        lead = data.shape[:axis - 1]
-        outs = []
-        # data: (comps..., M, nr_in); iterate components with their spins
+        M = data.shape[-2]
+
+        def apply(stack, comp):
+            lead = comp.shape[:-2]
+            cm = comp.reshape(lead + (M // 2, 2, comp.shape[-1]))
+            res = jnp.einsum('mon,...mpn->...mpo', stack, cm)
+            return res.reshape(lead + (M, out_size))
+
+        # data: (comps..., lead..., M, nr_in); iterate components with spins
         if n_tens == 0:
-            stack = _stack_device(stack_np[0])
-            cm = data.reshape(lead[:0] + (M // 2, 2, data.shape[-1])) if n_tens == 0 else None
-            res = jnp.einsum('mon,mpn->mpo', stack, data.reshape((M // 2, 2, data.shape[-1])))
-            return res.reshape((M, out_size))
+            return apply(_stack_device(stack_np[0]), data)
         flat_comps = list(np.ndindex(*[cs.dim for cs in tensorsig]))
-        out = jnp.zeros(tuple(cs.dim for cs in tensorsig) + (M, out_size), dtype=data.dtype)
+        out = jnp.zeros(tuple(cs.dim for cs in tensorsig)
+                        + data.shape[n_tens:-1] + (out_size,), dtype=data.dtype)
         for idx in flat_comps:
             s = comp_spins[idx]
-            stack = _stack_device(stack_np[s])
-            comp = data[idx]
-            res = jnp.einsum('mon,mpn->mpo', stack, comp.reshape((M // 2, 2, comp.shape[-1])))
-            out = out.at[idx].set(res.reshape((M, out_size)))
+            out = out.at[idx].set(apply(_stack_device(stack_np[s]), data[idx]))
         return out
 
     def forward_transform(self, data, axis, scale, dtype, tensorsig=()):

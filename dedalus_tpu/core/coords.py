@@ -137,11 +137,16 @@ class PolarCoordinates(CurvilinearCoordinateSystem):
         return cls.U_forward(order).T.conj()
 
     def spintotal(self, tensorsig, comp_index):
-        """Total spin weight of a tensor component (sum over ranks in this cs)."""
+        """Total spin weight of a tensor component (sum over ranks in this
+        cs, including ranks of DirectProducts embedding this cs)."""
         total = 0
         for cs, idx in zip(tensorsig, comp_index):
             if cs is self:
                 total += self.spin_ordering[idx]
+            elif isinstance(cs, DirectProduct) and self in cs.coordsystems:
+                start = cs.subaxis_by_cs[self]
+                if start <= idx < start + self.dim:
+                    total += self.spin_ordering[idx - start]
         return total
 
     @staticmethod
@@ -239,6 +244,88 @@ class SphericalCoordinates(CurvilinearCoordinateSystem):
 
     def __repr__(self):
         return f"SphericalCoordinates{self.names}"
+
+
+class DirectProduct(CoordinateSystem):
+    """
+    Direct product of coordinate systems (e.g. Coordinate('z') x
+    PolarCoordinates -> periodic cylinder). Parity: reference
+    dedalus/core/coords.py:99 DirectProduct (separable intertwiners only:
+    Coordinate / Cartesian / Polar subsystems).
+
+    Tensor components over the product are ordered by subsystem: for
+    DirectProduct(z, polar) a vector has components (z, phi, r), and the
+    spin structure of the polar block passes through unchanged (the
+    intertwiner is block-diagonal over subsystems).
+    """
+
+    def __init__(self, *coordsystems, right_handed=None):
+        for cs in coordsystems:
+            if isinstance(cs, (S2Coordinates, SphericalCoordinates)):
+                raise NotImplementedError(
+                    "DirectProduct only supports separable intertwiners "
+                    "(Coordinate / Cartesian / Polar subsystems)")
+        self.coordsystems = tuple(coordsystems)
+        self.coords = sum((tuple(cs.coords) for cs in coordsystems), ())
+        self.names = tuple(c.name for c in self.coords)
+        if len(set(self.names)) < len(self.names):
+            raise ValueError("Cannot repeat coordinates in DirectProduct")
+        self.dim = sum(cs.dim for cs in coordsystems)
+        if right_handed is None:
+            # Reference convention: curvilinear products (e.g. z x polar with
+            # component order (z, phi, r)) are left-handed
+            right_handed = not any(isinstance(cs, PolarCoordinates)
+                                   for cs in coordsystems)
+        self.right_handed = right_handed
+
+    def __getitem__(self, key):
+        if isinstance(key, str):
+            return self.coords[self.names.index(key)]
+        return self.coords[key]
+
+    @property
+    def subaxis_by_cs(self):
+        out = {}
+        subaxis = 0
+        for cs in self.coordsystems:
+            out[cs] = subaxis
+            subaxis += cs.dim
+        return out
+
+    def sub_slice(self, cs):
+        """Component index range of a subsystem within this product."""
+        start = self.subaxis_by_cs[cs]
+        return slice(start, start + cs.dim)
+
+    def spintotal(self, tensorsig, comp_index):
+        """Total spin over ranks in this product: each curvilinear subsystem
+        contributes the spin of its local component."""
+        total = 0
+        for cs, idx in zip(tensorsig, comp_index):
+            if cs is self:
+                for sub, start in self.subaxis_by_cs.items():
+                    if start <= idx < start + sub.dim and hasattr(sub, 'spin_ordering'):
+                        total += sub.spin_ordering[idx - start]
+        return total
+
+    def unit_vector_fields(self, dist):
+        """Constant unit vectors for the straight (non-curvilinear) axes;
+        curvilinear axes have position-dependent unit vectors and are skipped
+        (build them as fields on the curvilinear basis instead)."""
+        fields = []
+        for i, coord in enumerate(self.coords):
+            if isinstance(coord.cs, (PolarCoordinates,)):
+                fields.append(None)
+                continue
+            ei = dist.VectorField(self, name=f"e{coord.name}")
+            data = np.zeros(ei.data.shape)
+            data[i] = 1
+            ei.preset_data(ei.layout, data)
+            fields.append(ei)
+        return tuple(fields)
+
+    def __repr__(self):
+        return f"DirectProduct{tuple(map(repr, self.coordsystems))}"
 
 
 class CartesianCoordinates(CoordinateSystem):

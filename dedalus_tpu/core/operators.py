@@ -602,6 +602,186 @@ class TensorStack(Future):
         return out
 
 
+class DPSubComponent(LinearOperator):
+    """
+    Extract one subsystem's component block from a DirectProduct tensor rank
+    (parity: reference operators.py:3361 DirectProductComponent). Valid in
+    both grid and coefficient space: the product intertwiner is
+    block-diagonal over subsystems, so row slicing commutes with the spin
+    recombination of the curvilinear block.
+    """
+
+    def __init__(self, operand, sub_cs, index=0):
+        self.sub_cs = sub_cs
+        self.index = index
+        dp = operand.tensorsig[index]
+        self.dp = dp
+        self.sl = dp.sub_slice(sub_cs)
+        super().__init__(operand)
+
+    def _init_metadata(self):
+        op = self.operand
+        sub = self.sub_cs
+        from .coords import Coordinate
+        entry = () if isinstance(sub, Coordinate) else (sub,)
+        self.tensorsig = (op.tensorsig[:self.index] + entry
+                          + op.tensorsig[self.index + 1:])
+        self.dtype = op.dtype
+        self.domain = op.domain
+
+    def new_operands(self, operand):
+        return DPSubComponent(operand, self.sub_cs, self.index)
+
+    def operate(self, arg_fields):
+        field = arg_fields[0]
+        from .coords import Coordinate
+        if isinstance(self.sub_cs, Coordinate):
+            data = field.data[self.sl.start]
+        else:
+            data = field.data[self.sl]
+        return self._build_output(field.layout, data, scales=field.scales)
+
+    def expression_matrices(self, subproblem, vars, **kw):
+        op = self.operand
+        op_mats = op.expression_matrices(subproblem, vars, **kw)
+        dim0 = self.dp.dim
+        rest = prod(tuple(cs.dim for cs in op.tensorsig[self.index + 1:])) or 1
+        space = subproblem.spatial_size(op.domain)
+        nsub = self.sl.stop - self.sl.start
+        sel = sparse.lil_matrix((nsub * rest * space, dim0 * rest * space))
+        for j in range(nsub):
+            r0 = j * rest * space
+            c0 = (self.sl.start + j) * rest * space
+            sel[r0:r0 + rest * space, c0:c0 + rest * space] = \
+                sparse.identity(rest * space)
+        sel = sparse.csr_matrix(sel)
+        return {v: sel @ m for v, m in op_mats.items()}
+
+
+class DirectStack(Future):
+    """
+    Concatenate per-subsystem parts (scalars or sub-vectors) into a
+    DirectProduct tensor rank (the assembly half of DPSubComponent; parity:
+    reference DirectProductGradient, operators.py:2414). Parts are aligned
+    with dp.coordsystems; scalar parts fill one component, sub-cs vector
+    parts fill that subsystem's block. Stacking happens in grid space when
+    evaluated and by row concatenation in coefficient space (valid because
+    the product intertwiner is block-diagonal over subsystems).
+    """
+
+    def __init__(self, parts, dp):
+        from .arithmetic import merge_domains
+        self.dp = dp
+        live = [p for p in parts if isinstance(p, (Field, Future))]
+        if not live:
+            raise ValueError("DirectStack requires at least one non-zero part")
+        dist = live[0].dist
+        merged = merge_domains(dist, *[p.domain for p in live])
+        conv = []
+        for p in parts:
+            if isinstance(p, (Field, Future)):
+                conv.append(convert(p, merged.bases))
+            else:
+                conv.append(0)
+        self.parts = conv
+        super().__init__(*[p for p in conv if isinstance(p, (Field, Future))])
+        self._merged = merged
+
+    def _init_metadata(self):
+        live = [p for p in self.args if isinstance(p, (Field, Future))]
+        rest = None
+        for sub, p in zip(self.dp.coordsystems, self.parts):
+            if not isinstance(p, (Field, Future)):
+                continue
+            r = (p.tensorsig[1:] if (p.tensorsig and p.tensorsig[0] is sub)
+                 else p.tensorsig)
+            if rest is None:
+                rest = tuple(r)
+            elif tuple(r) != rest:
+                raise ValueError("DirectStack parts must share trailing tensorsig")
+        self.tensorsig = (self.dp,) + rest
+        self.dtype = np.result_type(*[p.dtype for p in live])
+        from .arithmetic import merge_domains
+        self.domain = merge_domains(self.dist, *[p.domain for p in live])
+
+    def new_operands(self, *operands):
+        ops = iter(operands)
+        parts = [next(ops) if isinstance(p, (Field, Future)) else 0
+                 for p in self.parts]
+        return DirectStack(parts, self.dp)
+
+    def is_linear_in(self, vars):
+        return all((not isinstance(p, (Field, Future))) or p.is_linear_in(vars)
+                   for p in self.parts)
+
+    def sym_diff(self, variables, perturbations):
+        parts = [p.sym_diff(variables, perturbations)
+                 if isinstance(p, (Field, Future)) else 0 for p in self.parts]
+        if all(isinstance(p, numbers.Number) and p == 0 for p in parts):
+            return 0
+        return DirectStack(parts, self.dp)
+
+    def operate(self, arg_fields):
+        from . import arithmetic
+        fields = iter(arg_fields)
+        rest_shape = tuple(cs.dim for cs in self.tensorsig[1:])
+        spatial = self.domain.grid_shape(self.domain.dealias)
+        datas = []
+        for sub, p in zip(self.dp.coordsystems, self.parts):
+            if isinstance(p, (Field, Future)):
+                d = arithmetic._to_dealias_grid(next(fields))
+                if p.tensorsig and p.tensorsig[0] is sub:
+                    d = jnp.broadcast_to(d, (sub.dim,) + rest_shape + spatial)
+                else:
+                    d = jnp.broadcast_to(d, rest_shape + spatial)[None]
+            else:
+                d = jnp.zeros((sub.dim,) + rest_shape + spatial, self.dtype)
+            datas.append(d)
+        out = jnp.concatenate(datas, axis=0)
+        return self._build_output(self.dist.grid_layout, out,
+                                  scales=self.domain.dealias)
+
+    def expression_matrices(self, subproblem, vars, **kw):
+        space = subproblem.spatial_size(self.domain)
+        rest = prod(tuple(cs.dim for cs in self.tensorsig[1:])) or 1
+        mats_per_part = []
+        for p in self.parts:
+            if isinstance(p, (Field, Future)) and p.has(*vars):
+                mats_per_part.append(p.expression_matrices(subproblem, vars, **kw))
+            else:
+                mats_per_part.append(None)
+        all_vars = set()
+        for mp in mats_per_part:
+            if mp:
+                all_vars |= set(mp.keys())
+        out = {}
+        for var in all_vars:
+            vcols = subproblem.field_size(var)
+            blocks = []
+            for sub, mp in zip(self.dp.coordsystems, mats_per_part):
+                rows = sub.dim * rest * space
+                if mp and var in mp:
+                    blocks.append(mp[var])
+                else:
+                    blocks.append(sparse.csr_matrix((rows, vcols)))
+            out[var] = sparse.vstack(blocks, format='csr')
+        return out
+
+    def matrix_dependence(self, *vars):
+        out = np.zeros(self.dist.dim, dtype=bool)
+        for p in self.parts:
+            if isinstance(p, Future) and p.has(*vars):
+                out |= p.matrix_dependence(*vars)
+        return out
+
+    def matrix_coupling(self, *vars):
+        out = np.zeros(self.dist.dim, dtype=bool)
+        for p in self.parts:
+            if isinstance(p, Future) and p.has(*vars):
+                out |= p.matrix_coupling(*vars)
+        return out
+
+
 class Power(Future):
     """operand ** n, evaluated in grid space (parity: operators.py:306)."""
 
@@ -799,9 +979,20 @@ def Differentiate(operand, coord):
 
 
 def Gradient(operand, coordsys=None):
-    from .coords import PolarCoordinates, S2Coordinates, SphericalCoordinates
+    from .coords import (PolarCoordinates, S2Coordinates, SphericalCoordinates,
+                         DirectProduct, Coordinate as _Coord)
     if coordsys is None:
         coordsys = _infer_coordsys(operand)
+    if isinstance(coordsys, DirectProduct):
+        # Product gradient: stack the per-subsystem gradients
+        # (parity: reference operators.py:2414 DirectProductGradient)
+        parts = []
+        for sub in coordsys.coordsystems:
+            if isinstance(sub, _Coord):
+                parts.append(Differentiate1D(operand, sub))
+            else:
+                parts.append(Gradient(operand, sub))
+        return DirectStack(parts, coordsys)
     if isinstance(coordsys, SphericalCoordinates):
         from .operators_ball import SphericalGradient
         return SphericalGradient(operand, coordsys)
@@ -816,10 +1007,26 @@ def Gradient(operand, coordsys=None):
 
 
 def Divergence(operand, index=0):
-    from .coords import PolarCoordinates, SphericalCoordinates
+    from .coords import (PolarCoordinates, SphericalCoordinates, DirectProduct,
+                         Coordinate as _Coord)
     if not operand.tensorsig:
         raise ValueError("Divergence requires a tensor operand")
     coordsys = operand.tensorsig[index]
+    if isinstance(coordsys, DirectProduct):
+        # Product divergence: sum of per-subsystem divergences of the
+        # component blocks (parity: operators.py:3497 DirectProductDivergence)
+        terms = []
+        for sub in coordsys.coordsystems:
+            block = DPSubComponent(operand, sub, index)
+            if isinstance(sub, _Coord):
+                terms.append(Differentiate1D(block, sub))
+            else:
+                terms.append(Divergence(block, index))
+        terms = [t for t in terms
+                 if not (isinstance(t, numbers.Number) and t == 0)]
+        if not terms:
+            return 0
+        return Add(*terms) if len(terms) > 1 else terms[0]
     if isinstance(coordsys, SphericalCoordinates):
         from .operators_ball import SphericalDivergence
         return SphericalDivergence(operand, index)
@@ -841,9 +1048,21 @@ def Divergence(operand, index=0):
 
 
 def Laplacian(operand, coordsys=None):
-    from .coords import PolarCoordinates, S2Coordinates, SphericalCoordinates
+    from .coords import (PolarCoordinates, S2Coordinates, SphericalCoordinates,
+                         DirectProduct, Coordinate as _Coord)
     if coordsys is None:
         coordsys = _infer_coordsys(operand)
+    if isinstance(coordsys, DirectProduct):
+        # Product laplacian: sum of per-subsystem laplacians (valid for
+        # scalars and for tensors, whose curvilinear components mix only
+        # within each subsystem's operators)
+        terms = []
+        for sub in coordsys.coordsystems:
+            if isinstance(sub, _Coord):
+                terms.append(Differentiate1D(Differentiate1D(operand, sub), sub))
+            else:
+                terms.append(Laplacian(operand, sub))
+        return Add(*terms) if len(terms) > 1 else terms[0]
     if isinstance(coordsys, SphericalCoordinates):
         from .operators_ball import BallLaplacian
         return BallLaplacian(operand, coordsys)
@@ -1005,15 +1224,22 @@ def Average(operand, coord=None):
 
 
 def _infer_coordsys(operand):
+    from .coords import DirectProduct
     systems = []
     for b in operand.domain.bases:
         if b is not None:
-            cs = b.coord.cs
+            cs = b.coord.cs or b.coord
             if cs not in systems:
                 systems.append(cs)
-    if len(systems) != 1:
-        raise ValueError("Cannot infer coordinate system; pass it explicitly")
-    return systems[0]
+    if len(systems) == 1:
+        return systems[0]
+    # Multiple subsystems: a DirectProduct registered with the distributor
+    # covers them (cylinder-style geometries)
+    dps = [cs for cs in operand.dist.coordsystems
+           if isinstance(cs, DirectProduct)]
+    if len(dps) == 1:
+        return dps[0]
+    raise ValueError("Cannot infer coordinate system; pass it explicitly")
 
 
 # Interpolation call syntax: u(z=0)

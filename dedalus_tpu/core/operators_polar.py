@@ -85,15 +85,20 @@ class PolarMOperator(LinearOperator):
         nr_in = subproblem.axis_width(self.radial_in, self.radius_axis)
         nr_out = subproblem.axis_width(self.radial_out, self.radius_axis)
         az_w = subproblem.axis_width(op.domain.bases[self.azimuth_axis], self.azimuth_axis)
+        # Leading axes before the polar pair (e.g. the Fourier axis of a
+        # cylinder) pass through as identity factors
+        lead_w = prod(tuple(subproblem.axis_width(op.domain.bases[ax], ax)
+                            for ax in range(self.azimuth_axis))) or 1
         blocks = []
         for oi in out_idxs:
             row = []
             for ii in in_idxs:
                 if oi in self.spinindices_out(ii):
                     A = self.radial_matrix(ii, oi, m if m is not None else 0)
-                    blk = sparse.kron(sparse.identity(az_w), A)
+                    blk = sparse.kron(sparse.identity(lead_w * az_w), A)
                 else:
-                    blk = sparse.csr_matrix((az_w * nr_out, az_w * nr_in))
+                    blk = sparse.csr_matrix((lead_w * az_w * nr_out,
+                                             lead_w * az_w * nr_in))
                 row.append(blk)
             blocks.append(row)
         if len(blocks) == 1 and len(blocks[0]) == 1:

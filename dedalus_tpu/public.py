@@ -4,7 +4,7 @@ Public API, star-importable as `import dedalus_tpu.public as d3`.
 Parity target: dedalus/public.py:1-17.
 """
 
-from .core.coords import Coordinate, CartesianCoordinates, PolarCoordinates, S2Coordinates, SphericalCoordinates
+from .core.coords import Coordinate, CartesianCoordinates, PolarCoordinates, S2Coordinates, SphericalCoordinates, DirectProduct
 from .core.distributor import Distributor
 from .core.domain import Domain
 from .core.basis import (
