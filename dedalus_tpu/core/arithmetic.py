@@ -270,7 +270,7 @@ class Multiply(Future):
         # Curvilinear azimuth axes stay separable: supported NCCs are
         # axisymmetric there (enforced when the blocks are built), matching
         # the reference's m-independent NCC treatment.
-        from .basis_polar import AzimuthBasis
+        from .basis_polar import AzimuthMixin as AzimuthBasis
         for op in self._operands:
             if not op.has(*vars):
                 ncc_vary = np.array(op.domain.nonconstant)
@@ -394,18 +394,26 @@ def _disk_ncc_pair_blocks(ncc_field, operand, out_domain, subproblem):
     for a_flat, a_idx in enumerate(ncc_idxs):
         s_ncc = polar_cs.spintotal(ncc_field.tensorsig, a_idx) if (a_idx and polar_cs) else 0
         c0, c1 = comp_rows(a_flat)
+        signed = getattr(op_rbasis, 'signed_pairs', False)
         for b_idx in op_idxs:
             s_arg = polar_cs.spintotal(operand.tensorsig, b_idx) if (b_idx and polar_cs) else 0
             S0 = op_rbasis.ncc_comp_matrix(ncc_rbasis, out_rbasis, c0, m, s_ncc, s_arg)
             S1 = (op_rbasis.ncc_comp_matrix(ncc_rbasis, out_rbasis, c1, m, s_ncc, s_arg)
                   if c1 is not None else None)
-            if S0 is None and S1 is None:
+            Sm = (op_rbasis.ncc_comp_matrix(ncc_rbasis, out_rbasis, c0, -m, s_ncc, s_arg)
+                  if (signed and az_w == 2) else None)
+            if S0 is None and S1 is None and Sm is None:
                 blocks[(a_idx, b_idx)] = None
                 continue
-            Z = sparse.csr_matrix((S0 if S0 is not None else S1).shape)
+            Z = sparse.csr_matrix(next(s for s in (S0, S1, Sm) if s is not None).shape)
             S0 = S0 if S0 is not None else Z
             if az_w == 1:
                 blocks[(a_idx, b_idx)] = sparse.csr_matrix(S0)
+            elif signed:
+                # Signed (+m, -m) slots: per-slot radial blocks (the m=0
+                # NCC's dead slot carries no 'sin' content by construction)
+                blocks[(a_idx, b_idx)] = sparse.block_diag(
+                    [S0, Sm if Sm is not None else Z], format='csr')
             elif S1 is None:
                 blocks[(a_idx, b_idx)] = sparse.kron(sparse.identity(az_w), S0)
             else:
@@ -695,7 +703,7 @@ def build_ncc_blocks(ncc, operand, out_domain, subproblem):
                 continue
             if not coupled:
                 if ncc_basis is not None:
-                    from .basis_polar import AzimuthBasis
+                    from .basis_polar import AzimuthMixin as AzimuthBasis
                     if not isinstance(ncc_basis, AzimuthBasis):
                         raise NotImplementedError(
                             "NCCs varying along separable axes are not supported yet")
@@ -834,7 +842,7 @@ class DotProduct(Future):
         out = super().matrix_coupling(*vars)
         # As in Multiply: curvilinear azimuth axes stay separable for NCC
         # factors (axisymmetry enforced at block build)
-        from .basis_polar import AzimuthBasis
+        from .basis_polar import AzimuthMixin as AzimuthBasis
         for op in self._operands:
             if not op.has(*vars):
                 ncc_vary = np.array(op.domain.nonconstant)

@@ -17,7 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 from scipy import sparse
 
-from .basis import Basis, RealFourier, Jacobi, _maybe_device
+from .basis import Basis, RealFourier, ExponentialFourier, Jacobi, _maybe_device
 from .coords import PolarCoordinates
 from ..utils.caching import CachedMethod, CachedAttribute
 from ..spectral import jacobi as jacobi_lib
@@ -27,9 +27,28 @@ from ..spectral import clenshaw
 from ..ops import transforms as ops_transforms
 
 
-class AzimuthBasis(RealFourier):
-    """Periodic azimuth basis on [0, 2 pi) (RealFourier specialization)."""
+class AzimuthMixin:
+    """Marker for azimuth bases of curvilinear coordinate systems."""
     pass
+
+
+class AzimuthBasis(AzimuthMixin, RealFourier):
+    """Periodic azimuth basis on [0, 2 pi) for real dtype: interleaved
+    (cos, -sin) pairs (RealFourier specialization)."""
+    pass
+
+
+class ExponentialAzimuthBasis(AzimuthMixin, ExponentialFourier):
+    """Periodic azimuth basis for complex dtype: signed (+m, -m) pairs, so
+    spin-weighted radial transforms can use the correct Zernike/Jacobi family
+    for each signed azimuthal wavenumber (l = |m + s| vs |-m + s|)."""
+    pass
+
+
+def make_azimuth_basis(coord, size, dealias, dtype):
+    """Azimuth basis matching the field dtype's pair convention."""
+    cls = AzimuthBasis if np.dtype(dtype).kind == 'f' else ExponentialAzimuthBasis
+    return cls(coord, size, bounds=(0, 2 * np.pi), dealias=dealias, dtype=dtype)
 
 
 class AnnulusRadialBasis(Basis):
@@ -99,6 +118,11 @@ class AnnulusRadialBasis(Basis):
         r = np.asarray(self.global_grid(scale))
         dr = np.gradient(r)
         return np.abs(dr)
+
+    @property
+    def signed_pairs(self):
+        """True when the parent azimuth stores signed (+m, -m) pairs."""
+        return isinstance(self.parent.azimuth_basis, ExponentialAzimuthBasis)
 
     # --- transforms (tensorsig-aware: spin recombination + radial factor) ---
 
@@ -297,9 +321,8 @@ class AnnulusBasis:
         self.dealias = tuple(dealias)
         self.dtype = dtype
         self.volume = np.pi * (self.radii[1]**2 - self.radii[0]**2)
-        self.azimuth_basis = AzimuthBasis(
-            coordsys.azimuth, self.shape[0], bounds=(0, 2 * np.pi),
-            dealias=self.dealias[0], dtype=dtype)
+        self.azimuth_basis = make_azimuth_basis(
+            coordsys.azimuth, self.shape[0], self.dealias[0], dtype)
         self.radial_basis = AnnulusRadialBasis(
             coordsys.radius, self.shape[1], self.radii, k=self.k,
             alpha=self.alpha, dealias=self.dealias[1], dtype=dtype, parent=self)
@@ -432,32 +455,59 @@ class DiskRadialBasis(Basis):
 
     # --- transforms: batched per-(m, s) Zernike MMT ---
 
+    @property
+    def signed_pairs(self):
+        """True when the parent azimuth stores signed (+m, -m) pairs
+        (complex dtype, ExponentialAzimuthBasis)."""
+        return isinstance(self.parent.azimuth_basis, ExponentialAzimuthBasis)
+
+    def _one_m_matrices(self, m_signed, s, z, w):
+        """(proj, QkT) radial matrices for one signed azimuthal wavenumber."""
+        n = self.size
+        l = abs(m_signed + s)
+        ns = self.n_size(m_signed)
+        if ns <= 0:
+            return np.zeros((n, z.size)), np.zeros((z.size, n))
+        Q0 = zernike_lib.polynomials(2, ns, self.alpha, l, z)      # grid params
+        proj = Q0 * np.asarray(w)
+        if self.k:
+            conv = sparse.identity(ns, format='csr')
+            for i in range(self.k):
+                E = zernike_lib.operator(2, 'E', +1, ns, self.alpha + i, l)
+                conv = E @ conv
+            proj = conv @ proj
+        fwd = np.zeros((n, z.size))
+        fwd[:ns, :] = proj
+        Qk = zernike_lib.polynomials(2, ns, self.alpha + self.k, l, z)
+        bwd = np.zeros((z.size, n))
+        bwd[:, :ns] = Qk.T
+        return fwd, bwd
+
     @CachedMethod
     def _transform_stacks(self, scale, s, direction):
-        """Host stacks (KM+1, n, Nrg) / (KM+1, Nrg, n) of per-m matrices."""
+        """Host stacks of per-m matrices: (KM+1, n, Nrg) / (KM+1, Nrg, n) for
+        real (cos, -sin) pairs, or (KM+1, 2, n, Nrg) / (KM+1, 2, Nrg, n) for
+        signed (+m, -m) pairs, whose slots use l = |m+s| and l = |-m+s|."""
         Nrg = self.grid_size(scale)
         M = self.parent.azimuth_basis.size
         KM = (M - 1) // 2
         z, w = zernike_lib.quadrature(2, Nrg, k=self.alpha)
         n = self.size
+        if self.signed_pairs:
+            fwd = np.zeros((KM + 1, 2, n, Nrg))
+            bwd = np.zeros((KM + 1, 2, Nrg, n))
+            for m in range(KM + 1):
+                for slot, ms in enumerate((m, -m)):
+                    f, b = self._one_m_matrices(ms, s, z, w)
+                    fwd[m, slot] = f
+                    bwd[m, slot] = b
+            return np.ascontiguousarray(fwd if direction == 'f' else bwd)
         fwd = np.zeros((KM + 1, n, Nrg))
         bwd = np.zeros((KM + 1, Nrg, n))
         for m in range(KM + 1):
-            l = abs(m + s)
-            ns = self.n_size(m)
-            if ns <= 0:
-                continue
-            Q0 = zernike_lib.polynomials(2, ns, self.alpha, l, z)      # grid params
-            proj = Q0 * np.asarray(w)
-            if self.k:
-                conv = sparse.identity(ns, format='csr')
-                for i in range(self.k):
-                    E = zernike_lib.operator(2, 'E', +1, ns, self.alpha + i, l)
-                    conv = E @ conv
-                proj = conv @ proj
-            fwd[m, :ns, :] = proj
-            Qk = zernike_lib.polynomials(2, ns, self.alpha + self.k, l, z)
-            bwd[m, :, :ns] = Qk.T
+            f, b = self._one_m_matrices(m, s, z, w)
+            fwd[m] = f
+            bwd[m] = b
         return np.ascontiguousarray(fwd if direction == 'f' else bwd)
 
     def _apply_stack(self, data, axis, stack_np, out_size, tensorsig, comp_spins):
@@ -470,7 +520,11 @@ class DiskRadialBasis(Basis):
         def apply(stack, comp):
             lead = comp.shape[:-2]
             cm = comp.reshape(lead + (M // 2, 2, comp.shape[-1]))
-            res = jnp.einsum('mon,...mpn->...mpo', stack, cm)
+            if stack.ndim == 4:
+                # Signed pairs: per-slot matrices
+                res = jnp.einsum('mpon,...mpn->...mpo', stack, cm)
+            else:
+                res = jnp.einsum('mon,...mpn->...mpo', stack, cm)
             return res.reshape(lead + (M, out_size))
 
         # data: (comps..., lead..., M, nr_in); iterate components with spins
@@ -636,6 +690,8 @@ class DiskRadialBasis(Basis):
         if m != 0:
             return sparse.csr_matrix((self.size, 1))
         fwd = self._transform_stacks(1, 0, 'f')[0]
+        if fwd.ndim == 3:   # signed pairs: the +0 slot
+            fwd = fwd[0]
         col = fwd @ np.ones(fwd.shape[1])
         return sparse.csr_matrix(col[:, None])
 
@@ -688,9 +744,8 @@ class DiskBasis:
         self.dealias = tuple(dealias)
         self.dtype = dtype
         self.volume = np.pi * radius**2
-        self.azimuth_basis = AzimuthBasis(
-            coordsys.azimuth, self.shape[0], bounds=(0, 2 * np.pi),
-            dealias=self.dealias[0], dtype=dtype)
+        self.azimuth_basis = make_azimuth_basis(
+            coordsys.azimuth, self.shape[0], self.dealias[0], dtype)
         self.radial_basis = DiskRadialBasis(
             coordsys.radius, self.shape[1], radius=self.radius, k=self.k,
             alpha=self.alpha, dealias=self.dealias[1], dtype=dtype, parent=self)

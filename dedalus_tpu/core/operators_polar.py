@@ -89,13 +89,22 @@ class PolarMOperator(LinearOperator):
         # cylinder) pass through as identity factors
         lead_w = prod(tuple(subproblem.axis_width(op.domain.bases[ax], ax)
                             for ax in range(self.azimuth_axis))) or 1
+        signed = getattr(self.radial_in, 'signed_pairs', False)
         blocks = []
         for oi in out_idxs:
             row = []
             for ii in in_idxs:
                 if oi in self.spinindices_out(ii):
-                    A = self.radial_matrix(ii, oi, m if m is not None else 0)
-                    blk = sparse.kron(sparse.identity(lead_w * az_w), A)
+                    mm = m if m is not None else 0
+                    if signed and az_w == 2:
+                        # Signed (+m, -m) slots: per-slot radial matrices
+                        A = sparse.block_diag(
+                            [self.radial_matrix(ii, oi, mm),
+                             self.radial_matrix(ii, oi, -mm)], format='csr')
+                        blk = sparse.kron(sparse.identity(lead_w), A)
+                    else:
+                        A = self.radial_matrix(ii, oi, mm)
+                        blk = sparse.kron(sparse.identity(lead_w * az_w), A)
                 else:
                     blk = sparse.csr_matrix((lead_w * az_w * nr_out,
                                              lead_w * az_w * nr_in))
@@ -113,12 +122,20 @@ class PolarMOperator(LinearOperator):
     # --- eager/traced evaluation ---
 
     def _matrix_stack(self, in_idx, out_idx):
-        """Device stack (KM+1, n_out, n_in) of per-m radial matrices."""
+        """Device stack (KM+1, n_out, n_in) of per-m radial matrices, or
+        (KM+1, 2, n_out, n_in) per signed (+m, -m) slot for complex dtype."""
         az_basis = self.operand.domain.bases[self.azimuth_axis]
         KM = (az_basis.size - 1) // 2
-        key = (type(self).__name__, self.radial_in._key(), in_idx, out_idx, KM)
+        signed = getattr(self.radial_in, 'signed_pairs', False)
+        key = (type(self).__name__, self.radial_in._key(), in_idx, out_idx,
+               KM, signed)
 
         def build():
+            if signed:
+                mats = [[self.radial_matrix(in_idx, out_idx, m).toarray(),
+                         self.radial_matrix(in_idx, out_idx, -m).toarray()]
+                        for m in range(KM + 1)]
+                return np.ascontiguousarray(np.array(mats))
             mats = [self.radial_matrix(in_idx, out_idx, m).toarray()
                     for m in range(KM + 1)]
             return np.ascontiguousarray(np.stack(mats))
@@ -143,7 +160,10 @@ class PolarMOperator(LinearOperator):
             cm = comp.reshape(lead + (M // 2, 2, comp.shape[-1]))
             for oi in self.spinindices_out(ii):
                 stack = self._matrix_stack(ii, oi)
-                res = jnp.einsum('moi,...mpi->...mpo', stack, cm)
+                if stack.ndim == 4:   # signed (+m, -m) slots
+                    res = jnp.einsum('mpoi,...mpi->...mpo', stack, cm)
+                else:
+                    res = jnp.einsum('moi,...mpi->...mpo', stack, cm)
                 res = res.reshape(lead + (M, n_out))
                 out = out.at[oi].add(res)
         return self._build_output(self.dist.coeff_layout, out, scales=field.scales)

@@ -254,13 +254,20 @@ def _factor_device(diag, sub, sup):
     return dict(Qt=Qt.swapaxes(0, 1), QtL=QtL, Rinv=Rinv, R1=R1, R2=R2)
 
 
+def _device_f64_factor_ok():
+    """Device-side f64 QR is only usable on the CPU backend: the TPU path
+    (axon remote compile) takes tens of minutes to compile f64 QR and has
+    produced garbage factors (every group flagged ill-conditioned)."""
+    return jax.default_backend() == 'cpu'
+
+
 def factor_block_tridiag_qr(blocks, device=None):
     """Block-tridiagonal QR factorization of a BandedBlocks (parity with the
     reference's BandedQR matsolver, matsolvers.py:210). Runs on device for
     large batches, on host otherwise."""
     G, Nb, nb = blocks.G, blocks.Nb, blocks.nb
     if device is None:
-        device = G * Nb * nb ** 3 > 1e8
+        device = (G * Nb * nb ** 3 > 1e8) and _device_f64_factor_ok()
     if device:
         qr = _factor_device(jnp.asarray(blocks.diag), jnp.asarray(blocks.sub),
                             jnp.asarray(blocks.sup))
@@ -498,7 +505,7 @@ class BorderedBandedSolver:
         qr_parts, W1_parts = [], []
         for g0 in range(0, G, chunk):
             sl = slice(g0, min(g0 + chunk, G))
-            if (G * self.Nb * self.nb ** 3 > 1e8):
+            if (G * self.Nb * self.nb ** 3 > 1e8) and _device_f64_factor_ok():
                 qr64 = _factor_device(jnp.asarray(fblocks.diag[sl]),
                                       jnp.asarray(fblocks.sub[sl]),
                                       jnp.asarray(fblocks.sup[sl]))

@@ -8,8 +8,9 @@ against analytic expressions, div(grad) == lap consistency, and an LBVP
 solve coupling the Fourier axis with per-m disk pencils (reference
 coords.py:99 DirectProduct, operators.py:2414,3497).
 
-Complex-dtype spin-weighted (vector) cases are xfailed pending the
-exponential-pair azimuth convention for complex curvilinear fields.
+Complex dtype uses the signed (+m, -m) exponential-pair azimuth convention
+(ExponentialAzimuthBasis) so spin-weighted radial families are correct for
+both signed wavenumbers.
 """
 
 import numpy as np
@@ -184,11 +185,12 @@ def test_cylinder_poisson_lbvp(geom):
     assert np.abs(np.asarray(u.data) - uex).max() < tol
 
 
+@pytest.mark.parametrize('geom', ['disk', 'annulus'])
 @pytest.mark.parametrize('dtype', [np.complex128])
-@pytest.mark.xfail(reason="complex spin-weighted transforms need the "
-                   "exponential-pair azimuth convention", strict=False)
-def test_cylinder_gradient_scalar_complex(dtype):
-    test_cylinder_gradient_scalar.__wrapped__('disk', dtype)
+def test_cylinder_gradient_scalar_complex(geom, dtype):
+    """Complex dtype uses signed (+m, -m) azimuth pairs so spin-weighted
+    radial families are correct per signed wavenumber."""
+    test_cylinder_gradient_scalar(geom, dtype)
 
 
 def test_directproduct_metadata():
