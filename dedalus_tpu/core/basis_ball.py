@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from scipy import sparse
 
 from .basis import Basis
-from .basis_polar import AzimuthBasis, _stack_device
+from .basis_polar import AzimuthBasis, make_azimuth_basis, _stack_device
 from .basis_sphere import ColatitudeBasis
 from .coords import SphericalCoordinates
 from ..utils.caching import CachedMethod
@@ -46,6 +46,15 @@ class SphericalRadialBasis:
             if cs is not self.parent.coordsys:
                 raise NotImplementedError(
                     "Spherical tensors must be over the spherical coordinate system")
+
+    @property
+    def signed_pairs(self):
+        """True when the parent azimuth stores signed (+m, -m) pairs
+        (complex dtype, ExponentialAzimuthBasis). The per-(m, ell) radial
+        stacks are sign-symmetric (ell = |m| + slot), so only the validity
+        of the m = 0 dead slot differs."""
+        from .basis_polar import ExponentialAzimuthBasis
+        return isinstance(self.parent.azimuth_basis, ExponentialAzimuthBasis)
 
     def _Q_stack_host(self, rank):
         """Host stack (KM+1, L, 3^r, 3^r) of regularity-to-spin intertwiners
@@ -258,6 +267,9 @@ class BallRadialBasis(SphericalRadialBasis, Basis):
         out = np.zeros((az_w,) + mask.shape, dtype=bool)
         out[0] = mask
         if az_w > 1:
+            if self.signed_pairs:
+                out[1] = np.zeros_like(mask) if m == 0 else mask
+                return out.ravel()
             sinmask = mask.copy()
             if len(tensorsig) <= 1 and m == 0:
                 sinmask[0] = False  # slot j = 0 holds ell = 0 at m = 0
@@ -545,6 +557,9 @@ class SphericalShellRadialBasis(SphericalRadialBasis, Basis):
         out = np.zeros((az_w,) + mask.shape, dtype=bool)
         out[0] = mask
         if az_w > 1:
+            if self.signed_pairs:
+                out[1] = np.zeros_like(mask) if m == 0 else mask
+                return out.ravel()
             sinmask = mask.copy()
             if len(tensorsig) <= 1 and m == 0:
                 sinmask[0] = False  # slot j = 0 holds ell = 0 at m = 0
@@ -700,9 +715,8 @@ class BallBasis:
         self.dealias = tuple(dealias)
         self.dtype = dtype
         self.volume = 4 / 3 * np.pi * radius**3
-        self.azimuth_basis = AzimuthBasis(
-            coordsys.azimuth, self.shape[0], bounds=(0, 2 * np.pi),
-            dealias=self.dealias[0], dtype=dtype)
+        self.azimuth_basis = make_azimuth_basis(
+            coordsys.azimuth, self.shape[0], self.dealias[0], dtype)
         self.colatitude_basis = ColatitudeBasis(
             coordsys.colatitude, self.shape[1], radius=self.radius,
             dealias=self.dealias[1], dtype=dtype, parent=self)
@@ -758,9 +772,8 @@ class ShellBasis:
         self.volume = 4 / 3 * np.pi * (radii[1]**3 - radii[0]**3)
         # Mean radius sets the colatitude metric factor (parity: ShellBasis)
         self.radius = (self.radii[0] + self.radii[1]) / 2
-        self.azimuth_basis = AzimuthBasis(
-            coordsys.azimuth, self.shape[0], bounds=(0, 2 * np.pi),
-            dealias=self.dealias[0], dtype=dtype)
+        self.azimuth_basis = make_azimuth_basis(
+            coordsys.azimuth, self.shape[0], self.dealias[0], dtype)
         self.colatitude_basis = ColatitudeBasis(
             coordsys.colatitude, self.shape[1], radius=self.radius,
             dealias=self.dealias[1], dtype=dtype, parent=self)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from scipy import sparse
 
 from .basis import Basis
-from .basis_polar import AzimuthBasis, spin_recombine, _spins_present, \
+from .basis_polar import AzimuthBasis, make_azimuth_basis, spin_recombine, _spins_present, \
     _comp_spin_map, _stack_device
 from .coords import S2Coordinates
 from ..utils.caching import CachedMethod
@@ -93,6 +93,30 @@ class ColatitudeBasis(Basis):
 
     # --- transforms ---
 
+    @property
+    def signed_pairs(self):
+        """True when the parent azimuth stores signed (+m, -m) pairs
+        (complex dtype, ExponentialAzimuthBasis)."""
+        from .basis_polar import ExponentialAzimuthBasis
+        return isinstance(self.parent.azimuth_basis, ExponentialAzimuthBasis)
+
+    def _one_m_swsh(self, m_signed, s, z, w, Lmax_g):
+        """(fwd, bwd) SWSH matrices for one signed azimuthal wavenumber."""
+        n = self.size
+        fwd = np.zeros((n, z.size))
+        bwd = np.zeros((z.size, n))
+        off = self.slot_offset(m_signed, s)
+        count = max(self.Lmax + 1 - max(abs(m_signed), abs(s)), 0)
+        count = min(count, n - off)
+        if count <= 0:
+            return fwd, bwd
+        Y = sphere_lib.harmonics(max(Lmax_g, self.Lmax), m_signed, s, z)
+        Y = Y[:count, :]
+        # theta ordering: grid stored with increasing theta = decreasing z
+        fwd[off:off + count, :] = (Y * w)[:, ::-1]
+        bwd[:, off:off + count] = Y[:, ::-1].T
+        return fwd, bwd
+
     @CachedMethod
     def _transform_stacks(self, scale, s, direction):
         Ng = self.grid_size(scale)
@@ -101,32 +125,37 @@ class ColatitudeBasis(Basis):
         z, w = self._zw(scale)
         n = self.size
         Lmax_g = Ng - 1
+        if self.signed_pairs:
+            fwd = np.zeros((KM + 1, 2, n, Ng))
+            bwd = np.zeros((KM + 1, 2, Ng, n))
+            for m in range(KM + 1):
+                for slot, ms in enumerate((m, -m)):
+                    f, b = self._one_m_swsh(ms, s, z, w, Lmax_g)
+                    fwd[m, slot] = f
+                    bwd[m, slot] = b
+            return np.ascontiguousarray(fwd if direction == 'f' else bwd)
         fwd = np.zeros((KM + 1, n, Ng))
         bwd = np.zeros((KM + 1, Ng, n))
         for m in range(KM + 1):
-            off = self.slot_offset(m, s)
-            count = max(self.Lmax + 1 - max(abs(m), abs(s)), 0)
-            count = min(count, n - off)
-            if count <= 0:
-                continue
-            Y = sphere_lib.harmonics(max(Lmax_g, self.Lmax), m, s, z)
-            Y = Y[:count, :]
-            # theta ordering: grid stored with increasing theta = decreasing z
-            fwd[m, off:off + count, :] = (Y * w)[:, ::-1]
-            bwd[m, :, off:off + count] = Y[:, ::-1].T
+            f, b = self._one_m_swsh(m, s, z, w, Lmax_g)
+            fwd[m] = f
+            bwd[m] = b
         return np.ascontiguousarray(fwd if direction == 'f' else bwd)
 
     @staticmethod
     def _apply_one(comp, stack, ax, out_size):
-        """Apply a (KM+1, out, n) per-m stack along axis `ax` of `comp`
-        (azimuth pairs at axis ax-1); trailing axes (e.g. a ball's radius)
-        batch through the einsum ellipsis."""
+        """Apply a (KM+1, out, n) — or signed (KM+1, 2, out, n) — per-m stack
+        along axis `ax` of `comp` (azimuth pairs at axis ax-1); trailing axes
+        (e.g. a ball's radius) batch through the einsum ellipsis."""
         d = jnp.moveaxis(comp, ax, -1)            # colatitude to last
         d = jnp.moveaxis(d, ax - 1, 0)            # azimuth to front
         M = d.shape[0]
         P = max(M // 2, 1)
         d = d.reshape((P, M // P) + d.shape[1:])
-        res = jnp.einsum('mon,mp...n->mp...o', stack, d)
+        if stack.ndim == 4:   # signed (+m, -m) slots
+            res = jnp.einsum('mpon,mp...n->mp...o', stack, d)
+        else:
+            res = jnp.einsum('mon,mp...n->mp...o', stack, d)
         res = res.reshape((M,) + res.shape[2:])
         res = jnp.moveaxis(res, 0, ax - 1)
         return jnp.moveaxis(res, -1, ax)
@@ -182,11 +211,15 @@ class ColatitudeBasis(Basis):
         """Joint (azimuth pair, ell-slot) validity: the sin parts follow the
         cos parts except that (ell == 0, sin) drops for rank <= 1 (real
         scalars/vectors; ref basis.py:3204-3210 — m = 0 symmetry is NOT
-        imposed for ell > 0)."""
+        imposed for ell > 0). Signed (+m, -m) pairs instead kill the whole
+        dead slot of the m = 0 pair."""
         cosmask = self.component_valid_for_m(m, tensorsig, cidx)
         out = np.zeros((az_w, self.size), dtype=bool)
         out[0] = cosmask
         if az_w > 1:
+            if self.signed_pairs:
+                out[1] = np.zeros_like(cosmask) if m == 0 else cosmask
+                return out.ravel()
             sinmask = cosmask.copy()
             if len(tensorsig) <= 1 and m == 0:
                 off = self.slot_offset(0, 0)
@@ -257,9 +290,8 @@ class SphereBasis:
         self.dealias = tuple(dealias)
         self.dtype = dtype
         self.volume = 4 * np.pi * radius**2
-        self.azimuth_basis = AzimuthBasis(
-            coordsys.azimuth, self.shape[0], bounds=(0, 2 * np.pi),
-            dealias=self.dealias[0], dtype=dtype)
+        self.azimuth_basis = make_azimuth_basis(
+            coordsys.azimuth, self.shape[0], self.dealias[0], dtype)
         self.colatitude_basis = ColatitudeBasis(
             coordsys.colatitude, self.shape[1], radius=self.radius,
             dealias=self.dealias[1], dtype=dtype, parent=self)

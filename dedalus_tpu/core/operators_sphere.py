@@ -168,10 +168,13 @@ class SpinSkew(LinearOperator):
             for ii in idxs:
                 if oi == ii:
                     s = self.coordsys.spintotal(self.tensorsig, ii)
-                    if az_w == 2:
+                    if np.issubdtype(self.dtype, np.complexfloating):
+                        # Signed exponential pairs: -s*i acts componentwise
+                        P = (-s * 1j) * np.eye(az_w)
+                    elif az_w == 2:
                         P = np.array([[0., s], [-s, 0.]])
                     else:
-                        P = np.array([[0.0]])  # complex path handled via dtype
+                        P = np.array([[0.0]])
                     blk = sparse.kron(sparse.csr_matrix(P), sparse.identity(n))
                 else:
                     blk = sparse.csr_matrix((az_w * n, az_w * n))

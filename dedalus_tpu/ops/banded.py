@@ -422,6 +422,8 @@ class BorderedBandedSolver:
         growth = np.abs(qr['Rinv']).max(axis=(1, 2, 3))
         with np.errstate(all='ignore'):
             condS = np.linalg.cond(np.where(np.isfinite(S), S, 0.0))
+        self.diagnostics = dict(growth=growth.copy(), condS=condS.copy(),
+                                S_finite=np.isfinite(S).all(axis=(1, 2)))
         ill = np.nonzero((growth > max_cond) | (condS > max_cond)
                          | ~np.isfinite(condS)
                          | ~np.isfinite(S).all(axis=(1, 2)))[0]
