@@ -826,20 +826,31 @@ def banded_order(pencil):
     if col is None or row is None:
         return None
 
-    def build_perm(Ncoup, interior, border):
+    def build_perm(Ncoup, interior, border, border_first=False):
         S = sum(ns for _, ns in interior)
         perm = np.empty(Ncoup * S + len(border), dtype=np.int64)
-        pos = 0
+        pos = len(border) if border_first else 0
         for n in range(Ncoup):
             for off, ns in interior:
                 for s in range(ns):
                     perm[pos] = off + s * Ncoup + n
                     pos += 1
-        perm[pos:] = border
+        if border_first:
+            perm[:len(border)] = border
+        else:
+            perm[pos:] = border
         return perm, len(border)
 
+    # Border ROWS (boundary conditions, gauge constraints) go FIRST so their
+    # dense coupling to the low coefficient modes falls inside the banded
+    # pattern: the interior PDE operator alone is singular (its kernel is
+    # the homogeneous ODE solutions — that is the point of the tau method),
+    # and only the BC-rows x low-modes block pins that kernel. Border
+    # COLUMNS (taus, constants) go LAST, next to the lift rows they act on.
+    # This is the banded analogue of the reference's bc_top Woodbury split
+    # (matsolvers.py:288-301, dedalus.cfg:66-90).
     col_perm, bc = build_perm(*col)
-    row_perm, br = build_perm(*row)
+    row_perm, br = build_perm(*row, border_first=True)
     if bc != br or col[0] != row[0]:
         return None
     return dict(col_perm=col_perm, row_perm=row_perm, n_border=bc,

@@ -52,16 +52,19 @@ def _bmv(A, x):
 
 
 def measure_bandwidth(A_csr, order):
-    """Scalar bandwidth of the permuted INTERIOR block of one group."""
+    """Scalar bandwidth of the permuted INTERIOR block of one group.
+    Border rows sit FIRST (their diagonal drift of n_border is included via
+    the interior rows' shift); border columns sit LAST and are excluded."""
     rp, cp = order['row_perm'], order['col_perm']
-    nc = order['n_core']
+    nbord = order['n_border']
+    P = cp.size
     coo = A_csr.tocoo()
     rinv = np.empty(rp.size, dtype=np.int64)
     rinv[rp] = np.arange(rp.size)
     cinv = np.empty(cp.size, dtype=np.int64)
     cinv[cp] = np.arange(cp.size)
     r, c = rinv[coo.row], cinv[coo.col]
-    core = (r < nc) & (c < nc)
+    core = (r >= nbord) & (c < P - nbord)
     if not core.any():
         return 0
     return int(np.abs(r[core] - c[core]).max())
@@ -79,10 +82,12 @@ class BandedBlocks:
       diag/sub/sup : (G, Nb, nb, nb)  in-pattern block-tridiagonal part of
                      the FULL permuted (padded to Nb*nb) matrix
       Ucol : (G, Pp, nbord)  border columns' out-of-pattern content
+                             (border cols = LAST nbord of P)
       Vrow : (G, nbord, Pp)  border rows' out-of-pattern content
+                             (border rows = FIRST nbord)
 
     Identity: A_full = A_band + U V with
-      U = [ e_borderrows | Ucol ],  V = [ Vrow ; e_bordercols^T ]
+      U = [ e_toprows | Ucol ],  V = [ Vrow ; e_rightcols^T ]
     """
 
     def __init__(self, diag, sub, sup, Ucol, Vrow, order, nb, pad):
@@ -107,14 +112,18 @@ class BandedBlocks:
 
 def _split_pattern_single(A_perm, P, nb, Nb, nbord):
     """One group: in-pattern tridiag blocks + out-of-pattern border content.
-    Returns (diag, sub, sup, Ucol, Vrow) with padded shapes."""
+    Border ROWS sit first (indices < nbord), border COLUMNS last (indices
+    >= P - nbord); their IN-pattern content stays in the band — in
+    particular the BC-rows x low-modes block that pins the homogeneous-
+    solution kernel of the interior PDE operator (reference bc_top split,
+    matsolvers.py:288-301). Returns (diag, sub, sup, Ucol, Vrow) padded."""
     Pp = Nb * nb
     coo = A_perm.tocoo()
     r, c, v = coo.row, coo.col, coo.data
     br, bc = r // nb, c // nb
     in_pattern = np.abs(br - bc) <= 1
     out = ~in_pattern
-    is_brow = r >= P - nbord
+    is_brow = r < nbord
     is_bcol = c >= P - nbord
     stray = out & ~(is_brow | is_bcol)
     if stray.any():
@@ -135,7 +144,7 @@ def _split_pattern_single(A_perm, P, nb, Nb, nbord):
     np.add.at(sup, (bri[on_sup], ri[on_sup], ci[on_sup]), vi[on_sup])
     Vrow = np.zeros((nbord, Pp))
     kr = np.where(take_row)[0]
-    np.add.at(Vrow, (r[kr] - (P - nbord), c[kr]), v[kr])
+    np.add.at(Vrow, (r[kr], c[kr]), v[kr])
     Ucol = np.zeros((Pp, nbord))
     kc = np.where(take_col)[0]
     np.add.at(Ucol, (r[kc], c[kc] - (P - nbord)), v[kc])
@@ -162,6 +171,19 @@ def build_banded_blocks(group_csr, weights, bad, order, nb):
         for j in range(5):
             out[j][g] = bg[j]
     diag, sub, sup, Ucol, Vrow = out
+    # Diagonal identity regularization of the border slots, exactly
+    # compensated through the low-rank factors (A_band + U V = A_full is
+    # preserved): border-row content that falls outside the band (e.g. the
+    # gauge/pivot corner entries) would otherwise leave zero rows/columns in
+    # the band and make it singular.
+    for j in range(nbord):
+        blk, pos = j // nb, j % nb
+        diag[:, blk, pos, pos] += 1.0          # border row j
+        Vrow[:, j, j] -= 1.0
+        i = P - nbord + j
+        blk, pos = i // nb, i % nb
+        diag[:, blk, pos, pos] += 1.0          # border col i
+        Ucol[:, i, j] -= 1.0
     # Identity on padded diagonal slots so padded solves pass through
     for k in range(pad):
         diag[:, -1, nb - 1 - k, nb - 1 - k] = 1.0
@@ -357,7 +379,8 @@ def apply_band(mats, x):
 
 def apply_full(mats, xflat, P, nbord):
     """Exact full application A_full @ x = A_band x + U (V x) (jit-safe).
-    xflat: (G, Pp) padded flat vector -> (G, Pp)."""
+    xflat: (G, Pp) padded flat vector -> (G, Pp). Border rows first, border
+    columns last."""
     G, Pp = xflat.shape
     nb = mats['diag'].shape[-1]
     Nb = Pp // nb
@@ -366,7 +389,7 @@ def apply_full(mats, xflat, P, nbord):
     xb = xflat[:, b0:b0 + nbord]
     y = y + _bmv(mats['Ucol'], xb)
     vb = _bmv(mats['Vrow'], xflat)
-    y = y.at[:, b0:b0 + nbord].add(vb)
+    y = y.at[:, :nbord].add(vb)
     return y
 
 
@@ -404,7 +427,7 @@ class BorderedBandedSolver:
         b0 = P - nbord
         Ufull = np.zeros((G, Pp, 2 * nbord))
         for j in range(nbord):
-            Ufull[:, b0 + j, j] = 1.0
+            Ufull[:, j, j] = 1.0          # border rows sit at the TOP
         Ufull[:, :, nbord:] = sblocks.Ucol
         Ublocks = Ufull.reshape(G, self.Nb, self.nb, 2 * nbord)
         Vfull = np.zeros((G, 2 * nbord, Pp))
@@ -578,10 +601,9 @@ class BorderedBandedSolver:
             rmax = np.maximum(rmax, au.max(axis=2))
             cmax[:, P - nbord:P] = np.maximum(
                 cmax[:, P - nbord:P], au.max(axis=1))
-            av = np.abs(Dr[:, P - nbord:P, None] * blocks.Vrow
+            av = np.abs(Dr[:, :nbord, None] * blocks.Vrow
                         * Dc[:, None, :])
-            rmax[:, P - nbord:P] = np.maximum(
-                rmax[:, P - nbord:P], av.max(axis=2))
+            rmax[:, :nbord] = np.maximum(rmax[:, :nbord], av.max(axis=2))
             cmax = np.maximum(cmax, av.max(axis=1))
             Dr /= np.sqrt(np.where(rmax > 0, rmax, 1.0))
             Dc /= np.sqrt(np.where(cmax > 0, cmax, 1.0))
@@ -602,7 +624,7 @@ class BorderedBandedSolver:
         sup[:, :-1] = (blocks.sup[:, :-1] * DrB[:, :-1, :, None]
                        * DcB[:, 1:, None, :])
         Ucol = blocks.Ucol * Dr[:, :, None] * Dc[:, None, P - nbord:P]
-        Vrow = blocks.Vrow * Dr[:, P - nbord:P, None] * Dc[:, None, :]
+        Vrow = blocks.Vrow * Dr[:, :nbord, None] * Dc[:, None, :]
         return BandedBlocks(diag, sub, sup, Ucol, Vrow, blocks.order,
                             blocks.nb, blocks.pad)
 
