@@ -240,6 +240,10 @@ class ColatitudeBasis(Basis):
         Lmax = self.Lmax
         if op == 'Cos':
             mat = sphere_lib.operator('Cos', 0, Lmax, m, s, radius=self.radius)
+        elif op in ('Sin+', 'Sin-'):
+            # Multiplication by sin(theta) with spin shift ds (banded in ell)
+            ds = 1 if op == 'Sin+' else -1
+            mat = sphere_lib.operator('Sin', ds, Lmax, m, s, radius=self.radius)
         elif op in ('D+', 'D-'):
             ds = 1 if op == 'D+' else -1
             mat = sphere_lib.operator('D', ds, Lmax, m, s, radius=self.radius)

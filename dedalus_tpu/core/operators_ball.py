@@ -979,3 +979,154 @@ class BallConstantEmbed(LinearOperator):
         n = self.target_radial.size
         out = (data[..., 0] * col[:, 0]).reshape(data.shape[:-2] + (L, n))
         return self._build_output(self.dist.coeff_layout, out, scales=None)
+
+
+class SphericalZCross(LinearOperator):
+    """
+    ez x u for ball/shell vector fields, with ez = cos(theta) er -
+    sin(theta) e_theta the axial unit vector: the Coriolis operator.
+
+    The reference expresses this as a meridional NCC (cross(ez, u) with ez a
+    meridional-basis field; examples/evp_shell_rotating_convection); here it
+    lowers to banded SWSH angular ladders instead: in spin components
+        (ez x u)_s = s*i*Cos u_s + (s*i/sqrt(2)) Sin_{ds=s} u_r   (s = +-1)
+        (ez x u)_r = sum_s (s*i/sqrt(2)) Sin_{ds=-s} u_s
+    (Cos couples ell +- 1 at fixed spin; Sin shifts spin with an ell-banded
+    matrix), conjugated to regularity components by the per-ell Q
+    intertwiners. Subproblem matrices require complex dtype (the +-i factors);
+    grid evaluation (explicit/RHS use) works for both dtypes.
+    """
+
+    def __init__(self, operand):
+        if len(operand.tensorsig) != 1 or not isinstance(
+                operand.tensorsig[0], SphericalCoordinates):
+            raise ValueError("ZCross requires a spherical vector field")
+        self.coordsys = operand.tensorsig[0]
+        self.azimuth_axis = self.coordsys.coords[0].axis
+        self.colatitude_axis = self.coordsys.coords[1].axis
+        self.radius_axis = self.coordsys.coords[2].axis
+        self.radial_in = operand.domain.bases[self.radius_axis]
+        if not isinstance(self.radial_in, SphericalRadialBasis):
+            raise ValueError("ZCross requires a ball/shell radial basis")
+        super().__init__(operand)
+
+    def _init_metadata(self):
+        op = self.operand
+        self.tensorsig = op.tensorsig
+        self.dtype = op.dtype
+        self.domain = op.domain
+
+    def new_operands(self, operand):
+        return SphericalZCross(operand)
+
+    def matrix_dependence(self, *vars):
+        out = self.operand.matrix_dependence(*vars).copy()
+        out[self.azimuth_axis] = True
+        return out
+
+    def matrix_coupling(self, *vars):
+        out = self.operand.matrix_coupling(*vars).copy()
+        out[self.colatitude_axis] = True
+        # The joint (ell, n) pencil layout requires the radial axis in the
+        # pencil whenever colatitude couples
+        out[self.radius_axis] = True
+        return out
+
+    def _spin_slot_matrix(self, m):
+        """(3, L, 3, L) spin-component slot-coupling matrix at signed m."""
+        from ..spectral import sphere as sphere_lib
+        colat = self.radial_in.parent.colatitude_basis
+        L = colat.size
+        Lmax = colat.Lmax
+        spin_of = {0: -1, 1: +1, 2: 0}
+
+        def off(s):
+            return max(abs(m), abs(s)) - abs(m)
+
+        def place(M, si, sj, packed, scale):
+            r0, c0 = off(spin_of[si]), off(spin_of[sj])
+            A = np.asarray(sparse.csr_matrix(packed).todense())
+            r1 = min(r0 + A.shape[0], L)
+            c1 = min(c0 + A.shape[1], L)
+            M[si, r0:r1, sj, c0:c1] += scale * A[:r1 - r0, :c1 - c0]
+
+        M = np.zeros((3, L, 3, L), dtype=complex)
+        for si, s in ((0, -1), (1, +1)):
+            cos = sphere_lib.operator('Cos', 0, Lmax, m, s)
+            place(M, si, si, cos, s * 1j)
+            sin_up = sphere_lib.operator('Sin', s, Lmax, m, 0)
+            place(M, si, 2, sin_up, s * 1j / np.sqrt(2))
+            sin_dn = sphere_lib.operator('Sin', -s, Lmax, m, s)
+            place(M, 2, si, sin_dn, s * 1j / np.sqrt(2))
+        return M
+
+    def _reg_slot_matrix(self, m):
+        """Regularity-space (3L, 3L) matrix at signed m (Q-conjugated)."""
+        from ..spectral import intertwiner as it
+        colat = self.radial_in.parent.colatitude_basis
+        L = colat.size
+        Mspin = self._spin_slot_matrix(m)
+        Qs = np.zeros((L, 3, 3))
+        for j in range(L - abs(m)):
+            Qs[j] = it.Q_matrix(abs(m) + j, 1)
+        # reg = Q^T spin (Q real orthogonal): M_reg = Q^T M_spin Q per slot
+        Mreg = np.einsum('jsa,sjtk,ktb->ajbk', Qs, Mspin, Qs)
+        return Mreg.reshape(3 * L, 3 * L)
+
+    def subproblem_matrix(self, subproblem):
+        if not np.issubdtype(self.dtype, np.complexfloating):
+            raise NotImplementedError(
+                "ZCross subproblem matrices require complex dtype; use the "
+                "explicit (RHS) form for real-dtype IVPs")
+        m = subproblem.group[self.azimuth_axis]
+        m = m if m is not None else 0
+        az_w = subproblem.axis_width(
+            self.operand.domain.bases[self.azimuth_axis], self.azimuth_axis)
+        rb = self.radial_in
+        L = rb.parent.colatitude_basis.size
+        n = rb.size
+        signed = getattr(rb, 'signed_pairs', False)
+        mats = []
+        for q in range(az_w):
+            ms = m if q == 0 else (-m if signed else m)
+            Mreg = sparse.csr_matrix(self._reg_slot_matrix(ms))
+            mats.append(sparse.kron(Mreg, sparse.identity(n), format='csr'))
+        # Layout: components outermost, then (az, L, n): permute the
+        # (comp, L) kron blocks into comp-major with az between
+        C = 3
+        rowsz = az_w * L * n
+        out = sparse.lil_matrix((C * rowsz, C * rowsz), dtype=complex)
+        for q in range(az_w):
+            Mq = mats[q].tocsr()
+            for a in range(C):
+                for b in range(C):
+                    blk = Mq[a * L * n:(a + 1) * L * n, b * L * n:(b + 1) * L * n]
+                    r0 = a * rowsz + q * L * n
+                    c0 = b * rowsz + q * L * n
+                    out[r0:r0 + L * n, c0:c0 + L * n] = blk
+        return sparse.csr_matrix(out)
+
+    def expression_matrices(self, subproblem, vars, **kw):
+        op_mats = self.operand.expression_matrices(subproblem, vars, **kw)
+        mat = self.subproblem_matrix(subproblem)
+        return {v: mat @ mm for v, mm in op_mats.items()}
+
+    def operate(self, arg_fields):
+        from . import arithmetic
+        field = arg_fields[0]
+        data = arithmetic._to_dealias_grid(field)
+        dist = self.dist
+        scales = self.domain.dealias
+        colat = self.radial_in.parent.colatitude_basis
+        theta = np.asarray(colat.global_grid(
+            scales[self.colatitude_axis] if np.ndim(scales) else scales))
+        shape = [1] * (data.ndim - 1)
+        shape[self.colatitude_axis] = theta.size
+        ct = jnp.asarray(np.cos(theta)).reshape(shape)
+        st = jnp.asarray(np.sin(theta)).reshape(shape)
+        u_phi, u_theta, u_r = data[0], data[1], data[2]
+        v_phi = ct * u_theta + st * u_r
+        v_theta = -ct * u_phi
+        v_r = -st * u_phi
+        out = jnp.stack([v_phi, v_theta, v_r])
+        return self._build_output(self.dist.grid_layout, out, scales=scales)
