@@ -15,6 +15,8 @@ import jax.numpy as jnp
 from scipy import linalg as sla
 from functools import partial
 
+from ..utils.config import config
+
 
 def batched_matvec(A, X):
     """(G, R, C) @ (G, C) -> (G, R).
@@ -330,7 +332,9 @@ class FactorizedStack:
         else:
             raise ValueError(f"Unknown solve method: {method}")
 
-    def _build_poly_from_form(self, pf, target=1e-15, max_refinements=12):
+    def _build_poly_from_form(self, pf, target=None, max_refinements=12):
+        if target is None:
+            target = float(config.get('linear algebra', 'solve_target'))
         """
         Poly solve from an EXACT separable form (no fitting): Chebyshev-
         interpolated inverse preconditioner with node inverses computed ON
@@ -426,7 +430,9 @@ class FactorizedStack:
             np.ceil(np.log(target) / np.log(rate)) - 1, 1, max_refinements))
         self.rho = rho
 
-    def _build_poly(self, A, target=1e-15, max_refinements=12):
+    def _build_poly(self, A, target=None, max_refinements=12):
+        if target is None:
+            target = float(config.get('linear algebra', 'solve_target'))
         """
         Separable GEMM-form solve: exact polynomial fit of A + Chebyshev-
         interpolated inverse preconditioner + f64 iterative refinement.

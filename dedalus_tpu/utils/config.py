@@ -41,6 +41,9 @@ DEFAULTS = {
         'matrix_factorizer': 'inverse_refined',
         'matrix_solver': 'lu',
         'evp_solver': 'scipy_dense',
+        # Residual target for iteratively-refined device solves (poly/banded):
+        # sets the refinement count from the measured contraction rate
+        'solve_target': '1e-15',
     },
     'memory': {
         'cache_transform_matrices': 'True',

@@ -75,7 +75,12 @@ def solve(Nphi, Ntheta, Nr):
     rvec.require_coeff_space()
 
     zcross = lambda A: SphericalZCross(A)
-    lift = lambda A, i: d3.Lift(A, shell, i)
+    lift_basis = shell.derivative_basis(1)
+    lift = lambda A: d3.Lift(A, lift_basis, -1)
+    # First-order reduction: tau terms on the gradients put a tau in the
+    # divergence constraint, as this geometry requires (reference script)
+    grad_u = d3.grad(u) + rvec * lift(tau_u1)
+    grad_T = d3.grad(T) + rvec * lift(tau_T1)
     strain = d3.grad(u) + d3.TransposeComponents(d3.grad(u))
 
     ns = dict(locals())
@@ -84,13 +89,12 @@ def solve(Nphi, Ntheta, Nr):
               Ekman=Ekman, Rayleigh=Rayleigh, Prandtl=Prandtl, Ri=Ri, Ro=Ro)
     problem = d3.EVP([p, u, T, tau_u1, tau_u2, tau_T1, tau_T2, tau_p],
                      eigenvalue=om, namespace=ns)
-    problem.add_equation("trace(grad(u)) + tau_p = 0")
+    problem.add_equation("trace(grad_u) + tau_p = 0")
     problem.add_equation(
         "dt(u) + (1/Ekman)*zcross(u) + grad(p) - Rayleigh*T*rvec"
-        " - div(grad(u)) + lift(tau_u1, -1) + lift(tau_u2, -2) = 0")
+        " - div(grad_u) + lift(tau_u2) = 0")
     problem.add_equation(
-        "Prandtl*dt(T) - dot(rvec, u) - div(grad(T))"
-        " + lift(tau_T1, -1) + lift(tau_T2, -2) = 0")
+        "Prandtl*dt(T) - dot(rvec, u) - div(grad_T) + lift(tau_T2) = 0")
     if stress_free:
         problem.add_equation("radial(u(r=Ri)) = 0")
         problem.add_equation("radial(u(r=Ro)) = 0")
