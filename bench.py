@@ -1,15 +1,20 @@
 """
 Benchmark: 2D Rayleigh-Benard IMEX stepping throughput (DOF*steps/sec/chip).
 
-Runs the flagship compiled step (MMT transforms + nonlinear RHS + batched
-pencil solve, one fused XLA program per step) on the default device (TPU).
+Default configuration is the BASELINE-scale 1024x256 run (the largest RBC
+that fits this device's compile budget; 2048x512 via BENCH_NX/BENCH_NZ).
+The compiled step fuses MMT transforms, the nonlinear RHS, and the
+separable-GEMM (poly) pencil solve into one XLA program; run_steps scans
+dependent steps inside a single device call, so timings are honest under
+the axon server's memoization (identical-input calls return cached results).
 
 Baseline: the reference publishes no absolute numbers (BASELINE.md); its only
 anchor is "2-D RBC 256x64, Ra=2e6, t_stop=50: about 5 cpu-minutes"
 (examples/ivp_2d_rayleigh_benard/rayleigh_benard.py:6). With CFL-limited
 steps (~1200 steps at safety 0.5, max_dt 0.125) that is roughly
   256*64*4 fields * 1200 steps / 300 s ~= 2.6e5 DOF*steps/sec.
-vs_baseline reports our throughput against that estimate.
+The reference itself cannot run here (no mpi4py/FFTW), so vs_baseline
+reports our throughput against that estimate.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -33,11 +38,11 @@ def main():
     import dedalus_tpu.public as d3
     from dedalus_tpu.models.rbc import build_rbc_problem
 
-    Nx = int(os.environ.get('BENCH_NX', 256))
-    Nz = int(os.environ.get('BENCH_NZ', 64))
+    Nx = int(os.environ.get('BENCH_NX', 1024))
+    Nz = int(os.environ.get('BENCH_NZ', 256))
     n_warm = int(os.environ.get('BENCH_WARMUP', 5))
-    n_steps = int(os.environ.get('BENCH_STEPS', 100))
-    matsolver = os.environ.get('BENCH_SOLVER', 'banded')
+    n_steps = int(os.environ.get('BENCH_STEPS', 50))
+    matsolver = os.environ.get('BENCH_SOLVER', 'poly')
     dt = 1e-3
 
     t0 = time.perf_counter()
@@ -66,7 +71,8 @@ def main():
     jax.block_until_ready(solver.timestepper.F)
     t2 = time.perf_counter()
 
-    # Timed: one compiled scan over n_steps (a single device call)
+    # Timed: one compiled scan over n_steps (a single device call on evolving
+    # state — no identical-input memoization)
     solver.run_steps(dt, n_steps)
     jax.block_until_ready(solver.timestepper.F)
     t3 = time.perf_counter()
@@ -76,7 +82,7 @@ def main():
     throughput = dof * n_steps / run_time
     baseline = 2.6e5  # estimated reference CPU anchor (see module docstring)
     result = {
-        "metric": f"RBC {Nx}x{Nz} f64 DOF*steps/sec/chip ({matsolver})",
+        "metric": f"RBC {Nx}x{Nz} f64 DOF*steps/sec/chip ({solver.matsolver})",
         "value": round(throughput, 1),
         "unit": "DOF*steps/sec",
         "vs_baseline": round(throughput / baseline, 3),

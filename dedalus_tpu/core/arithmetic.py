@@ -862,13 +862,30 @@ class DotProduct(Future):
         op_mats = operand.expression_matrices(subproblem, vars, **kw)
         # Disk (Zernike) NCC dot products: spin-resolved radial blocks with
         # the antidiagonal spin metric
-        from .basis_polar import DiskRadialBasis
+        from .basis_polar import DiskRadialBasis, AnnulusRadialBasis
         ncc_field_probe = ncc.evaluate() if isinstance(ncc, Future) else ncc
         if any(isinstance(bb, DiskRadialBasis)
                for bb in ncc_field_probe.domain.bases if bb is not None):
             M = _disk_ncc_dot_matrix(ncc_field_probe, operand, self.domain,
                                      subproblem, ncc_first)
             return {v: (M @ m) for v, m in op_mats.items()}
+        # Curvilinear (shell/ball/annulus) NCC dot products: coefficient
+        # components are spin/regularity components whose contraction metric
+        # is NOT the identity. Lower rank-1 . rank-1 to Trace(outer product):
+        # Multiply's Gamma-intertwiner NCC machinery and the geometry's Trace
+        # contraction both carry the correct metric (ref arithmetic.py:587
+        # DotProduct builds from the same component machinery).
+        from .basis_ball import SphericalRadialBasis
+        spherical = any(isinstance(bb, SphericalRadialBasis)
+                        for bb in operand.domain.bases if bb is not None)
+        annular = any(isinstance(bb, AnnulusRadialBasis)
+                      for bb in ncc_field_probe.domain.bases if bb is not None)
+        if (spherical or annular) and len(a.tensorsig) == 1 \
+                and len(b.tensorsig) == 1:
+            from .operators import Trace
+            outer = Multiply(a, b)
+            traced = Trace(outer)
+            return traced.expression_matrices(subproblem, vars, **kw)
         ncc_blocks = build_ncc_blocks(ncc, operand, self.domain, subproblem)
         dim_c = (a.tensorsig[-1] if ncc_first else b.tensorsig[0]).dim
         n_ncc_comp = prod(tuple(cs.dim for cs in ncc.tensorsig))

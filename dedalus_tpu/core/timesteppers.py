@@ -203,8 +203,12 @@ class MultistepIMEX(TimestepperBase):
         elif self.solver.matsolver == 'poly':
             pm, pl = self._poly_ml()
             pa, pr = fact.polyA, fact.pre
-            mats = {'wM': pm['weights'], 'BM': pm['Bcat'], 'CM': pm['Abad'],
-                    'wL': pl['weights'], 'BL': pl['Bcat'], 'CL': pl['Abad'],
+            if not hasattr(self, '_poly_BML'):
+                # M and L share the state GEMM: one fused (P, (qM+qL)P) matrix
+                self._poly_BML = jnp.concatenate([pm['Bcat'], pl['Bcat']],
+                                                 axis=1)
+            mats = {'wM': pm['weights'], 'BML': self._poly_BML, 'CM': pm['Abad'],
+                    'wL': pl['weights'], 'CL': pl['Abad'],
                     'wA': pa['weights'], 'BA': pa['Bcat'], 'CA': pa['Abad'],
                     'wP': pr['weights'], 'BP': pr['Bcat'], 'CP': pr['Abad']}
         else:
@@ -252,8 +256,9 @@ class MultistepIMEX(TimestepperBase):
                 LX0 = applyL(mats['L'], X)
             elif poly:
                 X = pencil.gather_state(state_flat)
-                MX0 = sep(X, mats['wM'], mats['BM'], badM, mats['CM'])
-                LX0 = sep(X, mats['wL'], mats['BL'], badL, mats['CL'])
+                MX0, LX0 = ops_solve.separable_apply_pair(
+                    X, mats['BML'], mats['wM'], badM, mats['CM'],
+                    mats['wL'], badL, mats['CL'])
             else:
                 X = pencil.gather_state(state_flat)
                 MX0 = ops_solve.batched_matvec(mats['M'], X)

@@ -266,6 +266,27 @@ def separable_apply(X, weights, Bcat, bad_idx=(), Abad=None):
     return Y
 
 
+def separable_apply_pair(X, Bcat, wA, badA, CA, wB, badB, CB):
+    """Two separable applies sharing ONE GEMM (the M and L stacks act on the
+    same state): Bcat = hstack(BcatA, BcatB). Halves the dominant GEMM count
+    of the compiled step on flop-bound devices."""
+    G, P = X.shape
+    qA = wA.shape[1]
+    Xc = X.astype(Bcat.dtype)
+    T = (Xc @ Bcat).reshape(G, -1, P)
+    YA = jnp.einsum('gq,gqp->gp', wA.astype(Bcat.dtype), T[:, :qA]).astype(X.dtype)
+    YB = jnp.einsum('gq,gqp->gp', wB.astype(Bcat.dtype), T[:, qA:]).astype(X.dtype)
+    if len(badA):
+        idx = jnp.asarray(badA)
+        Yb = jnp.matmul(CA, Xc[idx][..., None])[..., 0].astype(X.dtype)
+        YA = YA.at[idx].set(Yb)
+    if len(badB):
+        idx = jnp.asarray(badB)
+        Yb = jnp.matmul(CB, Xc[idx][..., None])[..., 0].astype(X.dtype)
+        YB = YB.at[idx].set(Yb)
+    return YA, YB
+
+
 class FactorizedStack:
     """A factorized (G,P,P) stack with a device solve method. `A` is either a
     dense ndarray stack or a lazy provider exposing `poly_form()` (large

@@ -20,7 +20,7 @@ DEFAULTS = {
         # O(N^1.5) — ops/fft64.py), or 'auto' (fast above fast_threshold).
         'fourier_library': 'auto',
         'jacobi_library': 'auto',
-        'fast_threshold': '64',
+        'fast_threshold': '1536',
         'dealias_before_converting': 'True',
     },
     'parallelism': {
