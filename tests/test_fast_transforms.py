@@ -126,10 +126,12 @@ def test_fast_chebyshev_roundtrip(maker, M):
 
 
 def test_fast_path_dispatches():
-    """forward_transform takes the fast plan above the threshold and MMT below."""
-    big = B.ChebyshevT(coord(), 128, (-1, 1))
+    """forward_transform takes the fast plan above the threshold and MMT below.
+    (Default threshold is 1536: on the op-latency-bound bench device MMT wins
+    below that; the relative dispatch behavior is what's pinned here.)"""
+    big = B.ChebyshevT(coord(), 2048, (-1, 1))
     small = B.ChebyshevT(coord(), 16, (-1, 1))
-    assert big._use_fast(128)
+    assert big._use_fast(2048)
     assert not small._use_fast(16)
     legendre = B.Legendre(coord(), 128, (-1, 1))
     assert legendre._fast_da is None  # non-Chebyshev grid: MMT only
