@@ -389,6 +389,10 @@ def _disk_ncc_pair_blocks(ncc_field, operand, out_domain, subproblem):
     ncc_idxs = list(np.ndindex(*ncc_shape)) if ncc_shape else [()]
     op_idxs = list(np.ndindex(*op_shape)) if op_shape else [()]
     az_w = subproblem.axis_width(operand.domain.bases[az_axis], az_axis)
+    # Leading axes before the polar pair (cylinder: the Fourier axis) pass
+    # through as identity factors
+    lead_w = prod(tuple(subproblem.axis_width(operand.domain.bases[ax], ax)
+                        for ax in range(az_axis))) or 1
     N = op_rbasis.size
     blocks = {}
     for a_flat, a_idx in enumerate(ncc_idxs):
@@ -408,18 +412,20 @@ def _disk_ncc_pair_blocks(ncc_field, operand, out_domain, subproblem):
             Z = sparse.csr_matrix(next(s for s in (S0, S1, Sm) if s is not None).shape)
             S0 = S0 if S0 is not None else Z
             if az_w == 1:
-                blocks[(a_idx, b_idx)] = sparse.csr_matrix(S0)
+                blk = sparse.csr_matrix(S0)
             elif signed:
                 # Signed (+m, -m) slots: per-slot radial blocks (the m=0
                 # NCC's dead slot carries no 'sin' content by construction)
-                blocks[(a_idx, b_idx)] = sparse.block_diag(
+                blk = sparse.block_diag(
                     [S0, Sm if Sm is not None else Z], format='csr')
             elif S1 is None:
-                blocks[(a_idx, b_idx)] = sparse.kron(sparse.identity(az_w), S0)
+                blk = sparse.kron(sparse.identity(az_w), S0)
             else:
                 # (cos, -sin) pair coupling of the m=0 NCC's sin content
-                blocks[(a_idx, b_idx)] = sparse.bmat(
-                    [[S0, -S1], [S1, S0]], format='csr')
+                blk = sparse.bmat([[S0, -S1], [S1, S0]], format='csr')
+            if lead_w > 1:
+                blk = sparse.kron(sparse.identity(lead_w), blk)
+            blocks[(a_idx, b_idx)] = blk
     meta = dict(ncc_idxs=ncc_idxs, op_idxs=op_idxs, az_w=az_w, N=N)
     return blocks, meta
 
