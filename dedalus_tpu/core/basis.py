@@ -21,7 +21,7 @@ from ..spectral import clenshaw
 from ..ops import transforms as ops_transforms
 from ..ops import fft64
 
-FAST_THRESHOLD = int(config.get('transforms', 'fast_threshold', fallback='1536'))
+FAST_THRESHOLD = int(config.get('transforms', 'fast_threshold', fallback='2000'))
 
 
 def _fast_enabled(library_key, size):

@@ -1076,11 +1076,33 @@ def Laplacian(operand, coordsys=None):
 
 
 def Curl(operand, index=0):
-    from .coords import SphericalCoordinates
+    from .coords import (SphericalCoordinates, DirectProduct, PolarCoordinates,
+                         Coordinate as _Coord)
     coordsys = operand.tensorsig[index]
     if isinstance(coordsys, SphericalCoordinates):
         from .operators_ball import SphericalCurl
         return SphericalCurl(operand, index)
+    if isinstance(coordsys, DirectProduct):
+        # Cylinder curl (parity: operators.py:3751 DirectProductCurl), for
+        # Coordinate x Polar products. With u = (u_z, u_polar) and the
+        # physical right-handed (r, phi, z) orientation:
+        #   curl_z = div(skew(u_polar))
+        #   (curl_phi, curl_r) = -skew(dz(u_polar) - grad_polar(u_z))
+        subs = coordsys.coordsystems
+        straight = [s for s in subs if isinstance(s, _Coord)]
+        polar = [s for s in subs if isinstance(s, PolarCoordinates)]
+        if coordsys.dim != 3 or len(straight) != 1 or len(polar) != 1:
+            raise NotImplementedError(
+                "DirectProduct curl needs one Coordinate and one polar system")
+        cz_, cp_ = straight[0], polar[0]
+        uz = DPSubComponent(operand, cz_, index)
+        up = DPSubComponent(operand, cp_, index)
+        A = Add(Differentiate1D(up, cz_),
+                Multiply(-1, Gradient(uz, cp_)))
+        curl_z = Divergence(Skew(up))
+        curl_polar = Multiply(-1, Skew(A))
+        parts = [curl_z if sub is cz_ else curl_polar for sub in subs]
+        return DirectStack(parts, coordsys)
     dim = coordsys.dim
     cs = coordsys.coords
     if dim == 2:

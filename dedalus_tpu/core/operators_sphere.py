@@ -20,8 +20,8 @@ from .future import Future
 from .domain import Domain
 from .coords import S2Coordinates
 from .operators import LinearOperator
-from .operators_polar import PolarMOperator
 from ..utils.general import prod
+from .operators_polar import PolarMOperator
 
 
 class SphereGradient(PolarMOperator):
@@ -145,12 +145,15 @@ class SpinSkew(LinearOperator):
             if np.issubdtype(self.dtype, np.complexfloating):
                 out = out.at[idx].set(-s * 1j * comp)
             else:
-                # -s*i on (cos,-sin) pairs: (a, b) -> (s*b, -s*a)
-                cm = comp.reshape((M // 2, 2) + comp.shape[1:])
+                # -s*i on (cos,-sin) pairs: (a, b) -> (s*b, -s*a). The
+                # azimuth axis may sit behind leading batch axes (cylinder).
+                az = self.azimuth_axis
+                d = jnp.moveaxis(comp, az, 0)
+                cm = d.reshape((M // 2, 2) + d.shape[1:])
                 a = cm[:, 0]
                 b = cm[:, 1]
-                rot = jnp.stack([s * b, -s * a], axis=1)
-                out = out.at[idx].set(rot.reshape(comp.shape))
+                rot = jnp.stack([s * b, -s * a], axis=1).reshape(d.shape)
+                out = out.at[idx].set(jnp.moveaxis(rot, 0, az))
         return self._build_output(self.dist.coeff_layout, out, scales=field.scales)
 
     def expression_matrices(self, subproblem, vars, **kw):
@@ -161,6 +164,8 @@ class SpinSkew(LinearOperator):
         radial_axis = self.coordsys.coords[1].axis
         n = subproblem.axis_width(op.domain.bases[radial_axis], radial_axis)
         az_w = subproblem.axis_width(op.domain.bases[self.azimuth_axis], self.azimuth_axis)
+        lead_w = prod(tuple(subproblem.axis_width(op.domain.bases[ax], ax)
+                            for ax in range(self.azimuth_axis))) or 1
         blocks = []
         idxs = list(np.ndindex(*[cs.dim for cs in self.tensorsig]))
         for oi in idxs:
@@ -175,9 +180,11 @@ class SpinSkew(LinearOperator):
                         P = np.array([[0., s], [-s, 0.]])
                     else:
                         P = np.array([[0.0]])
-                    blk = sparse.kron(sparse.csr_matrix(P), sparse.identity(n))
+                    blk = sparse.kron(sparse.identity(lead_w),
+                                      sparse.kron(sparse.csr_matrix(P),
+                                                  sparse.identity(n)))
                 else:
-                    blk = sparse.csr_matrix((az_w * n, az_w * n))
+                    blk = sparse.csr_matrix((lead_w * az_w * n, lead_w * az_w * n))
                 row.append(blk)
             blocks.append(row)
         mat = sparse.bmat(blocks, format='csr')

@@ -20,7 +20,7 @@ DEFAULTS = {
         # O(N^1.5) — ops/fft64.py), or 'auto' (fast above fast_threshold).
         'fourier_library': 'auto',
         'jacobi_library': 'auto',
-        'fast_threshold': '1536',
+        'fast_threshold': '2000',
         'dealias_before_converting': 'True',
     },
     'parallelism': {

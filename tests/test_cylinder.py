@@ -204,3 +204,33 @@ def test_directproduct_metadata():
     assert c.spintotal((c,), (1,)) == -1
     assert c.spintotal((c,), (2,)) == +1
     assert not c.right_handed
+
+
+@pytest.mark.parametrize('dtype', [np.float64, np.complex128])
+def test_cylinder_curl(dtype):
+    """DP curl: curl(grad f) == 0 and curl of an axial field vs analytic."""
+    c, cz, cp, dist, zb, pb = _build('disk', dtype, Nz=12, Nphi=16, Nr=10)
+    z = dist.local_grid(zb, scale=1)
+    phi, r = dist.local_grids(pb, scales=1)
+    x = r * np.cos(phi)
+    y = r * np.sin(phi)
+    kz = 2 * np.pi / LENGTH
+    fz = _fz(z, kz, dtype)
+    f = dist.Field(name='f', bases=(zb, pb))
+    f['g'] = fz * (x * x - y + 0.3 * x * y)
+    w = d3.curl(d3.grad(f)).evaluate()
+    w.require_coeff_space()
+    assert np.abs(np.asarray(w.data)).max() < 1e-12
+    # Axial field u = fz * x * ez: curl = ((1/r) dphi u_z, -dr u_z) in (phi,r)
+    u2 = dist.VectorField(c, name='u2', bases=(zb, pb))
+    shape = np.broadcast_shapes(z.shape, phi.shape, r.shape)
+    u2['g'] = np.stack([np.broadcast_to(fz * x, shape),
+                        np.zeros(shape), np.zeros(shape)]).astype(dtype)
+    w2 = d3.curl(u2).evaluate()
+    w2.require_coeff_space()
+    w2.change_scales(1)
+    w2.require_grid_space()
+    ex = np.stack([np.zeros(shape),
+                   np.broadcast_to(-fz * np.cos(phi), shape),
+                   np.broadcast_to(-fz * np.sin(phi), shape)])
+    assert np.abs(np.asarray(w2.data) - ex).max() < 1e-11
