@@ -337,8 +337,15 @@ class InitialValueSolver(SolverBase):
 
     matrix_names = ('M', 'L')
 
-    def __init__(self, problem, timestepper, enforce_real_cadence=100, warmup_iterations=10, **kw):
+    def __init__(self, problem, timestepper, enforce_real_cadence=100, warmup_iterations=10,
+                 profile=False, profile_dir='profiles', **kw):
         super().__init__(problem, **kw)
+        # Profiling hooks (parity: reference cProfile integration,
+        # solvers.py:546-561 + dedalus.cfg [profiling]): `profile=True`
+        # wraps `evolve` in a jax profiler trace (device timeline viewable
+        # in TensorBoard/Perfetto) plus a host cProfile dump.
+        self.profile = bool(profile)
+        self.profile_dir = profile_dir
         if isinstance(timestepper, str):
             timestepper = timesteppers_module.schemes[timestepper]
         self.timestepper = timestepper(self)
@@ -476,6 +483,19 @@ class InitialValueSolver(SolverBase):
 
     def evolve(self, timestep_function, log_cadence=100):
         """Advance until a stop criterion triggers."""
+        profiling = False
+        if self.profile:
+            import os
+            import cProfile
+            import jax.profiler
+            os.makedirs(self.profile_dir, exist_ok=True)
+            try:
+                jax.profiler.start_trace(self.profile_dir)
+                profiling = True
+            except Exception as exc:   # backend without profiler support
+                logger.warning("jax profiler unavailable: %s", exc)
+            self._host_profiler = cProfile.Profile()
+            self._host_profiler.enable()
         try:
             while self.proceed:
                 dt = timestep_function() if callable(timestep_function) else timestep_function
@@ -486,6 +506,17 @@ class InitialValueSolver(SolverBase):
             logger.error("Exception raised, triggering end of main loop.")
             raise
         finally:
+            if self.profile:
+                import os
+                import jax.profiler
+                if profiling:
+                    try:
+                        jax.profiler.stop_trace()
+                    except Exception:
+                        pass
+                self._host_profiler.disable()
+                self._host_profiler.dump_stats(
+                    os.path.join(self.profile_dir, 'runtime.prof'))
             self.log_stats()
 
     def print_subproblem_ranks(self, *args, **kw):
