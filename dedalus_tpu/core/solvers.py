@@ -43,7 +43,8 @@ class SolverBase:
             self.dist, domains, coupling)
         self.pencil = subsystems.PencilSystem(
             self.dist, self.subproblems, problem.LHS_variables, problem.equations,
-            list(self.matrix_names))
+            list(self.matrix_names),
+            allow_slot_split=getattr(self, 'allow_slot_split', False))
 
     @property
     def subproblems_by_group(self):
@@ -336,6 +337,9 @@ class InitialValueSolver(SolverBase):
     """
 
     matrix_names = ('M', 'L')
+    # Spherical joint pencils re-batch per (m, ell) when slot-diagonal — the
+    # large-N ball/shell path (reference's own (m, ell) decomposition)
+    allow_slot_split = True
 
     def __init__(self, problem, timestepper, enforce_real_cadence=100, warmup_iterations=10,
                  profile=False, profile_dir='profiles', **kw):

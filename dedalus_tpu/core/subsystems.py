@@ -376,7 +376,8 @@ class PencilSystem:
       - validity masks and identity-pivot bookkeeping
     """
 
-    def __init__(self, dist, subproblems, variables, equations, matrix_names, dtype=None):
+    def __init__(self, dist, subproblems, variables, equations, matrix_names,
+                 dtype=None, allow_slot_split=False):
         self.dist = dist
         self.subproblems = subproblems
         self.variables = variables
@@ -387,6 +388,9 @@ class PencilSystem:
         self.dtype = np.dtype(dtype)
         self._build_layout()
         self.build_matrices(matrix_names)
+        if allow_slot_split and config.get(
+                'matrix assembly', 'slot_split', fallback='True') == 'True':
+            self._try_slot_split()
 
     # --- layout ---
 
@@ -572,6 +576,186 @@ class PencilSystem:
             logger.info(
                 f"Pencil stacks (G={G}, P={R}) exceed max_dense_stack_gb; "
                 f"keeping sparse/separable form only")
+
+    # --- slot splitting (per-(m, ell) spherical pencils) ---
+
+    def _slot_positions(self, sp0, domain, tensorsig, colat_axis, L):
+        """Positions of each colatitude slot within a field's pencil segment:
+        (slotless, pos) where pos is (L, w) for slotted fields or (w,) for
+        slotless ones (no colatitude basis: constants, duplicated into every
+        slot group with validity only in slot 0)."""
+        dim = self.dist.dim
+        ncomp = prod(tuple(cs.dim for cs in tensorsig)) or 1
+        widths = [sp0.axis_width(domain.bases[ax], ax) for ax in range(dim)]
+        total = ncomp * prod(tuple(widths))
+        if domain.bases[colat_axis] is None:
+            return True, np.arange(total, dtype=np.int64)
+        if widths[colat_axis] != L:
+            raise ValueError("unexpected colatitude width")
+        grid = np.arange(total, dtype=np.int64).reshape((ncomp,) + tuple(widths))
+        pos = np.stack([np.take(grid, j, axis=1 + colat_axis).ravel()
+                        for j in range(L)])
+        return False, pos
+
+    def _try_slot_split(self):
+        """
+        Re-batch spherical joint (ell, n) pencils into per-(m, ell-slot)
+        pencils when every matrix is slot-block-diagonal (no Cos/Sin angular
+        couplings on the LHS) — the reference's own (m, ell) subproblem
+        decomposition (subsystems.py:34-53). Shrinks the pencil size from
+        ncomp*az*L*n to ncomp*az*n, which is what makes large ball/shell
+        problems solvable with dense batched kernels.
+        """
+        from .basis_ball import SphericalRadialBasis
+        if self.separable is not None:
+            return
+        sp0 = self.subproblems[0]
+        dim = self.dist.dim
+        radial_axis = None
+        colat_basis = None
+        for v in self.variables:
+            for ax, b in enumerate(v.domain.bases):
+                if isinstance(b, SphericalRadialBasis):
+                    radial_axis = ax
+                    colat_basis = v.domain.bases[ax - 1]
+        if radial_axis is None or colat_basis is None or radial_axis < 2:
+            return
+        colat_axis = radial_axis - 1
+        az_axis = colat_axis - 1
+        if not (sp0.coupled[colat_axis] and sp0.coupled[radial_axis]):
+            return
+        L = colat_basis.coeff_size
+        # Per-variable / per-equation slot positions within the pencil
+        try:
+            col_info = [self._slot_positions(sp0, v.domain, v.tensorsig,
+                                             colat_axis, L)
+                        for v in self.variables]
+            row_info = [self._slot_positions(sp0, eq['domain'], eq['tensorsig'],
+                                             colat_axis, L)
+                        for eq in self.equations]
+        except ValueError:
+            return
+        def build_slot_indices(infos, offsets):
+            slot_idx = []          # (L, P_small) pencil positions per slot
+            dup_mask = []          # True where the entry is a duplicated
+            for j in range(L):
+                parts = []
+                dups = []
+                for (slotless, pos), off in zip(infos, offsets):
+                    p = pos if slotless else pos[j]
+                    parts.append(off + p)
+                    dups.append(np.full(p.size, slotless and j > 0))
+                slot_idx.append(np.concatenate(parts))
+                dup_mask.append(np.concatenate(dups))
+            return np.stack(slot_idx), np.stack(dup_mask)
+
+        col_idx, col_dup = build_slot_indices(col_info, self.var_offsets[:-1])
+        row_idx, row_dup = build_slot_indices(row_info, self.eq_offsets[:-1])
+        # Slot label per pencil position (slotless -> 0) for the
+        # block-diagonality check
+        slot_of_col = np.zeros(self.C, dtype=np.int64)
+        slot_of_row = np.zeros(self.R, dtype=np.int64)
+        for j in range(L):
+            slot_of_col[col_idx[j][~col_dup[j]]] = j
+            slot_of_row[row_idx[j][~row_dup[j]]] = j
+        for name in self.matrix_names:
+            for A in self.matrices_scipy[name]:
+                coo = sparse.coo_matrix(A)
+                if np.any(slot_of_row[coo.row] != slot_of_col[coo.col]):
+                    logger.info("slot split: matrices couple ell slots; "
+                                "keeping joint pencils")
+                    return
+        # --- execute the split ---
+        Gs = self.G
+        Cs = col_idx.shape[1]
+        Rs = row_idx.shape[1]
+        names = self.matrix_names
+        new_scipy = {name: [] for name in names}
+        for g in range(Gs):
+            for j in range(L):
+                rj, cj = row_idx[j], col_idx[j]
+                for name in names:
+                    new_scipy[name].append(
+                        self.matrices_scipy[name][g][rj][:, cj].tocsr())
+        new_var_index = np.stack([self.var_index_map[g][col_idx[j]]
+                                  for g in range(Gs) for j in range(L)])
+        new_col_valid = np.stack([self.col_valid[g][col_idx[j]] & ~col_dup[j]
+                                  for g in range(Gs) for j in range(L)])
+        new_row_valid = np.stack([self.row_valid[g][row_idx[j]] & ~row_dup[j]
+                                  for g in range(Gs) for j in range(L)])
+        nrow = new_row_valid.sum(axis=1)
+        ncol = new_col_valid.sum(axis=1)
+        if not np.array_equal(nrow, ncol):
+            logger.info("slot split: valid modes not square per slot; "
+                        "keeping joint pencils")
+            return
+        # Per-equation F index maps sliced to each equation's own slots
+        new_eq_maps = []
+        for e_i, eq in enumerate(self.equations):
+            slotless, pos = row_info[e_i]
+            maps_old = self.eq_index_maps[e_i]
+            rows = []
+            for g in range(Gs):
+                for j in range(L):
+                    p = pos if slotless else pos[j]
+                    rows.append(maps_old[g][p])
+            new_eq_maps.append(np.stack(rows))
+        # Commit
+        logger.info("slot split: %d joint pencils (P=%d) -> %d per-(m, ell) "
+                    "pencils (P=%d)", Gs, self.C, Gs * L, Cs)
+        self.G = Gs * L
+        self.C, self.R = Cs, Rs
+        self.var_sizes = [(pos.size if slotless else pos.shape[1])
+                          for slotless, pos in col_info]
+        self.var_offsets = np.concatenate([[0], np.cumsum(self.var_sizes)]).astype(int)
+        self.eq_sizes = [(pos.size if slotless else pos.shape[1])
+                         for slotless, pos in row_info]
+        self.eq_offsets = np.concatenate([[0], np.cumsum(self.eq_sizes)]).astype(int)
+        self.var_index_map = new_var_index.astype(np.int32)
+        self.col_valid = new_col_valid
+        self.row_valid = new_row_valid
+        self.eq_index_maps = new_eq_maps
+        self.var_index_map_dev = jnp.asarray(self.var_index_map)
+        self.row_valid_dev = jnp.asarray(self.row_valid)
+        self.matrices_scipy = new_scipy
+        coupled_new = list(sp0.coupled)
+        coupled_new[colat_axis] = False
+        new_sps = []
+        for g in range(Gs):
+            base = self.subproblems[g]
+            for j in range(L):
+                group = list(base.group)
+                group[colat_axis] = j
+                new_sps.append(Subproblem(self.dist, coupled_new, group,
+                                          dict(base.group_wavenumbers)))
+        self.subproblems = new_sps
+        self.pivot_pairs = []
+        for g in range(self.G):
+            self.pivot_pairs.append((np.nonzero(~self.row_valid[g])[0],
+                                     np.nonzero(~self.col_valid[g])[0]))
+        for attr in ('_banded_plan', '_banded_ops'):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        # Dense stacks at the new (much smaller) pencil size
+        self.matrices = {}
+        self._stacks_np = None
+        max_bytes = config.getfloat('memory', 'max_dense_stack_gb') * 2**30
+        if self.G * Rs * Cs * self.dtype.itemsize <= max_bytes:
+            stacks = {}
+            for name in names:
+                stack = np.zeros((self.G, Rs, Cs), dtype=self.dtype)
+                for g in range(self.G):
+                    stack[g] = self.matrices_scipy[name][g].toarray()
+                stacks[name] = stack
+                self.matrices[name] = jnp.asarray(stack)
+            self._stacks_np = stacks
+        else:
+            for name in names:
+                self.matrices[name] = None
+            logger.info(
+                "Slot-split stacks (G=%d, P=%d) still exceed "
+                "max_dense_stack_gb; keeping sparse form", self.G, Rs)
+        self.slot_split = (Gs, L)
 
     def _try_sampled_assembly(self, names):
         """

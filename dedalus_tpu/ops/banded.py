@@ -348,8 +348,7 @@ def block_tridiag_qr_solve(Qt, QtL, Rinv, R1, R2, r):
         w = _bmv(Qti, v)
         return w[:, nb:], w[:, :nb]
 
-    carry, ys = jax.lax.scan(fwd, rT[0], (Qt.swapaxes(0, 1), rT[1:]),
-                             unroll=8)
+    carry, ys = jax.lax.scan(fwd, rT[0], (Qt.swapaxes(0, 1), rT[1:]))
     yL = _bmv(QtL, carry)
     y = jnp.concatenate([ys, yL[None]])        # (Nb, G, nb)
 
@@ -364,7 +363,7 @@ def block_tridiag_qr_solve(Qt, QtL, Rinv, R1, R2, r):
     (x1, _), xs = jax.lax.scan(
         bwd, (xN, zero),
         (Rinv.swapaxes(0, 1)[:-1], R1.swapaxes(0, 1)[:-1],
-         R2.swapaxes(0, 1)[:-1], y[:-1]), reverse=True, unroll=8)
+         R2.swapaxes(0, 1)[:-1], y[:-1]), reverse=True)
     x = jnp.concatenate([xs, xN[None]])
     return x.swapaxes(0, 1)                    # (G, Nb, nb)
 
