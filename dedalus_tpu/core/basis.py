@@ -47,6 +47,10 @@ def _tracing():
 
 
 def _maybe_device(np_matrix):
+    from ..ops import hoist
+    sub = hoist.lookup(np_matrix)
+    if sub is not None:
+        return sub
     if _tracing():
         return np_matrix
     key = id(np_matrix)

@@ -717,6 +717,10 @@ _STACK_DEVICE_CACHE = {}
 
 def _stack_device(np_stack):
     from .basis import _tracing
+    from ..ops import hoist
+    sub = hoist.lookup(np_stack)
+    if sub is not None:
+        return sub
     if _tracing():
         return np_stack
     key = id(np_stack)

@@ -31,6 +31,18 @@ def add_scheme(cls):
     return cls
 
 
+def _hoist_closure_constants(fn, example_args):
+    """Trace `fn` and hoist its closure constants (transform stacks, operator
+    matrices served by the basis-layer device caches) into runtime arguments.
+    Keeps the serialized program small — the axon remote compiler rejects
+    oversized request bodies (HTTP 413) when large arrays are baked into the
+    HLO as constants — and lets XLA share one device copy across
+    recompilations. Returns (converted_fn, device_consts); call as
+    converted_fn(*args, *device_consts)."""
+    from ..ops.hoist import hoist_constants
+    return hoist_constants(fn, example_args)
+
+
 def _poly_bad_key(fact):
     """Hashable signature of a poly factorization's bad-group indices."""
     return (tuple(np.asarray(fact.polyA['bad_idx']).ravel().tolist()),
@@ -318,8 +330,6 @@ class MultistepIMEX(TimestepperBase):
         n = self.steps + 1
         a, b, c = _pad(a, n), _pad(b, n), _pad(c, n)
         fact = self._prepare(a[0], b[0])
-        if self._compiled is None:
-            self._compiled = jax.jit(self._build_compiled())
         # Run scheduled analysis handlers (host-side, eager) before stepping
         if getattr(solver, 'evaluator', None) is not None and solver.evaluator.handlers:
             solver.evaluator.evaluate_scheduled(
@@ -327,10 +337,15 @@ class MultistepIMEX(TimestepperBase):
                 sim_time=solver.sim_time, timestep=dt)
         state_flat = solver.state_flat()
         t = jnp.asarray(solver.sim_time)
+        raw = self._build_compiled() if self._compiled is None else None
+        args = (state_flat, t, self.MX, self.LX, self.F,
+                jnp.asarray(a), jnp.asarray(b), jnp.asarray(c),
+                self._step_mats(fact))
+        if self._compiled is None:
+            conv, self._compiled_consts = _hoist_closure_constants(raw, args)
+            self._compiled = jax.jit(conv)
         new_state, self.MX, self.LX, self.F = self._compiled(
-            state_flat, t, self.MX, self.LX, self.F,
-            jnp.asarray(a), jnp.asarray(b), jnp.asarray(c),
-            self._step_mats(fact))
+            *args, *self._compiled_consts)
         pencil.unflatten_fields(new_state, solver.state)
         solver.sim_time = solver.sim_time + dt
 
@@ -372,8 +387,13 @@ class MultistepIMEX(TimestepperBase):
         fact = self._prepare(float(a[0]), float(b[0]))
         if not hasattr(self, '_scan_cache'):
             self._scan_cache = {}
+        state_flat = solver.state_flat()
+        t0 = jnp.asarray(solver.sim_time)
+        step_impl = self._build_compiled() if n_steps not in self._scan_cache \
+            else None
+        args = (state_flat, t0, self.MX, self.LX, self.F, a, b, c,
+                jnp.asarray(dt), self._step_mats(fact))
         if n_steps not in self._scan_cache:
-            step_impl = self._build_compiled()
 
             def run(state, t0, MXh, LXh, Fh, av, bv, cv, dtv, mats):
                 def body(carry, _):
@@ -385,12 +405,10 @@ class MultistepIMEX(TimestepperBase):
                                         None, length=n_steps)
                 return carry
 
-            self._scan_cache[n_steps] = jax.jit(run)
-        state_flat = solver.state_flat()
-        t0 = jnp.asarray(solver.sim_time)
-        state, t, self.MX, self.LX, self.F = self._scan_cache[n_steps](
-            state_flat, t0, self.MX, self.LX, self.F, a, b, c, dt,
-            self._step_mats(fact))
+            conv, consts = _hoist_closure_constants(run, args)
+            self._scan_cache[n_steps] = (jax.jit(conv), consts)
+        fn, consts = self._scan_cache[n_steps]
+        state, t, self.MX, self.LX, self.F = fn(*args, *consts)
         pencil.unflatten_fields(state, solver.state)
         solver.sim_time = solver.sim_time + dt * n_steps
         solver.iteration += n_steps
@@ -645,6 +663,11 @@ class RungeKuttaIMEX(TimestepperBase):
         s1, s2 = self._stage_stack_cache[k]
         if not hasattr(self, '_scan_cache'):
             self._scan_cache = {}
+        state_flat = solver.state_flat()
+        t0 = jnp.asarray(solver.sim_time)
+        ML = solver.dist.device_put_pencils(
+            (pencil.matrices['M'], pencil.matrices['L']), pencil.G)
+        args = (state_flat, t0, s1, s2, jnp.asarray(k), *ML)
         if n_steps not in self._scan_cache:
             step_impl = self._build_compiled()
 
@@ -656,12 +679,10 @@ class RungeKuttaIMEX(TimestepperBase):
                 carry, _ = jax.lax.scan(body, (state, t0), None, length=n_steps)
                 return carry
 
-            self._scan_cache[n_steps] = jax.jit(run)
-        state_flat = solver.state_flat()
-        t0 = jnp.asarray(solver.sim_time)
-        ML = solver.dist.device_put_pencils(
-            (pencil.matrices['M'], pencil.matrices['L']), pencil.G)
-        state, t = self._scan_cache[n_steps](state_flat, t0, s1, s2, k, *ML)
+            conv, consts = _hoist_closure_constants(run, args)
+            self._scan_cache[n_steps] = (jax.jit(conv), consts)
+        fn, consts = self._scan_cache[n_steps]
+        state, t = fn(*args, *consts)
         pencil.unflatten_fields(state, solver.state)
         solver.sim_time = solver.sim_time + k * n_steps
         solver.iteration += n_steps
@@ -669,9 +690,8 @@ class RungeKuttaIMEX(TimestepperBase):
     def step(self, dt, wall_time=0.0):
         solver = self.solver
         pencil = self.pencil
-        if self._compiled is None:
-            self._compiled = jax.jit(self._build_compiled())
         k = float(dt)
+        raw = self._build_compiled() if self._compiled is None else None
         if not hasattr(self, '_stage_stack_cache'):
             self._stage_stack_cache = {}
         if k not in self._stage_stack_cache:
@@ -688,7 +708,12 @@ class RungeKuttaIMEX(TimestepperBase):
         state_flat = solver.state_flat()
         ML = solver.dist.device_put_pencils(
             (pencil.matrices['M'], pencil.matrices['L']), pencil.G)
-        new_state = self._compiled(state_flat, jnp.asarray(solver.sim_time), k, s1, s2, *ML)
+        args = (state_flat, jnp.asarray(solver.sim_time), jnp.asarray(k),
+                s1, s2, *ML)
+        if self._compiled is None:
+            conv, self._compiled_consts = _hoist_closure_constants(raw, args)
+            self._compiled = jax.jit(conv)
+        new_state = self._compiled(*args, *self._compiled_consts)
         pencil.unflatten_fields(new_state, solver.state)
         solver.sim_time = solver.sim_time + dt
 
