@@ -74,10 +74,10 @@ def test_distributed_step_has_collectives():
     ts = solver.timestepper
     fact = ts._get_factorized(*list(ts._factorized)[0])
     mats = ts._step_mats(fact)
-    fn = next(iter(ts._scan_cache.values()))
+    fn, consts = next(iter(ts._scan_cache.values()))
     a = jnp.zeros(3)
     txt = fn.lower(solver.state_flat(), jnp.asarray(0.0), ts.MX, ts.LX, ts.F,
-                   a, a, a, 1e-3, mats).compile().as_text()
+                   a, a, a, jnp.asarray(1e-3), mats, *consts).compile().as_text()
     assert txt.count("all-to-all") >= 2  # x-transposes each way
 
 
