@@ -160,12 +160,21 @@ class LazyCombined:
 
     def banded_form(self):
         """Inputs for the bordered block-tridiagonal solver: the pencil's
-        banded plan plus the combined sparse separable form."""
+        banded plan plus the combined sparse form (separable when available,
+        else exact per-group)."""
         plan = self.pencil.banded_plan()
         if plan is None:
             raise ValueError("pencil has no bordered-banded structure")
-        Bps, W, bad_mats, _ = self.sparse_form()
-        return dict(B_sparse=Bps, weights=W, bad=bad_mats, **plan)
+        if self.pencil.separable is not None:
+            Bps, W, bad_mats, _ = self.sparse_form()
+            return dict(B_sparse=Bps, weights=W, bad=bad_mats, **plan)
+        # NOTE: ball slot-split pencils currently leave the band
+        # rank-deficient (an interior pressure-gradient ladder direction is
+        # anchored only by out-of-pattern border content); the factorization
+        # detects this and the solver falls back. Shell/Cartesian pencils
+        # factor fine through this exact path.
+        exact = [self.group_sparse(g) for g in range(self.G)]
+        return dict(B_sparse=None, weights=None, bad={}, exact=exact, **plan)
 
     def __getitem__(self, g):
         return self.group(g)
@@ -861,14 +870,26 @@ class PencilSystem:
         from ..ops import banded as ops_banded
         plan = None
         order = banded_order(self)
+        pat = None
         if order is not None and self.separable is not None:
             # Union pattern over all stacks + generic pivots + bad groups
-            pat = None
             for name, sep in self.separable.items():
                 for Bp in sep.B:
                     pat = abs(Bp) if pat is None else pat + abs(Bp)
                 for g, Ag in sep.bad.items():
                     pat = pat + abs(Ag)
+        elif order is not None and self.matrices_scipy and isinstance(
+                next(iter(self.matrices_scipy.values())), list):
+            # Exact per-group matrices (e.g. slot-split spherical pencils):
+            # union pattern over sampled groups. An unseen pattern in other
+            # groups raises at block extraction, which falls back safely.
+            samples = sorted(set(np.linspace(0, self.G - 1,
+                                             min(self.G, 32)).astype(int)))
+            for name, mats in self.matrices_scipy.items():
+                for g in samples:
+                    term = abs(mats[g])
+                    pat = term if pat is None else pat + term
+        if order is not None and pat is not None:
             for g, (inv_rows, inv_cols) in enumerate(self.pivot_pairs):
                 if g == 0 or g == self.G - 1 or g == self.G // 2:
                     if inv_rows.size:
@@ -888,10 +909,15 @@ class PencilSystem:
         for exact banded operator applies in the compiled step."""
         from ..ops import banded as ops_banded
         plan = self.banded_plan()
-        sep = self.separable[name]
-        W = sep.weights()
+        if self.separable is not None:
+            sep = self.separable[name]
+            W = sep.weights()
+            return ops_banded.build_banded_blocks(
+                list(sep.B), W, dict(sep.bad), plan['order'], plan['nb'])
+        # Exact per-group matrices (slot-split spherical pencils)
         return ops_banded.build_banded_blocks(
-            list(sep.B), W, dict(sep.bad), plan['order'], plan['nb'])
+            None, None, None, plan['order'], plan['nb'],
+            exact=list(self.matrices_scipy[name]))
 
     def banded_operator(self, name):
         """Cached device BandedOperator for a named stack (shared between

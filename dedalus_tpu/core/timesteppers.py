@@ -60,7 +60,13 @@ class TimestepperBase:
     def _get_factorized(self, a0, b0):
         key = (float(a0), float(b0))
         if key not in self._factorized:
-            A = self.pencil.combined_with_pivots({'M': a0, 'L': b0})
+            if self.solver.matsolver == 'banded':
+                # The banded path always works from the sparse per-group
+                # representation (never materializes dense stacks)
+                from .subsystems import LazyCombined
+                A = LazyCombined(self.pencil, {'M': a0, 'L': b0})
+            else:
+                A = self.pencil.combined_with_pivots({'M': a0, 'L': b0})
             self._factorized[key] = ops_solve.FactorizedStack(A, method=self.solver.matsolver)
         return self._factorized[key]
 

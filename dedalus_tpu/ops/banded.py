@@ -151,25 +151,31 @@ def _split_pattern_single(A_perm, P, nb, Nb, nbord):
     return diag, sub, sup, Ucol, Vrow
 
 
-def build_banded_blocks(group_csr, weights, bad, order, nb):
+def build_banded_blocks(group_csr, weights, bad, order, nb, exact=None):
     """
     Build BandedBlocks vectorized over groups from the separable form
     A[g] = sum_p weights[g,p] B_p, with exact overrides for exceptional
-    groups ({g: CSR})."""
+    groups ({g: CSR}); or, when `exact` is given (a list of per-group CSRs,
+    e.g. slot-split spherical pencils), split every group directly."""
     t0 = time.perf_counter()
-    G = weights.shape[0]
+    G = len(exact) if exact is not None else weights.shape[0]
     P = order['col_perm'].size
     nbord = order['n_border']
     Nb = -(-P // nb)
     pad = Nb * nb - P
-    parts = [_split_pattern_single(_permute_csr(Bp, order), P, nb, Nb, nbord)
-             for Bp in group_csr]
-    stacked = [np.stack([p[j] for p in parts]) for j in range(5)]
-    out = [np.einsum('gp,p...->g...', weights, s) for s in stacked]
-    for g, Ag in bad.items():
-        bg = _split_pattern_single(_permute_csr(Ag, order), P, nb, Nb, nbord)
-        for j in range(5):
-            out[j][g] = bg[j]
+    if exact is not None:
+        parts = [_split_pattern_single(_permute_csr(Ag, order), P, nb, Nb, nbord)
+                 for Ag in exact]
+        out = [np.stack([p[j] for p in parts]) for j in range(5)]
+    else:
+        parts = [_split_pattern_single(_permute_csr(Bp, order), P, nb, Nb, nbord)
+                 for Bp in group_csr]
+        stacked = [np.stack([p[j] for p in parts]) for j in range(5)]
+        out = [np.einsum('gp,p...->g...', weights, s) for s in stacked]
+        for g, Ag in bad.items():
+            bg = _split_pattern_single(_permute_csr(Ag, order), P, nb, Nb, nbord)
+            for j in range(5):
+                out[j][g] = bg[j]
     diag, sub, sup, Ucol, Vrow = out
     # Diagonal identity regularization of the border slots, exactly
     # compensated through the low-rank factors (A_band + U V = A_full is
@@ -574,7 +580,14 @@ class BorderedBandedSolver:
 
     @staticmethod
     def _equilibrate(blocks, passes=2):
-        """Inf-norm row/col scaling vectors (G, Pp) for the FULL matrix."""
+        """Inf-norm row/col scaling vectors (G, Pp) for the BAND content.
+
+        Scaling by the band alone (not Ucol/Vrow) keeps the factorable core
+        well-conditioned: border rows whose content is mostly OUT of the
+        band pattern (dense BC rows at large N) would otherwise be scaled
+        toward zero in-band, making the band singular. The unscaled border
+        magnitudes land in the f64 Woodbury factors (W1/S), which tolerate
+        them."""
         G, Pp = blocks.G, blocks.Pp
         nb, Nb, nbord, P = blocks.nb, blocks.Nb, blocks.nbord, blocks.P
         Dr = np.ones((G, Pp))
@@ -596,15 +609,6 @@ class BorderedBandedSolver:
                         rmax[:, r0:r0 + nb], a.max(axis=2))
                     cmax[:, coff:coff + nb] = np.maximum(
                         cmax[:, coff:coff + nb], a.max(axis=1))
-            au = np.abs(Dr[:, :, None] * blocks.Ucol
-                        * Dc[:, None, P - nbord:P])
-            rmax = np.maximum(rmax, au.max(axis=2))
-            cmax[:, P - nbord:P] = np.maximum(
-                cmax[:, P - nbord:P], au.max(axis=1))
-            av = np.abs(Dr[:, :nbord, None] * blocks.Vrow
-                        * Dc[:, None, :])
-            rmax[:, :nbord] = np.maximum(rmax[:, :nbord], av.max(axis=2))
-            cmax = np.maximum(cmax, av.max(axis=1))
             Dr /= np.sqrt(np.where(rmax > 0, rmax, 1.0))
             Dc /= np.sqrt(np.where(cmax > 0, cmax, 1.0))
         return Dr, Dc

@@ -300,7 +300,7 @@ class FactorizedStack:
                 bf = A.banded_form()
                 blocks = ops_banded.build_banded_blocks(
                     bf['B_sparse'], bf['weights'], bf['bad'],
-                    bf['order'], bf['nb'])
+                    bf['order'], bf['nb'], exact=bf.get('exact'))
                 # Exact refinement apply shared with the step's M/L banded
                 # operators: A = a0 M + b0 L + pivots (one f64 copy on device)
                 pencil = getattr(A, 'pencil', None)
