@@ -518,9 +518,6 @@ def _spherical_ncc_matrix(ncc, operand, out_domain, subproblem, ncc_first):
             ball_axis = ax
     rb_op = operand.domain.bases[ball_axis]
     rb_out = out_domain.bases[ball_axis]
-    if isinstance(rb_op, BallRadialBasis) and rank_A:
-        raise NotImplementedError(
-            "Ball tensor NCCs need envelope-shifted radial products")
     rb_ncc = ncc_field.domain.bases[ball_axis]
     L = rb_op.parent.colatitude_basis.size
     n = rb_op.size
@@ -532,7 +529,7 @@ def _spherical_ncc_matrix(ncc, operand, out_domain, subproblem, ncc_first):
     spatial = coeffs.reshape((C_A,) + coeffs.shape[rank_A:])
     ncc_colat = ncc_field.domain.bases[ball_axis - 1]
     y00 = ncc_colat.constant_mode_value() if ncc_colat is not None else 1.0
-    if isinstance(rb_op, BallRadialBasis):
+    if isinstance(rb_op, BallRadialBasis) and not rank_A:
         # Scalar NCC times a ball tensor operand: multiplication by an ell=0
         # scalar commutes with the spin->regularity unitaries, so it stays
         # diagonal over components — but each component's radial expansion
@@ -573,6 +570,89 @@ def _spherical_ncc_matrix(ncc, operand, out_domain, subproblem, ncc_first):
             diag.append(sparse.kron(sparse.identity(az_w), cache[reg],
                                     format='csr'))
         return sparse.block_diag(diag, format='csr')
+    if isinstance(rb_op, BallRadialBasis):
+        # Tensor NCC on the ball: the radial product matrix depends on the
+        # regularity triple (reg_ncc, reg_arg, reg_out) and on ell through
+        # the envelope-shifted Zernike families, so the Gamma assembly runs
+        # with per-(ell, triple) radial blocks from ncc_comp_matrix_ell
+        # (parity: basis.py:4088 _last_axis_component_ncc_matrix).
+        if rb_ncc is None:
+            raise NotImplementedError(
+                "Constant-domain ball tensor NCCs are not supported; give the "
+                "NCC a ball radial basis")
+        ncc_indices = list(np.ndindex(*(3,) * rank_A))
+        comp_data = []
+        for c in range(C_A):
+            comp = spatial[c]
+            tail = 0.0
+            if comp.shape[0] > 1:
+                tail = max(tail, np.abs(comp[1:]).max())
+            if comp.shape[1] > 1:
+                tail = max(tail, np.abs(comp[0, 1:]).max())
+            if tail > 1e-12 * max(np.abs(spatial).max(), 1e-300):
+                raise NotImplementedError(
+                    "Ball tensor NCCs must be spherically symmetric "
+                    "(m=0, ell=0 content only)")
+            if np.abs(comp).max() == 0.0:
+                comp_data.append(None)
+            else:
+                comp_data.append((it.regtotal(ncc_indices[c]),
+                                  comp[0, 0, :] * y00))
+        rank_C = rank_A + rank_B
+        out_indices = list(np.ndindex(*(3,) * rank_C))
+        b_indices = list(np.ndindex(*(3,) * rank_B)) if rank_B else [()]
+        rcache = {}
+
+        def radial(ell, c, reg_c, reg_b, reg_a, coeffs):
+            key = (ell, c, reg_b, reg_a)
+            if key not in rcache:
+                rcache[key] = rb_op.ncc_comp_matrix_ell(
+                    coeffs, rb_ncc.k, rb_ncc.alpha, ell, reg_c, reg_b,
+                    reg_a, dk_out)
+            return rcache[key]
+
+        zero_n = sparse.csr_matrix((n, n))
+        rows = []
+        for a in range(C_A * C_B):
+            reg_a = it.regtotal(out_indices[a])
+            row = []
+            for b in range(C_B):
+                reg_b = it.regtotal(b_indices[b])
+                blocks = []
+                for j in range(L):
+                    ell = abs(m) + j
+                    if j >= L - abs(m) or rb_op.n_size(ell) <= 0:
+                        blocks.append(zero_n)
+                        continue
+                    Q_B = it.Q_matrix(ell, rank_B) if rank_B else np.eye(1)
+                    Q_C = it.Q_matrix(ell, rank_C)
+                    Q_A0 = it.Q_matrix(0, rank_A)
+                    if ncc_first:
+                        G = Q_C.T @ np.kron(Q_A0, Q_B)   # (a, (c, b))
+                        col = lambda c: c * C_B + b
+                    else:
+                        G = Q_C.T @ np.kron(Q_B, Q_A0)   # (a, (b, c))
+                        col = lambda c: b * C_A + c
+                    blk = None
+                    for c in range(C_A):
+                        if comp_data[c] is None:
+                            continue
+                        g = G[a, col(c)]
+                        if abs(g) < 1e-14:
+                            continue
+                        reg_c, coeffs = comp_data[c]
+                        Rm = radial(ell, c, reg_c, reg_b, reg_a, coeffs)
+                        if Rm is None:
+                            continue
+                        term = g * Rm
+                        blk = term if blk is None else blk + term
+                    blocks.append(zero_n if blk is None
+                                  else sparse.csr_matrix(blk))
+                row.append(sparse.kron(sparse.identity(az_w),
+                                       sparse.block_diag(blocks),
+                                       format='csr'))
+            rows.append(row)
+        return sparse.bmat(rows, format='csr')
     R_c = []
     for c in range(C_A):
         comp = spatial[c]

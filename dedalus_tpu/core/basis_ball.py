@@ -16,8 +16,9 @@ radial NCCs -- the Lane-Emden class) plus TENSOR transforms and calculus via
 the per-ell regularity recombination (spectral/intertwiner.py Q matrices,
 oracle-validated): grad/div/lap on ball and shell agree with analytic fields
 and their subproblem matrices match eager evaluation to machine precision.
-Still round-2: tensor boundary rows (vector taus/lifts) and Gamma-tensor
-curvilinear NCCs needed for the full convection gating configs.
+Tensor NCCs (rvec * scalar, dot(rvec, u), first-order tau formulations) run
+through envelope-shifted Zernike products (ncc_comp_matrix_ell) with the
+Gamma intertwiner coupling in arithmetic._spherical_ncc_matrix.
 """
 
 import numpy as np
@@ -104,18 +105,19 @@ class BallRadialBasis(SphericalRadialBasis, Basis):
     ops_couple = True
 
     def __init__(self, coord, size, radius=1.0, k=0, alpha=0.0, dealias=1,
-                 dtype=np.float64, parent=None):
+                 dtype=np.float64, parent=None, triangular=True):
         super().__init__(coord, size, (0, float(radius)), dealias=dealias, dtype=dtype)
         self.radius = float(radius)
         self.k = int(k)
         self.alpha = float(alpha)
         self.parent = parent
+        self.triangular = bool(triangular)
 
     # --- identity ---
 
     def _key(self):
         return ('BallRadial', self.coord.name, self.size, self.radius, self.k,
-                self.alpha, self.dealias)
+                self.alpha, self.dealias, self.triangular)
 
     def __eq__(self, other):
         if isinstance(other, BallRadialBasis):
@@ -128,16 +130,20 @@ class BallRadialBasis(SphericalRadialBasis, Basis):
     def clone_with(self, **kw):
         args = dict(coord=self.coord, size=self.size, radius=self.radius, k=self.k,
                     alpha=self.alpha, dealias=self.dealias[0], dtype=self.dtype,
-                    parent=self.parent)
+                    parent=self.parent, triangular=self.triangular)
         args.update(kw)
         return BallRadialBasis(**args)
 
     def derivative_basis(self, order=1):
         return self.clone_with(k=self.k + order)
 
-    # --- truncation (parity: BallRadialBasis._nmin = ell//2) ---
+    # --- truncation (parity: BallRadialBasis._nmin = ell//2; triangular=False
+    # keeps the full radial rectangle at every ell, which makes the per-group
+    # matrix structure uniform so bordered-banded solves stay nonsingular) ---
 
     def n_size(self, ell):
+        if not self.triangular:
+            return self.size
         return max(self.size - ell // 2, 0)
 
     def _lmax(self):
@@ -434,6 +440,84 @@ class BallRadialBasis(SphericalRadialBasis, Basis):
             blocks.append(sparse.csr_matrix(mat))
         return sparse.block_diag(blocks, format='csr')
 
+    def ncc_comp_matrix_ell(self, ncc_radial_coeffs, ncc_k, ncc_alpha, ell,
+                            reg_ncc, reg_arg, reg_out, dk_out, cutoff=1e-10):
+        """
+        (n x n) radial multiplication matrix of one ell=0 NCC regularity
+        component (regtotal reg_ncc) acting on the operand component at
+        (ell, reg_arg), producing the (ell, reg_out) output component
+        (parity: reference basis.py:4088 BallRadialBasis
+        _last_axis_component_ncc_matrix). The NCC component's Zernike
+        functions carry an r^{reg_ncc} envelope: the polynomial-in-z part is
+        Clenshaw on the operand family's Z operator, and the envelope is
+        applied by |reg_out - reg_arg| Zernike R+- ladder steps carrying
+        l = ell + reg_arg -> ell + reg_out plus d/2 neutral r^2 pairs, with
+        d = reg_ncc - |reg_out - reg_arg|. Returns None if the regularity
+        selection rule (d even >= 0) fails or a family is forbidden.
+        """
+        from ..spectral import jacobi as jacobi_lib
+        n = self.size
+        l_ncc = int(reg_ncc)
+        l_arg = ell + reg_arg
+        l_out = ell + reg_out
+        dreg = reg_out - reg_arg
+        d = l_ncc - abs(dreg)
+        if l_ncc < 0 or l_arg < 0 or l_out < 0 or d < 0 or d % 2:
+            return None
+        kk = self.alpha + self.k
+        a_ncc = ncc_alpha + ncc_k
+        b_ncc = l_ncc + 0.5
+        N0 = len(ncc_radial_coeffs)
+        Nmat = 3 * ((N0 + 1) // 2) + n + abs(dk_out)
+        # Rescale between the Zernike z-polynomial normalization and the
+        # Jacobi convention inside matrix_clenshaw: probe the n=0 ratio
+        # (recurrence ratios match, so one probe fixes every degree), with
+        # the (1+z)^{l/2} envelope divided out of the Zernike value and the
+        # sqrt(1/2)-per-ladder-step normalization folded back in.
+        zprobe = np.array([0.5])
+        f0 = float(zernike_lib.polynomials(3, 1, a_ncc, l_ncc, zprobe)[0, 0])
+        f0_poly = f0 / (1 + zprobe[0]) ** (l_ncc / 2)
+        p0_jac = float(jacobi_lib.polynomials(1, a_ncc, b_ncc, zprobe)[0, 0])
+        rescale = 2 ** (l_ncc / 2) * f0_poly / p0_jac
+        J = self.operator_matrix_ell('Z', ell, reg_arg, size=Nmat, truncate=False)
+        mat = rescale * clenshaw_lib.matrix_clenshaw(
+            np.asarray(ncc_radial_coeffs), a_ncc, b_ncc, J, cutoff=cutoff)
+        if l_ncc:
+            pre = sparse.identity(Nmat, format='csr')
+            l_cur = l_arg
+            sgn = 1 if dreg >= 0 else -1
+            for _ in range(abs(dreg)):
+                Rop = sparse.csr_matrix(zernike_lib.operator(
+                    3, 'R', sgn, Nmat, kk, l_cur, radius=self.radius))
+                pre = _pad_square(Rop, Nmat) @ pre
+                l_cur += sgn
+            for _ in range(d // 2):
+                Rp = sparse.csr_matrix(zernike_lib.operator(
+                    3, 'R', +1, Nmat, kk, l_cur, radius=self.radius))
+                Rm = sparse.csr_matrix(zernike_lib.operator(
+                    3, 'R', -1, Nmat, kk, l_cur + 1, radius=self.radius))
+                pre = _pad_square(Rm, Nmat) @ _pad_square(Rp, Nmat) @ pre
+            mat = pre @ mat
+        if dk_out:
+            conv = self.conversion_matrix_ell(ell, reg_out, dk_out, size=Nmat)
+            mat = conv @ mat
+        mat = sparse.csr_matrix(mat)[:n, :n].tolil()
+        ns = self.n_size(ell)
+        mat[ns:, :] = 0
+        mat[:, ns:] = 0
+        return sparse.csr_matrix(mat)
+
+
+def _pad_square(mat, n):
+    """Embed a (possibly rectangular) sparse operator in an (n x n) square."""
+    mat = sparse.csr_matrix(mat)
+    if mat.shape == (n, n):
+        return mat
+    out = sparse.lil_matrix((n, n))
+    r, c = min(mat.shape[0], n), min(mat.shape[1], n)
+    out[:r, :c] = mat[:r, :c]
+    return sparse.csr_matrix(out)
+
 
 class SphericalShellRadialBasis(SphericalRadialBasis, Basis):
     """
@@ -702,7 +786,7 @@ class BallBasis:
     dim = 3
 
     def __init__(self, coordsys, shape, radius=1.0, k=0, alpha=0.0,
-                 dealias=(1, 1, 1), dtype=np.float64):
+                 dealias=(1, 1, 1), dtype=np.float64, triangular=True):
         if not isinstance(coordsys, SphericalCoordinates):
             raise ValueError("BallBasis requires SphericalCoordinates")
         self.coordsys = coordsys
@@ -710,6 +794,7 @@ class BallBasis:
         self.radius = float(radius)
         self.k = int(k)
         self.alpha = float(alpha)
+        self.triangular = bool(triangular)
         if np.isscalar(dealias):
             dealias = (dealias,) * 3
         self.dealias = tuple(dealias)
@@ -722,7 +807,8 @@ class BallBasis:
             dealias=self.dealias[1], dtype=dtype, parent=self)
         self.radial_basis = BallRadialBasis(
             coordsys.radius, self.shape[2], radius=self.radius, k=self.k,
-            alpha=self.alpha, dealias=self.dealias[2], dtype=dtype, parent=self)
+            alpha=self.alpha, dealias=self.dealias[2], dtype=dtype, parent=self,
+            triangular=self.triangular)
         self.surface = BallSurfaceBasis(self, self.radius)
 
     @property
@@ -734,7 +820,8 @@ class BallBasis:
 
     def clone_with(self, **kw):
         args = dict(coordsys=self.coordsys, shape=self.shape, radius=self.radius,
-                    k=self.k, alpha=self.alpha, dealias=self.dealias, dtype=self.dtype)
+                    k=self.k, alpha=self.alpha, dealias=self.dealias, dtype=self.dtype,
+                    triangular=self.triangular)
         args.update(kw)
         return BallBasis(**args)
 

@@ -102,14 +102,18 @@ class LazyCombined:
         A[inv_rows, inv_cols] = 1.0
         return A
 
-    def group_sparse(self, g):
-        """Sparse combined matrix for one group, pivots installed."""
+    def group_sparse(self, g, pivot_pairs=None):
+        """Sparse combined matrix for one group, pivots installed.
+        pivot_pairs overrides the pencil's default invalid row/col pairing
+        (any bijection is valid; the banded path re-pairs by permuted
+        position so the identity pivots land near the band diagonal)."""
         pencil = self.pencil
         A = None
         for name, c in self.coeffs.items():
             term = c * pencil.matrices_scipy[name][g]
             A = term if A is None else A + term
-        inv_rows, inv_cols = pencil.pivot_pairs[g]
+        inv_rows, inv_cols = (pencil.pivot_pairs[g] if pivot_pairs is None
+                              else pivot_pairs[g])
         if inv_rows.size:
             piv = sparse.csr_matrix(
                 (np.ones(inv_rows.size), (inv_rows, inv_cols)), shape=A.shape)
@@ -168,12 +172,13 @@ class LazyCombined:
         if self.pencil.separable is not None:
             Bps, W, bad_mats, _ = self.sparse_form()
             return dict(B_sparse=Bps, weights=W, bad=bad_mats, **plan)
-        # NOTE: ball slot-split pencils currently leave the band
-        # rank-deficient (an interior pressure-gradient ladder direction is
-        # anchored only by out-of-pattern border content); the factorization
-        # detects this and the solver falls back. Shell/Cartesian pencils
-        # factor fine through this exact path.
-        exact = [self.group_sparse(g) for g in range(self.G)]
+        # Slot-split spherical pencils: install identity pivots with the
+        # banded-friendly pairing (sorted by permuted position), so the
+        # triangular-truncation zero rows/cols get in-band pivots instead of
+        # far-corner entries that would leave the band rank-deficient.
+        bpairs = self.pencil.banded_pivot_pairs(plan['order'])
+        exact = [self.group_sparse(g, pivot_pairs=bpairs)
+                 for g in range(self.G)]
         return dict(B_sparse=None, weights=None, bad={}, exact=exact, **plan)
 
     def __getitem__(self, g):
@@ -862,6 +867,47 @@ class PencilSystem:
             f"{len(special)} exceptional)")
         return out
 
+    def banded_pivot_pairs(self, order):
+        """Invalid row/col pivot pairing sorted by permuted position. Any
+        bijection between the (zero) invalid rows and columns is a valid
+        pivot pattern; the default index-ordered pairing can land a pivot in
+        the far off-band corner of a slot-split spherical pencil (leaving a
+        zero band row that makes the band rank-deficient), so the banded
+        path pairs the k-th invalid row with the k-th invalid column in
+        permuted order — with matching row/column layouts this sits on the
+        band diagonal (cached per ordering identity)."""
+        key = id(order)
+        cache = getattr(self, '_banded_pivot_cache', None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        rp, cp = order['row_perm'], order['col_perm']
+        nbord = order['n_border']
+        P = cp.size
+        rinv = np.empty(rp.size, dtype=np.int64)
+        rinv[rp] = np.arange(rp.size)
+        cinv = np.empty(cp.size, dtype=np.int64)
+        cinv[cp] = np.arange(cp.size)
+        pairs = []
+        for ir, ic in self.pivot_pairs:
+            rpos, cpos = rinv[ir], cinv[ic]
+            # Border rows pair with border columns: an invalid BC row's
+            # partner must be an invalid tau column, or the pivot falls into
+            # the low-rank border content and leaves a zero interior band
+            # row/column.
+            rb = rpos < nbord
+            cb = (cpos < nbord) if order.get('bcol_first') \
+                else (cpos >= P - nbord)
+            ir_b = ir[rb][np.argsort(rpos[rb], kind='stable')]
+            ic_b = ic[cb][np.argsort(cpos[cb], kind='stable')]
+            ir_i = ir[~rb][np.argsort(rpos[~rb], kind='stable')]
+            ic_i = ic[~cb][np.argsort(cpos[~cb], kind='stable')]
+            nB = min(ir_b.size, ic_b.size)
+            out_r = np.concatenate([ir_b[:nB], ir_i, ir_b[nB:]])
+            out_c = np.concatenate([ic_b[:nB], ic_i, ic_b[nB:]])
+            pairs.append((out_r, out_c))
+        self._banded_pivot_cache = (key, pairs)
+        return pairs
+
     def banded_plan(self):
         """Mode-major ordering + block size for bordered-banded solves, or
         None when the structure does not apply (cached)."""
@@ -890,12 +936,17 @@ class PencilSystem:
                     term = abs(mats[g])
                     pat = term if pat is None else pat + term
         if order is not None and pat is not None:
-            for g, (inv_rows, inv_cols) in enumerate(self.pivot_pairs):
-                if g == 0 or g == self.G - 1 or g == self.G // 2:
-                    if inv_rows.size:
-                        pat = pat + sparse.csr_matrix(
-                            (np.ones(inv_rows.size), (inv_rows, inv_cols)),
-                            shape=pat.shape)
+            # Pivot entries for EVERY group, with the banded-friendly pairing
+            # (the same pairing banded_form installs), so the measured
+            # bandwidth covers them and the block split never strays.
+            # (both pairings: separable stacks carry the default pairing in
+            # B_0; the exact per-group path installs the banded pairing)
+            bpairs = list(self.banded_pivot_pairs(order)) + list(self.pivot_pairs)
+            prows = np.concatenate([ir for ir, _ in bpairs] or [np.zeros(0, int)])
+            pcols = np.concatenate([ic for _, ic in bpairs] or [np.zeros(0, int)])
+            if prows.size:
+                pat = pat + sparse.csr_matrix(
+                    (np.ones(prows.size), (prows, pcols)), shape=pat.shape)
             bw = ops_banded.measure_bandwidth(pat.tocsr(), order)
             nb = max(bw, 4)
             # Banded pays off once the core spans at least a few blocks
@@ -1056,12 +1107,19 @@ def banded_order(pencil):
     # pattern: the interior PDE operator alone is singular (its kernel is
     # the homogeneous ODE solutions — that is the point of the tau method),
     # and only the BC-rows x low-modes block pins that kernel. Border
-    # COLUMNS (taus, constants) go LAST, next to the lift rows they act on.
-    # This is the banded analogue of the reference's bc_top Woodbury split
-    # (matsolvers.py:288-301, dedalus.cfg:66-90).
-    col_perm, bc = build_perm(*col)
+    # COLUMNS (taus, constants) go LAST, next to the lift rows they act on,
+    # so the tau columns' anchoring of the top PDE rows (e.g. the divergence
+    # rows of an incompressible saddle system) also stays in-band —
+    # demonstrably essential: with tau content stripped to the low-rank
+    # border, the band core is rank-deficient by the spurious pressure modes
+    # (this is why slot-split BALL pencils need triangular=False: uniform
+    # n_size keeps the lift rows at group-independent positions where this
+    # layout can reach them). This is the banded analogue of the reference's
+    # bc_top Woodbury split (matsolvers.py:288-301, dedalus.cfg:66-90).
+    bcol_first = False
+    col_perm, bc = build_perm(*col, border_first=bcol_first)
     row_perm, br = build_perm(*row, border_first=True)
     if bc != br or col[0] != row[0]:
         return None
     return dict(col_perm=col_perm, row_perm=row_perm, n_border=bc,
-                n_core=col_perm.size - bc)
+                n_core=col_perm.size - bc, bcol_first=bcol_first)

@@ -54,7 +54,12 @@ def _bmv(A, x):
 def measure_bandwidth(A_csr, order):
     """Scalar bandwidth of the permuted INTERIOR block of one group.
     Border rows sit FIRST (their diagonal drift of n_border is included via
-    the interior rows' shift); border columns sit LAST and are excluded."""
+    the interior rows' shift); border columns sit LAST. Border-column
+    content NEAR the diagonal (the tau columns' lift-row anchoring — e.g.
+    the divergence tau of a first-order ball formulation) must stay
+    in-band or the core is rank-deficient by the spurious pressure modes,
+    so it extends the measured bandwidth; far border-column content (gauge
+    constants coupling to low modes) rides the Woodbury factors instead."""
     rp, cp = order['row_perm'], order['col_perm']
     nbord = order['n_border']
     P = cp.size
@@ -64,10 +69,17 @@ def measure_bandwidth(A_csr, order):
     cinv = np.empty(cp.size, dtype=np.int64)
     cinv[cp] = np.arange(cp.size)
     r, c = rinv[coo.row], cinv[coo.col]
-    core = (r >= nbord) & (c < P - nbord)
-    if not core.any():
-        return 0
-    return int(np.abs(r[core] - c[core]).max())
+    ccore = (c >= nbord) if order.get('bcol_first') else (c < P - nbord)
+    core = (r >= nbord) & ccore
+    bw = int(np.abs(r[core] - c[core]).max()) if core.any() else 0
+    bcol = (r >= nbord) & ~ccore
+    if bcol.any():
+        d = np.abs(r[bcol] - c[bcol])
+        cap = max(4 * max(bw, 1), 32)
+        near = d[d <= cap]
+        if near.size:
+            bw = max(bw, int(near.max()))
+    return bw
 
 
 def _permute_csr(A, order):
@@ -101,6 +113,7 @@ class BandedBlocks:
         self.Pp = self.Nb * nb          # padded size
         self.P = self.Pp - pad
         self.nbord = order['n_border']
+        self.bcol0 = 0 if order.get('bcol_first') else self.P - self.nbord
 
     def device_arrays(self, dtype=jnp.float64):
         return dict(diag=jnp.asarray(self.diag, dtype=dtype),
@@ -110,10 +123,11 @@ class BandedBlocks:
                     Vrow=jnp.asarray(self.Vrow, dtype=dtype))
 
 
-def _split_pattern_single(A_perm, P, nb, Nb, nbord):
+def _split_pattern_single(A_perm, P, nb, Nb, nbord, bcol0):
     """One group: in-pattern tridiag blocks + out-of-pattern border content.
-    Border ROWS sit first (indices < nbord), border COLUMNS last (indices
-    >= P - nbord); their IN-pattern content stays in the band — in
+    Border ROWS sit first (indices < nbord); border COLUMNS start at bcol0
+    (LAST nbord of P in the separable layout, FIRST nbord in the aligned
+    exact layout). Their IN-pattern content stays in the band — in
     particular the BC-rows x low-modes block that pins the homogeneous-
     solution kernel of the interior PDE operator (reference bc_top split,
     matsolvers.py:288-301). Returns (diag, sub, sup, Ucol, Vrow) padded."""
@@ -124,7 +138,7 @@ def _split_pattern_single(A_perm, P, nb, Nb, nbord):
     in_pattern = np.abs(br - bc) <= 1
     out = ~in_pattern
     is_brow = r < nbord
-    is_bcol = c >= P - nbord
+    is_bcol = (c >= bcol0) & (c < bcol0 + nbord)
     stray = out & ~(is_brow | is_bcol)
     if stray.any():
         raise ValueError("interior entries outside the banded pattern")
@@ -147,7 +161,7 @@ def _split_pattern_single(A_perm, P, nb, Nb, nbord):
     np.add.at(Vrow, (r[kr], c[kr]), v[kr])
     Ucol = np.zeros((Pp, nbord))
     kc = np.where(take_col)[0]
-    np.add.at(Ucol, (r[kc], c[kc] - (P - nbord)), v[kc])
+    np.add.at(Ucol, (r[kc], c[kc] - bcol0), v[kc])
     return diag, sub, sup, Ucol, Vrow
 
 
@@ -161,35 +175,50 @@ def build_banded_blocks(group_csr, weights, bad, order, nb, exact=None):
     G = len(exact) if exact is not None else weights.shape[0]
     P = order['col_perm'].size
     nbord = order['n_border']
+    bcol0 = 0 if order.get('bcol_first') else P - nbord
     Nb = -(-P // nb)
     pad = Nb * nb - P
     if exact is not None:
-        parts = [_split_pattern_single(_permute_csr(Ag, order), P, nb, Nb, nbord)
+        parts = [_split_pattern_single(_permute_csr(Ag, order), P, nb, Nb,
+                                       nbord, bcol0)
                  for Ag in exact]
         out = [np.stack([p[j] for p in parts]) for j in range(5)]
     else:
-        parts = [_split_pattern_single(_permute_csr(Bp, order), P, nb, Nb, nbord)
+        parts = [_split_pattern_single(_permute_csr(Bp, order), P, nb, Nb,
+                                       nbord, bcol0)
                  for Bp in group_csr]
         stacked = [np.stack([p[j] for p in parts]) for j in range(5)]
         out = [np.einsum('gp,p...->g...', weights, s) for s in stacked]
         for g, Ag in bad.items():
-            bg = _split_pattern_single(_permute_csr(Ag, order), P, nb, Nb, nbord)
+            bg = _split_pattern_single(_permute_csr(Ag, order), P, nb, Nb,
+                                       nbord, bcol0)
             for j in range(5):
                 out[j][g] = bg[j]
     diag, sub, sup, Ucol, Vrow = out
-    # Diagonal identity regularization of the border slots, exactly
-    # compensated through the low-rank factors (A_band + U V = A_full is
-    # preserved): border-row content that falls outside the band (e.g. the
-    # gauge/pivot corner entries) would otherwise leave zero rows/columns in
-    # the band and make it singular.
-    for j in range(nbord):
-        blk, pos = j // nb, j % nb
-        diag[:, blk, pos, pos] += 1.0          # border row j
-        Vrow[:, j, j] -= 1.0
-        i = P - nbord + j
-        blk, pos = i // nb, i % nb
-        diag[:, blk, pos, pos] += 1.0          # border col i
-        Ucol[:, i, j] -= 1.0
+    # Identity regularization of the border slots, exactly compensated
+    # through the low-rank factors (A_band + U V = A_full is preserved):
+    # border-row content that falls outside the band (e.g. the gauge/pivot
+    # corner entries) would otherwise leave zero rows/columns in the band
+    # and make it singular.
+    if bcol0 == 0:
+        # Aligned layout: border rows AND border columns share the top-left
+        # corner, so a single identity corner entry (j, j) covers both; it
+        # is compensated once, through Vrow. Identity pivots for invalid
+        # interior modes sit on the band diagonal (aligned row/col
+        # orderings) and cannot collide with the corner.
+        for j in range(nbord):
+            blk, pos = j // nb, j % nb
+            diag[:, blk, pos, pos] += 1.0
+            Vrow[:, j, j] -= 1.0
+    else:
+        for j in range(nbord):
+            blk, pos = j // nb, j % nb
+            diag[:, blk, pos, pos] += 1.0          # border row j
+            Vrow[:, j, j] -= 1.0
+            i = P - nbord + j
+            blk, pos = i // nb, i % nb
+            diag[:, blk, pos, pos] += 1.0          # border col i
+            Ucol[:, i, j] -= 1.0
     # Identity on padded diagonal slots so padded solves pass through
     for k in range(pad):
         diag[:, -1, nb - 1 - k, nb - 1 - k] = 1.0
@@ -198,11 +227,35 @@ def build_banded_blocks(group_csr, weights, bad, order, nb, exact=None):
     return BandedBlocks(diag, sub, sup, Ucol, Vrow, order, nb, pad)
 
 
+def _safe_inv(M):
+    """Batched matrix inverse that flags singular members instead of
+    raising: returns (inv, bad_mask) with inv[g] = 0 where singular."""
+    bad = np.zeros(M.shape[0], dtype=bool)
+    try:
+        out = np.linalg.inv(M)
+    except np.linalg.LinAlgError:
+        out = np.empty_like(M)
+        for g in range(M.shape[0]):
+            try:
+                out[g] = np.linalg.inv(M[g])
+            except np.linalg.LinAlgError:
+                out[g] = 0.0
+                bad[g] = True
+    nf = ~np.isfinite(out).all(axis=(-2, -1))
+    if nf.any():
+        bad |= nf
+        out[nf] = 0.0
+    return out, bad
+
+
 def _factor_host(blocks):
     """
     Block-tridiagonal QR factorization, vectorized over groups (host numpy).
     Unconditionally stable without pivoting; parity with the reference's
-    BandedQR matsolver (matsolvers.py:210).
+    BandedQR matsolver (matsolvers.py:210). Groups whose R acquires a
+    singular diagonal block (rank-deficient band core) are flagged in the
+    returned 'singular' mask (their Rinv blocks are zeroed) instead of
+    raising, so the solver can repair them by border demotion.
 
     Sweep i = 0..Nb-2: QR the stacked first column [C_i; sub_{i+1}] with a
     complete (2nb x 2nb) Q, rotate the trailing panel; R acquires three block
@@ -213,6 +266,7 @@ def _factor_host(blocks):
     Rinv = np.zeros((G, Nb, nb, nb))
     R1 = np.zeros((G, Nb, nb, nb))
     R2 = np.zeros((G, Nb, nb, nb))
+    singular = np.zeros(G, dtype=bool)
     C = diag[:, 0].copy()
     S = sup[:, 0].copy() if Nb > 1 else np.zeros((G, nb, nb))
     for i in range(Nb - 1):
@@ -229,17 +283,16 @@ def _factor_host(blocks):
         R2[:, i] = QtP[:, :nb, nb:]
         C = QtP[:, nb:, :nb]
         S = QtP[:, nb:, nb:]
-        Rinv[:, i] = np.linalg.inv(Rii)
-        if not np.isfinite(Rinv[:, i]).all():
-            raise ValueError("block-tridiagonal QR: singular R diagonal")
+        Rinv[:, i], b = _safe_inv(Rii)
+        singular |= b
     Q, R = np.linalg.qr(C, mode='complete')
     QtL = Q.swapaxes(1, 2)
-    Rinv[:, -1] = np.linalg.inv(R)
-    if not np.isfinite(Rinv).all():
-        raise ValueError("block-tridiagonal QR: singular R diagonal")
+    Rinv[:, -1], b = _safe_inv(R)
+    singular |= b
     R2[:, -2:] = 0.0
     R1[:, -1] = 0.0
-    return dict(Qt=Qt, QtL=QtL, Rinv=Rinv, R1=R1, R2=R2)
+    return dict(Qt=Qt, QtL=QtL, Rinv=Rinv, R1=R1, R2=R2,
+                singular=singular)
 
 
 @jax.jit
@@ -383,20 +436,80 @@ def apply_band(mats, x):
     return y
 
 
-def apply_full(mats, xflat, P, nbord):
+def apply_full(mats, xflat, P, nbord, bcol0=None):
     """Exact full application A_full @ x = A_band x + U (V x) (jit-safe).
-    xflat: (G, Pp) padded flat vector -> (G, Pp). Border rows first, border
-    columns last."""
+    xflat: (G, Pp) padded flat vector -> (G, Pp). Border rows first; border
+    columns start at bcol0 (default: last nbord of P)."""
     G, Pp = xflat.shape
     nb = mats['diag'].shape[-1]
     Nb = Pp // nb
     y = apply_band(mats, xflat.reshape(G, Nb, nb)).reshape(G, Pp)
-    b0 = P - nbord
+    b0 = P - nbord if bcol0 is None else bcol0
     xb = xflat[:, b0:b0 + nbord]
     y = y + _bmv(mats['Ucol'], xb)
     vb = _bmv(mats['Vrow'], xflat)
     y = y.at[:, :nbord].add(vb)
     return y
+
+
+def _band_dense_group(sb, g):
+    """Dense (Pp, Pp) reconstruction of one group's band."""
+    Pp, nb, Nb = sb.Pp, sb.nb, sb.Nb
+    A = np.zeros((Pp, Pp))
+    for i in range(Nb):
+        r0 = i * nb
+        A[r0:r0 + nb, r0:r0 + nb] = sb.diag[g, i]
+        if i > 0:
+            A[r0:r0 + nb, r0 - nb:r0] = sb.sub[g, i]
+        if i < Nb - 1:
+            A[r0:r0 + nb, r0 + nb:r0 + 2 * nb] = sb.sup[g, i]
+    return A
+
+
+def _band_row_get(sb, g, r):
+    nb, Nb = sb.nb, sb.Nb
+    br, i = r // nb, r % nb
+    out = np.zeros(sb.Pp)
+    out[br * nb:(br + 1) * nb] = sb.diag[g, br, i]
+    if br > 0:
+        out[(br - 1) * nb:br * nb] = sb.sub[g, br, i]
+    if br < Nb - 1:
+        out[(br + 1) * nb:(br + 2) * nb] = sb.sup[g, br, i]
+    return out
+
+
+def _band_col_get(sb, g, c):
+    nb, Nb = sb.nb, sb.Nb
+    bc, j = c // nb, c % nb
+    out = np.zeros(sb.Pp)
+    out[bc * nb:(bc + 1) * nb] = sb.diag[g, bc, :, j]
+    if bc > 0:
+        out[(bc - 1) * nb:bc * nb] = sb.sup[g, bc - 1, :, j]
+    if bc < Nb - 1:
+        out[(bc + 1) * nb:(bc + 2) * nb] = sb.sub[g, bc + 1, :, j]
+    return out
+
+
+def _band_row_clear_to_unit(sb, g, r):
+    nb, Nb = sb.nb, sb.Nb
+    br, i = r // nb, r % nb
+    sb.diag[g, br, i] = 0.0
+    if br > 0:
+        sb.sub[g, br, i] = 0.0
+    if br < Nb - 1:
+        sb.sup[g, br, i] = 0.0
+    sb.diag[g, br, i, i] = 1.0
+
+
+def _band_col_clear_to_unit(sb, g, c):
+    nb, Nb = sb.nb, sb.Nb
+    bc, j = c // nb, c % nb
+    sb.diag[g, bc, :, j] = 0.0
+    if bc > 0:
+        sb.sup[g, bc - 1, :, j] = 0.0
+    if bc < Nb - 1:
+        sb.sub[g, bc + 1, :, j] = 0.0
+    sb.diag[g, bc, j, j] = 1.0
 
 
 class BorderedBandedSolver:
@@ -430,7 +543,7 @@ class BorderedBandedSolver:
         with _Timer('equilibrate'):
             Dr, Dc = self._equilibrate(blocks)
             sblocks = self._scaled(blocks, Dr, Dc)
-        b0 = P - nbord
+        b0 = blocks.bcol0
         Ufull = np.zeros((G, Pp, 2 * nbord))
         for j in range(nbord):
             Ufull[:, j, j] = 1.0          # border rows sit at the TOP
@@ -442,9 +555,46 @@ class BorderedBandedSolver:
             Vfull[:, nbord + j, b0 + j] = 1.0
 
         with _Timer('factor+W1 (pass 1)'):
-            qr, W1 = self._chunked_factor_W1(self._neutralized(sblocks, bad),
-                                             Ublocks)
-        S = np.eye(2 * nbord) + Vfull @ W1
+            qr, W1, sing = self._chunked_factor_W1(
+                self._neutralized(sblocks, bad), Ublocks)
+        if sing.any():
+            # Rank-deficient band cores (e.g. slot-split spherical pencils
+            # whose tau-anchored rows sit out of in-band reach): demote the
+            # kernel rows/columns into extra Woodbury border slots and
+            # refactor. Unrepairable groups fall through to dense overrides.
+            with _Timer(f'demotion repair ({int(sing.sum())} singular groups)'):
+                Uex, Vex, unrepaired = self._demote_singular(
+                    sblocks, np.nonzero(sing)[0], bad)
+            for g in unrepaired:
+                if group_dense is None:
+                    raise ValueError(
+                        "singular band core and no dense group provider")
+                bad[g] = group_dense(int(g))
+            if Uex is not None:
+                Ufull = np.concatenate([Ufull, Uex], axis=2)
+                Vfull = np.concatenate([Vfull, Vex], axis=1)
+                Ublocks = Ufull.reshape(G, self.Nb, self.nb, -1)
+            with _Timer('factor+W1 (pass 1b, after demotion)'):
+                qr, W1, sing = self._chunked_factor_W1(
+                    self._neutralized(sblocks, bad), Ublocks)
+            still = [int(g) for g in np.nonzero(sing)[0] if int(g) not in bad]
+            if still:                      # demotion missed: dense overrides
+                limit = max_bad if max_bad is not None else max(16, G // 4)
+                limit = min(limit, int(2e9 / max(P * P * 4, 1)) + 1)
+                if len(still) + len(bad) > limit:
+                    raise ValueError(
+                        f"banded core is rank-deficient in {len(still)} "
+                        f"groups (limit {limit}); this pencil needs a dense "
+                        f"or matrix-free solver")
+                logger.info("banded: %d groups stay singular after demotion; "
+                            "dense overrides", len(still))
+                for g in still:
+                    bad[g] = group_dense(g)
+                with _Timer('factor+W1 (pass 1c)'):
+                    qr, W1, sing = self._chunked_factor_W1(
+                        self._neutralized(sblocks, bad), Ublocks)
+        B = Ufull.shape[2]
+        S = np.eye(B) + Vfull @ W1
         # Dense-override groups whose scaled band or capacitance matrix stays
         # ill-conditioned (the tau band loses conditioning as k -> 0; the
         # count is k-local and small at scale).
@@ -475,12 +625,12 @@ class BorderedBandedSolver:
             with _Timer('dense overrides + refactor'):
                 for g in ill:
                     bad[g] = group_dense(int(g))
-                qr, W1 = self._chunked_factor_W1(
+                qr, W1, _ = self._chunked_factor_W1(
                     self._neutralized(sblocks, bad), Ublocks)
-            S = np.eye(2 * nbord) + Vfull @ W1
+            S = np.eye(B) + Vfull @ W1
         self.bad_idx = tuple(sorted(bad))
         for g in self.bad_idx:   # bad groups solve densely; keep S invertible
-            S[g] = np.eye(2 * nbord)
+            S[g] = np.eye(B)
             W1[g] = 0.0
         Sinv = np.linalg.inv(S)
         if not np.isfinite(Sinv).all():
@@ -528,12 +678,87 @@ class BorderedBandedSolver:
         self.exact_apply = exact_apply
         self.exact_arrs = exact_arrs
 
+    @staticmethod
+    def _demote_singular(sblocks, groups, bad, tol=1e-9, max_per=12):
+        """
+        Repair rank-deficient band cores by demoting kernel rows/columns
+        into extra Woodbury border slots. For each null direction of a
+        group's band: the dominant row r is replaced in the band by the unit
+        row e_r (its content moves to an extra V row with U column e_r), and
+        the dominant column c by e_c (content to an extra U column with V
+        row e_c^T). This preserves A_band + U V = A_full exactly at ANY
+        position, so group-dependent kernels (slot-split spherical pencils:
+        tau-anchored last valid rows x low pressure modes, out of in-band
+        reach of any shared layout) get pinned per group. Returns
+        (Uextra (G, Pp, K), Vextra (G, K, Pp), unrepaired group list);
+        (None, None, groups) when nothing was repairable.
+        """
+        G, Pp, P = sblocks.G, sblocks.Pp, sblocks.P
+        plans = {}
+        unrepaired = []
+        for g in groups:
+            g = int(g)
+            if g in bad:
+                continue
+            Ab = _band_dense_group(sblocks, g)
+            Uc, sv, Vt = np.linalg.svd(Ab)
+            null = np.nonzero(sv < tol * max(sv[0], 1e-300))[0]
+            if null.size == 0 or null.size > max_per:
+                unrepaired.append(g)
+                continue
+            used_r, used_c = set(), set()
+            items = []
+            ok = True
+            for idx in null:
+                w = np.abs(Uc[:, idx]).copy()
+                v = np.abs(Vt[idx]).copy()
+                w[P:] = 0.0
+                v[P:] = 0.0
+                r = next((int(i) for i in np.argsort(-w)
+                          if int(i) not in used_r and w[i] > 0), None)
+                c = next((int(i) for i in np.argsort(-v)
+                          if int(i) not in used_c and v[i] > 0), None)
+                if r is None or c is None:
+                    ok = False
+                    break
+                used_r.add(r)
+                used_c.add(c)
+                items.append((r, c))
+            if ok:
+                plans[g] = items
+            else:
+                unrepaired.append(g)
+        if not plans:
+            return None, None, unrepaired
+        K = 2 * max(len(v) for v in plans.values())
+        Uex = np.zeros((G, Pp, K))
+        Vex = np.zeros((G, K, Pp))
+        for g, items in plans.items():
+            slot = 0
+            for r, c in items:
+                rowvec = _band_row_get(sblocks, g, r)
+                rowvec[r] -= 1.0
+                _band_row_clear_to_unit(sblocks, g, r)
+                Uex[g, r, slot] = 1.0
+                Vex[g, slot] = rowvec
+                slot += 1
+                colvec = _band_col_get(sblocks, g, c)
+                colvec[c] -= 1.0
+                _band_col_clear_to_unit(sblocks, g, c)
+                Uex[g, :, slot] = colvec
+                Vex[g, slot, c] = 1.0
+                slot += 1
+        logger.info("banded: demoted kernel rows/cols in %d groups "
+                    "(max %d directions)", len(plans), K // 2)
+        return Uex, Vex, unrepaired
+
     def _chunked_factor_W1(self, fblocks, Ublocks):
         """f64 factorization + Woodbury RHS solves on device, chunked over
-        groups to bound peak HBM; returns f32 factors + f64 W1 (host)."""
+        groups to bound peak HBM; returns (f32 factors, f64 W1 (host),
+        singular-core mask (G,))."""
         G = fblocks.G
         chunk = max(1, min(self.chunk_G, G))
-        qr_parts, W1_parts = [], []
+        qr_parts, W1_parts, sing_parts = [], [], []
         for g0 in range(0, G, chunk):
             sl = slice(g0, min(g0 + chunk, G))
             if (G * self.Nb * self.nb ** 3 > 1e8) and _device_f64_factor_ok():
@@ -543,6 +768,10 @@ class BorderedBandedSolver:
                 W1c = _multi_rhs_solve_device(
                     qr64['Qt'], qr64['QtL'], qr64['Rinv'], qr64['R1'],
                     qr64['R2'], jnp.asarray(Ublocks[sl]))
+                Rh = np.asarray(qr64['Rinv'])
+                sing_parts.append(~np.isfinite(Rh).all(axis=(1, 2, 3))
+                                  | (np.abs(np.where(np.isfinite(Rh), Rh, 0.0)
+                                            ).max(axis=(1, 2, 3)) > 1e30))
                 qr_parts.append({k: np.asarray(v, dtype=np.float32)
                                  for k, v in qr64.items()})
                 W1_parts.append(np.asarray(W1c))
@@ -553,15 +782,17 @@ class BorderedBandedSolver:
                                    fblocks.Vrow[sl], fblocks.order,
                                    fblocks.nb, fblocks.pad)
                 qr64 = _factor_host(sub)
+                sing_parts.append(qr64.pop('singular'))
                 W1_parts.append(self._host_core_solve(qr64, Ublocks[sl]))
                 qr_parts.append({k: np.asarray(v, dtype=np.float32)
                                  for k, v in qr64.items()})
         qr = {k: np.concatenate([p[k] for p in qr_parts])
               for k in qr_parts[0]}
-        if not np.isfinite(qr['Rinv']).all():
-            raise ValueError("block-tridiagonal QR: singular R diagonal")
+        qr['Rinv'] = np.where(np.isfinite(qr['Rinv']), qr['Rinv'],
+                              np.float32(0.0))
         W1 = np.concatenate(W1_parts).reshape(G, fblocks.Pp, -1)
-        return qr, W1
+        W1 = np.where(np.isfinite(W1), W1, 0.0)
+        return qr, W1, np.concatenate(sing_parts)
 
     @staticmethod
     def _neutralized(blocks, bad):
@@ -627,7 +858,8 @@ class BorderedBandedSolver:
         sup = blocks.sup.copy()
         sup[:, :-1] = (blocks.sup[:, :-1] * DrB[:, :-1, :, None]
                        * DcB[:, 1:, None, :])
-        Ucol = blocks.Ucol * Dr[:, :, None] * Dc[:, None, P - nbord:P]
+        b0 = blocks.bcol0
+        Ucol = blocks.Ucol * Dr[:, :, None] * Dc[:, None, b0:b0 + nbord]
         Vrow = blocks.Vrow * Dr[:, :nbord, None] * Dc[:, None, :]
         return BandedBlocks(diag, sub, sup, Ucol, Vrow, blocks.order,
                             blocks.nb, blocks.pad)
@@ -734,10 +966,11 @@ class BandedOperator:
     def apply_fn(self):
         """Jit-safe (arrs, X (G,P)) -> (G,P)."""
         P, pad, nbord = self.P, self.pad, self.nbord
+        bcol0 = self.blocks.bcol0
 
         def apply(arrs, X):
             xp = jnp.pad(X[:, arrs['col_perm']], ((0, 0), (0, pad)))
-            y = apply_full(arrs, xp, P, nbord)
+            y = apply_full(arrs, xp, P, nbord, bcol0)
             return y[:, :P][:, arrs['row_unperm']]
 
         return apply

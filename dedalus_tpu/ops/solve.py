@@ -305,6 +305,14 @@ class FactorizedStack:
                 # operators: A = a0 M + b0 L + pivots (one f64 copy on device)
                 pencil = getattr(A, 'pencil', None)
                 exact_apply = exact_arrs = None
+                # The exact path installs the banded-friendly pivot pairing;
+                # the refinement apply and dense overrides must match it
+                # exactly or iterative refinement would converge to a
+                # different A_full than the factorization solves.
+                if bf.get('exact') is not None and pencil is not None:
+                    ppairs = pencil.banded_pivot_pairs(bf['order'])
+                else:
+                    ppairs = pencil.pivot_pairs if pencil is not None else []
                 if pencil is not None and set(A.coeffs) <= {'M', 'L'}:
                     bM = pencil.banded_operator('M')
                     bL = pencil.banded_operator('L')
@@ -312,7 +320,7 @@ class FactorizedStack:
                     a0 = A.coeffs.get('M', 0.0)
                     b0 = A.coeffs.get('L', 0.0)
                     gs, rs, cs = [], [], []
-                    for g, (ir, ic) in enumerate(pencil.pivot_pairs):
+                    for g, (ir, ic) in enumerate(ppairs):
                         gs.extend([g] * len(ir))
                         rs.extend(ir.tolist())
                         cs.extend(ic.tolist())
@@ -328,9 +336,14 @@ class FactorizedStack:
                         return Y
 
                     exact_arrs = {'M': bM.arrs, 'L': bL.arrs}
+                if bf.get('exact') is not None and pencil is not None:
+                    group_dense = lambda g: A.group_sparse(
+                        g, pivot_pairs=ppairs)
+                else:
+                    group_dense = A.group_sparse
                 self.banded = ops_banded.BorderedBandedSolver(
                     blocks, refinements=3, bad=bf['bad'],
-                    group_dense=A.group_sparse,
+                    group_dense=group_dense,
                     exact_apply=exact_apply, exact_arrs=exact_arrs)
                 return
             if method != 'poly':

@@ -439,3 +439,45 @@ def test_banded_bordered_matsolver_matches_lu():
     got = run(True)
     err = np.abs(ref - got).max()
     assert err < 1e-11 * max(1, np.abs(ref).max()), f"banded mismatch: {err}"
+
+
+def test_banded_demotion_repairs_planted_kernel():
+    """Singular band cores are repaired by demoting kernel rows/columns into
+    extra Woodbury border slots (exactly preserving A_band + U V)."""
+    import dedalus_tpu.ops.banded as ops_banded
+
+    rng = np.random.default_rng(0)
+    nb, Nb = 4, 6
+    Pp = nb * Nb
+
+    class SB:
+        pass
+
+    sb = SB()
+    sb.G, sb.P, sb.Pp, sb.nb, sb.Nb = 1, Pp, Pp, nb, Nb
+    sb.diag = rng.normal(size=(1, Nb, nb, nb))
+    sb.sub = rng.normal(size=(1, Nb, nb, nb))
+    sb.sup = rng.normal(size=(1, Nb, nb, nb))
+    sb.sub[:, 0] = 0
+    sb.sup[:, -1] = 0
+    A = ops_banded._band_dense_group(sb, 0)
+    A[10, :] = 1.5 * A[9, :]
+    A[:, 3] = -2.0 * A[:, 2]
+    for i in range(Nb):
+        r0 = i * nb
+        sb.diag[0, i] = A[r0:r0 + nb, r0:r0 + nb]
+        if i > 0:
+            sb.sub[0, i] = A[r0:r0 + nb, r0 - nb:r0]
+        if i < Nb - 1:
+            sb.sup[0, i] = A[r0:r0 + nb, r0 + nb:r0 + 2 * nb]
+    sv = np.linalg.svd(ops_banded._band_dense_group(sb, 0), compute_uv=False)
+    assert (sv < 1e-10 * sv[0]).sum() == 1
+    Uex, Vex, unrep = ops_banded.BorderedBandedSolver._demote_singular(
+        sb, [0], {})
+    assert not unrep
+    A2 = ops_banded._band_dense_group(sb, 0)
+    sv2 = np.linalg.svd(A2, compute_uv=False)
+    assert sv2[-1] > 1e-6 * sv2[0]
+    # A_band + Uextra Vextra reproduces the original matrix exactly
+    recon = A2 + Uex[0] @ Vex[0]
+    assert np.abs(recon - A).max() < 1e-12

@@ -166,3 +166,169 @@ def test_ncc_on_gradient_operand(geom):
     u.change_scales(1)
     zg = np.broadcast_to(z, np.asarray(u.data).shape)
     assert np.abs(np.asarray(u.data) - zg).max() < 1e-9
+
+
+def _set_grid(dist, f, data):
+    f.require_grid_space()
+    f.change_scales(1)
+    f['g'] = np.broadcast_to(data, np.asarray(f['g']).shape)
+    f.require_coeff_space()
+    f.change_scales(1)
+
+
+def _make_rvec(dist, coords, ball, r):
+    rvec = dist.VectorField(coords, name='rvec', bases=ball.radial_basis)
+    rvec.require_grid_space()
+    rvec.change_scales(1)
+    g = np.zeros(np.asarray(rvec['g']).shape)
+    g[2] = r
+    rvec['g'] = g
+    rvec.require_coeff_space()
+    rvec.change_scales(1)
+    return rvec
+
+
+@pytest.mark.parametrize('triangular', [True, False])
+def test_ball_vector_ncc_times_scalar(triangular):
+    """Ball tensor NCC (rvec * scalar): envelope-shifted Zernike products
+    per (ell, regularity) against eager grid multiplication (reference
+    basis.py:4088 _last_axis_component_ncc_matrix)."""
+    from dedalus_tpu.core import subsystems
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    ball = d3.BallBasis(coords, (8, 6, 10), radius=1.0, dtype=np.float64,
+                        dealias=(1.5, 1.5, 1.5), triangular=triangular)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    rvec = _make_rvec(dist, coords, ball, r)
+    s = dist.Field(name='s', bases=ball)
+    x = r * np.sin(theta) * np.cos(phi)
+    z = r * np.cos(theta)
+    _set_grid(dist, s, x * (1 - r**2) + 0.3 * z**2 + 0.1)
+    E = rvec * s
+    ev = E.evaluate()
+    ev.require_coeff_space()
+    ev.change_scales(1)
+    eager = np.asarray(ev.data)
+    coupling = np.array([False, True, True])
+    coupled, sps = subsystems.enumerate_subproblems(
+        dist, [E.domain, s.domain], coupling)
+    for sp in sps:
+        mats = E.expression_matrices(sp, [s])
+        sl = sp.group_slice(ball.azimuth_basis, 0)
+        xp = np.asarray(s.data)[sl, :, :].ravel()
+        got = mats[s] @ xp
+        want = eager[:, sl, :, :].ravel()
+        assert np.abs(got - want).max() < 1e-12
+
+
+def test_ball_vector_ncc_dot_vector():
+    """dot(rvec, u) on the ball: rank-1 x rank-1 NCC contraction through the
+    Gamma intertwiner with per-(ell, reg) radial products."""
+    from dedalus_tpu.core import subsystems
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    ball = d3.BallBasis(coords, (8, 6, 10), radius=1.0, dtype=np.float64,
+                        dealias=(1.5, 1.5, 1.5))
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    rvec = _make_rvec(dist, coords, ball, r)
+    u = dist.VectorField(coords, name='u', bases=ball)
+    x = r * np.sin(theta) * np.cos(phi)
+    z = r * np.cos(theta)
+    u.require_grid_space()
+    u.change_scales(1)
+    g = np.zeros(np.asarray(u['g']).shape)
+    g[0] = x * (1 - r**2)
+    g[1] = z * 0.5 * (1 - r**2)
+    g[2] = 0.2 * x * z
+    u['g'] = g
+    u.require_coeff_space()
+    u.change_scales(1)
+    D = d3.dot(rvec, u)
+    ev = D.evaluate()
+    ev.require_coeff_space()
+    ev.change_scales(1)
+    eager = np.asarray(ev.data)
+    coupling = np.array([False, True, True])
+    coupled, sps = subsystems.enumerate_subproblems(
+        dist, [D.domain, u.domain], coupling)
+    for sp in sps:
+        mats = D.expression_matrices(sp, [u])
+        sl = sp.group_slice(ball.azimuth_basis, 0)
+        xp = np.asarray(u.data)[:, sl, :, :].ravel()
+        got = mats[u] @ xp
+        want = eager[sl, :, :].ravel()
+        assert np.abs(got - want).max() < 1e-12
+
+
+def test_ball_first_order_formulation_steps():
+    """First-order ball convection (tau in the divergence constraint via
+    rvec*lift(tau_u1), the reference's recommended ball formulation:
+    examples internally_heated_convection) builds and steps stably."""
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    ball = d3.BallBasis(coords, (8, 6, 10), radius=1, dealias=3 / 2,
+                        dtype=np.float64)
+    u = dist.VectorField(coords, name='u', bases=ball)
+    p = dist.Field(name='p', bases=ball)
+    T = dist.Field(name='T', bases=ball)
+    tau_p = dist.Field(name='tau_p')
+    tau_u1 = dist.VectorField(coords, name='tau_u1', bases=ball.surface)
+    tau_T1 = dist.Field(name='tau_T1', bases=ball.surface)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    rvec = _make_rvec(dist, coords, ball, r)
+    lift_basis = ball.derivative_basis(1)
+    lift = lambda A: d3.Lift(A, lift_basis, -1)
+    grad_u = d3.grad(u) + rvec * lift(tau_u1)
+    grad_T = d3.grad(T) + rvec * lift(tau_T1)
+    kappa, nu = 1e-2, 1e-2
+    problem = d3.IVP([p, u, T, tau_p, tau_u1, tau_T1], namespace=locals())
+    problem.add_equation("trace(grad_u) + tau_p = 0")
+    problem.add_equation(
+        "dt(u) - nu*div(grad_u) + grad(p) = - u@grad(u) + rvec*T")
+    problem.add_equation("dt(T) - kappa*div(grad_T) = - u@grad(T)")
+    problem.add_equation("u(r=1) = 0")
+    problem.add_equation("T(r=1) = 0")
+    problem.add_equation("integ(p) = 0")
+    solver = problem.build_solver(d3.SBDF2)
+    T.require_grid_space()
+    T.change_scales(1)
+    T['g'] = np.broadcast_to(1 - r**2, np.asarray(T['g']).shape)
+    T.require_coeff_space()
+    for _ in range(3):
+        solver.step(1e-3)
+    T.require_coeff_space()
+    data = np.asarray(T.data)
+    assert np.isfinite(data).all()
+    assert np.abs(data).max() < 10.0
+
+
+def test_ball_nontriangular_roundtrip_and_poisson():
+    """triangular=False ball: full radial rectangle at every ell; transforms
+    round-trip and a Poisson solve matches the analytic solution."""
+    coords = d3.SphericalCoordinates('phi', 'theta', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    ball = d3.BallBasis(coords, (8, 6, 12), radius=1.0, dtype=np.float64,
+                        dealias=(1.5, 1.5, 1.5), triangular=False)
+    phi, theta, r = dist.local_grids(ball, scales=1)
+    f = dist.Field(name='f', bases=ball)
+    x = r * np.sin(theta) * np.cos(phi)
+    z = r * np.cos(theta)
+    _set_grid(dist, f, x * z + 0.5 * (1 - r**2))
+    f2 = np.asarray(f['g'])
+    want = np.broadcast_to(x * z + 0.5 * (1 - r**2), f2.shape)
+    assert np.abs(f2 - want).max() < 1e-12
+    # Poisson: lap(u) = -6, u(r=1) = 0 -> u = 1 - r^2... lap(1-r^2) = -6
+    u = dist.Field(name='u', bases=ball)
+    tau = dist.Field(name='tau', bases=ball.surface)
+    rhs = dist.Field(name='rhs', bases=ball)
+    _set_grid(dist, rhs, np.broadcast_to(
+        -6.0, np.broadcast_shapes(phi.shape, theta.shape, r.shape)))
+    lift = lambda A: d3.Lift(A, ball, -1)
+    problem = d3.LBVP([u, tau], namespace=locals())
+    problem.add_equation("lap(u) + lift(tau) = rhs")
+    problem.add_equation("u(r=1) = 0")
+    problem.build_solver().solve()
+    u.require_grid_space()
+    u.change_scales(1)
+    ug = np.asarray(u.data)
+    assert np.abs(ug - np.broadcast_to(1 - r**2, ug.shape)).max() < 1e-10
