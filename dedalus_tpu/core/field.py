@@ -311,6 +311,14 @@ class Field(Operand):
             self.require_layout(layout)
         return np.asarray(self.data)
 
+    def broadcast_ghosts(self):
+        """Replicate data along constant distributed dimensions (parity:
+        field.py:876). Under GSPMD the compiler inserts the replication
+        collectives when a constant-dimension field meets a distributed one,
+        so this only needs to materialize the broadcast shape host-side."""
+        return np.broadcast_to(np.asarray(self.data),
+                               np.asarray(self.data).shape)
+
     # --- operand protocol ---
 
     @property

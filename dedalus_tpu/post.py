@@ -161,3 +161,22 @@ def load_tasks_to_xarray(base_path, tasks=None, sets=None):
                                     coords={d: c for d, c in coords.items() if d in dims},
                                     name=name)
     return xr.Dataset(arrays)
+
+
+def get_assigned_writes(set_paths, wanted_writes=None):
+    """Round-robin assignment of write indices across processes for
+    parallelized post-processing (parity: tools/post.py:47). Returns the
+    subset of (set_path, write_index) pairs owned by this process."""
+    import h5py
+    from .utils.parallel import _process_info
+    rank, nproc = _process_info()
+    if isinstance(set_paths, (str, pathlib.Path)):
+        set_paths = [set_paths]
+    pairs = []
+    for sp in set_paths:
+        with h5py.File(str(sp), 'r') as f:
+            nw = len(f['scales/sim_time'])
+        for w in range(nw):
+            if wanted_writes is None or w in wanted_writes:
+                pairs.append((sp, w))
+    return pairs[rank::nproc]

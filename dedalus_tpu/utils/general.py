@@ -85,3 +85,30 @@ def prod(iterable):
     for i in iterable:
         out = out * i
     return out
+
+
+class DeferredTuple:
+    """Sequence whose entries are computed on first access from an entry
+    function (parity: tools/general.py:94 DeferredTuple)."""
+
+    def __init__(self, entry_function, size):
+        self.entry_function = entry_function
+        self.size = int(size)
+        self._cache = {}
+
+    def __getitem__(self, key):
+        if isinstance(key, slice):
+            return tuple(self[i] for i in range(*key.indices(self.size)))
+        if key < 0:
+            key += self.size
+        if not 0 <= key < self.size:
+            raise IndexError("DeferredTuple index out of range")
+        if key not in self._cache:
+            self._cache[key] = self.entry_function(key)
+        return self._cache[key]
+
+    def __len__(self):
+        return self.size
+
+    def __iter__(self):
+        return (self[i] for i in range(self.size))

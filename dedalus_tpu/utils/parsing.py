@@ -70,3 +70,14 @@ def split_call(expression):
                     args.append(tail)
                 return head, tuple(args)
     return expression, ()
+
+
+def lambdify_functions(call, result):
+    """Build a lambda implementing `result` as a function of the arguments
+    in the call signature string (parity: tools/parsing.py
+    lambdify_functions): "f(x, y)" , "x + 2*y" -> ("f", callable)."""
+    head, args = split_call(call)
+    if not args:
+        raise ValueError(f"Not a function call signature: {call!r}")
+    src = f"lambda {', '.join(args)}: {result}"
+    return head, eval(src)
