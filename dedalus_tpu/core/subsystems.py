@@ -176,6 +176,13 @@ class LazyCombined:
         # banded-friendly pairing (sorted by permuted position), so the
         # triangular-truncation zero rows/cols get in-band pivots instead of
         # far-corner entries that would leave the band rank-deficient.
+        # NOTE: ball saddle systems (incompressible u + p) still carry ONE
+        # band kernel per group that no in-band unit placement can pin (the
+        # homogeneous tau/pressure ladder is anchored only by content at
+        # |row-col| ~ P: the gauge pivot and the BC rows' far coefficients);
+        # the factorization detects this per group and the solver escalates
+        # to dense overrides or falls back to the poly matsolver. Shell,
+        # annulus, disk and Cartesian pencils factor banded.
         bpairs = self.pencil.banded_pivot_pairs(plan['order'])
         exact = [self.group_sparse(g, pivot_pairs=bpairs)
                  for g in range(self.G)]

@@ -203,9 +203,7 @@ def build_banded_blocks(group_csr, weights, bad, order, nb, exact=None):
     if bcol0 == 0:
         # Aligned layout: border rows AND border columns share the top-left
         # corner, so a single identity corner entry (j, j) covers both; it
-        # is compensated once, through Vrow. Identity pivots for invalid
-        # interior modes sit on the band diagonal (aligned row/col
-        # orderings) and cannot collide with the corner.
+        # is compensated once, through Vrow.
         for j in range(nbord):
             blk, pos = j // nb, j % nb
             diag[:, blk, pos, pos] += 1.0

@@ -2,9 +2,12 @@
 Internally heated convection in the ball (gating config 5b; mirrors reference
 examples/ivp_ball_internally_heated_convection/internally_heated_convection.py):
 Boussinesq convection in a full sphere with a homogeneous internal heat
-source, no-slip boundary, and fixed surface temperature. Exercises the full
-3D spherical stack: vector unknowns, regularity recombination, vector taus,
-volume-integral pressure gauge, and CFL-controlled IMEX stepping.
+source, stress-free no-penetration boundary, and fixed surface temperature
+flux (reference BCs: shear_stress = 0, radial(u(r=1)) = 0,
+radial(grad(T)(r=1)) = -2). Exercises the full 3D spherical stack: vector
+unknowns, regularity recombination, vector taus, the LINEAR r_vec*T buoyancy
+term (a ball tensor NCC on the LHS), angular/radial component selectors on
+rank-2 boundary expressions, and the volume-integral pressure gauge.
 
 Run: python examples/ivp_ball_internally_heated_convection.py
 """
@@ -52,16 +55,21 @@ T_source = 6
 kappa = (Rayleigh * Prandtl)**(-1/2)
 nu = (Rayleigh / Prandtl)**(-1/2)
 lift = lambda A: d3.Lift(A, ball, -1)
+strain_rate = d3.grad(u) + d3.TransposeComponents(d3.grad(u))
+shear_stress = d3.AngularComponent(
+    d3.RadialComponent(strain_rate(r=1), 0), 0)
+radial = d3.RadialComponent
 
-# Problem: no-slip, fixed surface temperature
+# Problem: stress-free, no penetration, fixed flux (reference BCs)
 problem = d3.IVP([p, u, T, tau_p, tau_u, tau_T], namespace=locals())
 problem.add_equation("div(u) + tau_p = 0")
 problem.add_equation(
-    "dt(u) - nu*lap(u) + grad(p) + lift(tau_u) = - u@grad(u) + r_vec*T")
+    "dt(u) - nu*lap(u) + grad(p) - r_vec*T + lift(tau_u) = - cross(curl(u),u)")
 problem.add_equation(
     "dt(T) - kappa*lap(T) + lift(tau_T) = - u@grad(T) + kappa*T_source")
-problem.add_equation("u(r=1) = 0")
-problem.add_equation("T(r=1) = 0")
+problem.add_equation("shear_stress = 0")
+problem.add_equation("radial(u(r=1)) = 0")
+problem.add_equation("radial(grad(T)(r=1)) = -2")
 problem.add_equation("integ(p) = 0")
 
 # Solver
@@ -90,9 +98,9 @@ logger.info(f"Final iteration: {solver.iteration}")
 for f in (u, T, p):
     f.require_coeff_space()
     assert np.isfinite(np.asarray(f.data)).all()
-bc = u(r=1).evaluate()
+bc = d3.RadialComponent(u(r=1)).evaluate()
 bc.require_coeff_space()
-logger.info(f"max|u(r=1)| = {np.abs(np.asarray(bc.data)).max():.3e}")
+logger.info(f"max|radial u(r=1)| = {np.abs(np.asarray(bc.data)).max():.3e}")
 dv = d3.div(u).evaluate()
 dv.require_coeff_space()
 logger.info(f"max|div(u)| = {np.abs(np.asarray(dv.data)).max():.3e}")
