@@ -325,7 +325,9 @@ class Field(Operand):
     def bases(self):
         return self.domain.bases
 
-    def evaluate(self):
+    def evaluate(self, memo=None):
+        if memo is not None and id(self) in memo:
+            return memo[id(self)]
         return self
 
     def reinitialize(self, **kw):

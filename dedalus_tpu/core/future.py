@@ -201,18 +201,32 @@ class Future(Operand):
 
     # --- evaluation ---
 
-    def evaluate(self):
+    def evaluate(self, memo=None):
         """
         Recursively evaluate to a Field (eager or traced). Leaf Fields are
         evaluated through shallow copies so layout moves never mutate user
         fields (and never leave traced arrays behind after a jit trace).
+        memo: optional {id(node): Field} of precomputed subexpression values
+        (used by the solver's grouped-transform RHS path, which batches all
+        grid-space prefetches into one transform chain); consulted, never
+        extended.
         """
+        if memo is not None and id(self) in memo:
+            return memo[id(self)]
         arg_fields = []
         for op in self.args:
             if isinstance(op, Future):
-                arg_fields.append(op.evaluate())
+                if memo is not None and id(op) in memo:
+                    # Copy: operate() moves layouts on its args, and a
+                    # memoized value may have several consumers
+                    arg_fields.append(memo[id(op)].copy())
+                else:
+                    arg_fields.append(op.evaluate(memo))
             elif isinstance(op, Field):
-                arg_fields.append(op.copy())
+                if memo is not None and id(op) in memo:
+                    arg_fields.append(memo[id(op)].copy())
+                else:
+                    arg_fields.append(op.copy())
             else:
                 arg_fields.append(op)
         return self.operate(arg_fields)

@@ -919,8 +919,8 @@ class GeneralFunction(Future):
     def is_linear_in(self, vars):
         return False
 
-    def evaluate(self):
-        arg_vals = [a.evaluate() if isinstance(a, Future) else a for a in self.gf_args]
+    def evaluate(self, memo=None):
+        arg_vals = [a.evaluate(memo) if isinstance(a, Future) else a for a in self.gf_args]
         data = self.func(*arg_vals)
         out = Field(self.dist, bases=[b for b in self.domain.bases if b is not None],
                     dtype=self.dtype, tensorsig=self.tensorsig)

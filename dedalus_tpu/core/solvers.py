@@ -73,7 +73,12 @@ class SolverBase:
         Pure function: flat coeff state (+ sim time) -> (G, R) RHS pencils.
         Binds traced arrays onto the Field objects and evaluates the operator
         trees, so the whole RHS (backward transforms, nonlinearities, forward
-        transforms, conversions) traces into one fused XLA program.
+        transforms, conversions) traces into one fused XLA program. On
+        Cartesian domains, all grid-space operand prefetches are BATCHED
+        into one backward-transform chain and the RHS roots into one forward
+        chain (the reference evaluator's grouped transforms, evaluator.py:95;
+        on this hardware a 9-field batched transform costs ~1.2x one field,
+        so grouping removes most of the per-transform overhead).
         """
         self.pencil.unflatten_fields(state_flat, self.state)
         time_field = getattr(self.problem, 'time', None)
@@ -81,13 +86,166 @@ class SolverBase:
             time_field.preset_data(
                 self.dist.grid_layout,
                 jnp.reshape(t, (1,) * self.dist.dim))
+        memo = self._grouped_grid_memo() if self._rhs_grouping_ok() else None
+        roots = [eq['F'].evaluate(memo) for eq in self.problem.equations]
+        if memo is not None:
+            self._grouped_forward(roots)
         datas = []
-        for eq in self.problem.equations:
-            F = eq['F'].evaluate()
+        for F in roots:
             F.require_coeff_space()
             F.change_scales(1)
             datas.append(F.data)
         return self.pencil.gather_eq_data(datas)
+
+    # --- grouped RHS transforms (Cartesian separable bases) ---
+
+    def _rhs_grouping_ok(self):
+        cached = getattr(self, '_rhs_grouping_flag', None)
+        if cached is not None:
+            return cached
+        from .basis import Jacobi, FourierBase
+        ok = True
+        for eq in self.problem.equations:
+            for b in eq['F'].domain.bases:
+                if b is not None and not isinstance(b, (Jacobi, FourierBase)):
+                    ok = False
+        for v in self.state:
+            for b in v.domain.bases:
+                if b is not None and not isinstance(b, (Jacobi, FourierBase)):
+                    ok = False
+        self._rhs_grouping_flag = ok
+        return ok
+
+    @staticmethod
+    def _grid_arg_node_types():
+        from .arithmetic import Add, Multiply, DotProduct, CrossProduct
+        from .operators import Power, UnaryGridFunction
+        return (Add, Multiply, DotProduct, CrossProduct, Power,
+                UnaryGridFunction)
+
+    def _grouped_grid_memo(self):
+        """Prefetch every grid-space operand of the RHS trees through ONE
+        batched backward-transform chain per (bases, dealias) group.
+        Returns {id(node): grid Field} for Future.evaluate's memo."""
+        from .field import Field as _Field
+        from .future import Future as _Future
+        GRID_NODES = self._grid_arg_node_types()
+        collect = {}
+
+        def walk(node):
+            if not isinstance(node, _Future):
+                return
+            grid_parent = isinstance(node, GRID_NODES)
+            for a in node.args:
+                if isinstance(a, (_Field, _Future)):
+                    if grid_parent and not isinstance(a, GRID_NODES):
+                        collect.setdefault(id(a), a)
+                    if isinstance(a, _Future):
+                        walk(a)
+
+        for eq in self.problem.equations:
+            walk(eq['F'])
+        if not collect:
+            return None
+        groups = {}
+        for nid, node in collect.items():
+            dom = node.domain
+            if not any(b is not None for b in dom.bases):
+                continue                      # constant-domain: normal path
+            key = (tuple(id(b) for b in dom.bases), tuple(dom.dealias))
+            groups.setdefault(key, []).append(node)
+        memo = {}
+        for (bids, scales), nodes in groups.items():
+            slabs, metas = [], []
+            for n in nodes:
+                # memo=None: collected nodes may nest (u inside grad(u));
+                # coeff evaluation must not see each other's grid values
+                f = n.evaluate(None) if isinstance(n, _Future) else n
+                if f is n:
+                    f = f.copy()
+                f.require_coeff_space()
+                nc = f.ncomp
+                slabs.append(jnp.reshape(
+                    f.data, (nc,) + f.data.shape[len(f.tensorsig):]))
+                metas.append((n, f.tensorsig, nc))
+            batch = jnp.concatenate(slabs, axis=0)
+            gdata = self._batched_backward(nodes[0].domain, batch, scales)
+            off = 0
+            for n, ts, nc in metas:
+                part = gdata[off:off + nc]
+                off += nc
+                out = _Field(self.dist,
+                             bases=[b for b in n.domain.bases if b is not None],
+                             dtype=self.dtype, tensorsig=ts)
+                out.preset_data(
+                    self.dist.grid_layout,
+                    jnp.reshape(part, tuple(cs.dim for cs in ts)
+                                + part.shape[1:]),
+                    scales=scales)
+                memo[id(n)] = out
+        return memo or None
+
+    def _batched_backward(self, domain, data, scales):
+        """coeff (B, *cshape) -> grid (B, *gshape at scales), mirroring
+        Field.towards_grid_space (constrain-then-transform per axis) with
+        one leading batch axis."""
+        from .distributor import Layout
+        dist = self.dist
+        layout = dist.coeff_layout
+        while not all(layout.grid_space):
+            gs = list(layout.grid_space)
+            axis = len(gs) - 1 - gs[::-1].index(False)
+            basis = domain.bases[axis]
+            target = Layout(gs[:axis] + [True] + gs[axis + 1:])
+            if basis is not None:
+                data = dist.constrain(data, target, 1)
+                data = basis.backward_transform(
+                    data, 1 + axis, scales[axis], self.dtype)
+            layout = target
+        return data
+
+    def _grouped_forward(self, roots):
+        """Batch the RHS roots' forward transforms: grid-layout roots with
+        matching (bases, scales) go through one forward chain; the coeff
+        results are preset back onto the same Field objects."""
+        from .distributor import Layout
+        dist = self.dist
+        groups = {}
+        for F in roots:
+            if not all(F.layout.grid_space):
+                continue
+            if not any(b is not None for b in F.domain.bases):
+                continue
+            key = (tuple(id(b) for b in F.domain.bases), tuple(F.scales))
+            groups.setdefault(key, []).append(F)
+        for (bids, scales), fields in groups.items():
+            if len(fields) == 1 and fields[0].ncomp == 1:
+                continue                      # nothing to amortize
+            slabs = [jnp.reshape(F.data,
+                                 (F.ncomp,) + F.data.shape[len(F.tensorsig):])
+                     for F in fields]
+            data = jnp.concatenate(slabs, axis=0)
+            domain = fields[0].domain
+            layout = dist.grid_layout
+            while any(layout.grid_space):
+                gs = list(layout.grid_space)
+                axis = gs.index(True)
+                basis = domain.bases[axis]
+                if basis is not None:
+                    data = basis.forward_transform(
+                        data, 1 + axis, scales[axis], self.dtype)
+                gs[axis] = False
+                layout = Layout(gs)
+                data = dist.constrain(data, layout, 1)
+            off = 0
+            for F in fields:
+                nc = F.ncomp
+                part = data[off:off + nc]
+                off += nc
+                F.preset_data(
+                    dist.coeff_layout,
+                    jnp.reshape(part, F.tensor_shape + part.shape[1:]),
+                    scales=1)
 
     def traced_matrix_apply(self, name, state_flat):
         """

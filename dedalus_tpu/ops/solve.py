@@ -17,6 +17,9 @@ from functools import partial
 
 from ..utils.config import config
 
+import logging
+logger = logging.getLogger(__name__)
+
 
 def batched_matvec(A, X):
     """(G, R, C) @ (G, C) -> (G, R).
@@ -245,6 +248,38 @@ def fit_chebyshev_inverse(A_eval, G, n_nodes=16, bad_idx=()):
                 coeffs_host=coeffs, W_host=W)
 
 
+def _split3_bf16(A):
+    """Exact 3-term bfloat16 decomposition of an f32 array: bf16 shares the
+    f32 exponent and carries 8 mantissa bits, so A = a1 + a2 + a3 exactly."""
+    A = A.astype(jnp.float32)
+    a1 = A.astype(jnp.bfloat16)
+    r = A - a1.astype(jnp.float32)
+    a2 = r.astype(jnp.bfloat16)
+    a3 = (r - a2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return a1, a2, a3
+
+
+def matmul_f32x(X, B):
+    """True-f32 matmul as six bfloat16 MXU passes with f32 accumulation.
+    Backends whose 'f32' matmul silently runs at bfloat16 grade (and ignore
+    the HIGHEST precision hint) would otherwise cap iterative-refinement
+    contraction near 1e-1; the explicit split cannot be degraded."""
+    x1, x2, x3 = _split3_bf16(X)
+    b1, b2, b3 = _split3_bf16(B)
+    f32 = jnp.float32
+    mm = partial(jnp.matmul, preferred_element_type=f32)
+    Y = mm(x1, b1)
+    Y = Y + mm(x1, b2) + mm(x2, b1)
+    Y = Y + mm(x1, b3) + mm(x2, b2) + mm(x3, b1)
+    return Y
+
+
+def _weights_contract(weights, T):
+    """Y[g,p] = sum_q w[g,q] T[g,q,p] via broadcast-multiply + sum: VPU
+    elementwise f32 ops are exact, unlike the backend's matmul path."""
+    return jnp.sum(weights[:, :, None] * T, axis=1)
+
+
 def separable_apply(X, weights, Bcat, bad_idx=(), Abad=None):
     """
     Y[g] = sum_p weights[g,p] * (B_p X[g]) as one GEMM, with dense overrides
@@ -256,12 +291,24 @@ def separable_apply(X, weights, Bcat, bad_idx=(), Abad=None):
     """
     G, P = X.shape
     q = weights.shape[1]
-    Xc = X.astype(Bcat.dtype)
-    T = (Xc @ Bcat).reshape(G, q, P)          # (G,P)@(P,qP): the MXU GEMM
-    Y = jnp.einsum('gq,gqp->gp', weights.astype(Bcat.dtype), T).astype(X.dtype)
+    if Bcat.dtype == jnp.float32:
+        # Split-bf16 GEMM + exact VPU weights contraction: true f32 results
+        # even on backends whose f32 matmul runs bf16-grade
+        Xc = X.astype(jnp.float32)
+        T = matmul_f32x(Xc, Bcat).reshape(G, q, P)
+        Y = _weights_contract(weights.astype(jnp.float32), T).astype(X.dtype)
+    else:
+        Xc = X.astype(Bcat.dtype)
+        T = (Xc @ Bcat).reshape(G, q, P)      # (G,P)@(P,qP): the MXU GEMM
+        Y = jnp.einsum('gq,gqp->gp', weights.astype(Bcat.dtype),
+                       T).astype(X.dtype)
     if len(bad_idx):
         idx = jnp.asarray(bad_idx)
-        Yb = jnp.matmul(Abad, Xc[idx][..., None])[..., 0].astype(X.dtype)
+        if Abad.dtype == jnp.float32:
+            Yb = matmul_f32x(Xc[idx][:, None, :], jnp.swapaxes(Abad, 1, 2)
+                             )[:, 0, :].astype(X.dtype)
+        else:
+            Yb = jnp.matmul(Abad, Xc[idx][..., None])[..., 0].astype(X.dtype)
         Y = Y.at[idx].set(Yb)
     return Y
 
@@ -272,10 +319,20 @@ def separable_apply_pair(X, Bcat, wA, badA, CA, wB, badB, CB):
     of the compiled step on flop-bound devices."""
     G, P = X.shape
     qA = wA.shape[1]
-    Xc = X.astype(Bcat.dtype)
-    T = (Xc @ Bcat).reshape(G, -1, P)
-    YA = jnp.einsum('gq,gqp->gp', wA.astype(Bcat.dtype), T[:, :qA]).astype(X.dtype)
-    YB = jnp.einsum('gq,gqp->gp', wB.astype(Bcat.dtype), T[:, qA:]).astype(X.dtype)
+    if Bcat.dtype == jnp.float32:
+        Xc = X.astype(jnp.float32)
+        T = matmul_f32x(Xc, Bcat).reshape(G, -1, P)
+        YA = _weights_contract(wA.astype(jnp.float32),
+                               T[:, :qA]).astype(X.dtype)
+        YB = _weights_contract(wB.astype(jnp.float32),
+                               T[:, qA:]).astype(X.dtype)
+    else:
+        Xc = X.astype(Bcat.dtype)
+        T = (Xc @ Bcat).reshape(G, -1, P)
+        YA = jnp.einsum('gq,gqp->gp', wA.astype(Bcat.dtype),
+                        T[:, :qA]).astype(X.dtype)
+        YB = jnp.einsum('gq,gqp->gp', wB.astype(Bcat.dtype),
+                        T[:, qA:]).astype(X.dtype)
     if len(badA):
         idx = jnp.asarray(badA)
         Yb = jnp.matmul(CA, Xc[idx][..., None])[..., 0].astype(X.dtype)
@@ -371,10 +428,11 @@ class FactorizedStack:
             target = float(config.get('linear algebra', 'solve_target'))
         """
         Poly solve from an EXACT separable form (no fitting): Chebyshev-
-        interpolated inverse preconditioner with node inverses computed ON
-        DEVICE in f32 (batched getri on the MXU — the host here is a single
-        core, minutes per P~4k inverse) + f64 refinement against the exact
-        separable A.
+        interpolated inverse preconditioner (host-assembled f64 node
+        inverses and coefficients, stored f32) + refinement against the
+        exact separable A applied in f64. The finished fit is cached on disk
+        keyed by the matrix content, so reruns of the same configuration
+        skip the single-core host inverse cost entirely.
         """
         W = np.asarray(pf['weights'])
         B = np.asarray(pf['B'])                  # (d+1, P, P) f64
@@ -386,6 +444,25 @@ class FactorizedStack:
         Bcat = np.concatenate([B[p].T for p in range(B.shape[0])], axis=1)
         self.polyA = dict(weights=jnp.asarray(W), Bcat=jnp.asarray(Bcat),
                           bad_idx=bad_idx, Abad=jnp.asarray(Abad))
+        cpath = self._poly_cache_path(B, W, target)
+        if cpath is not None and cpath.exists():
+            try:
+                z = np.load(cpath)
+                self.pre = dict(weights=jnp.asarray(z['Wq']),
+                                Bcat=jnp.asarray(z['Bcat']),
+                                bad_idx=bad_idx)
+                if len(bad_idx):
+                    self.pre['Abad'] = jnp.asarray(z['Abad_inv'])
+                else:
+                    self.pre['Abad'] = jnp.zeros((0, P, P), dtype=jnp.float32)
+                self.refinements = int(z['refinements'])
+                self.rho = float(z['rho'])
+                logger.info("poly preconditioner: loaded cached fit "
+                            "(rho %.2e, %d refinements)", self.rho,
+                            self.refinements)
+                return
+            except Exception:
+                pass
         good = [g for g in range(G) if g not in bad_idx]
         x = ghat[good]
         x0, x1 = float(x.min()), float(x.max())
@@ -409,21 +486,47 @@ class FactorizedStack:
         rho = None
         rng = np.random.default_rng(12345)
         probes = good[:: max(1, len(good) // 4)][:4]
-        for q in (16, 24, 32, 48):
+        # Runtime cost model, in units of one (G, P) x (P, P) f32 GEMM:
+        # each solve does (refs + 1) preconditioner applies of width q and
+        # refs exact f64 applies of width qA (~3.5x f32 through the X64
+        # split). (refs + 1) * q is roughly invariant in q (the fit error
+        # shrinks geometrically), so LARGER fits trade preconditioner width
+        # for fewer expensive f64 refinement passes — probe upward while the
+        # modeled cost keeps improving instead of stopping at the first
+        # adequate contraction.
+        kA = 3.5 * B.shape[0]
+
+        def _refs_of(r):
+            return int(np.clip(
+                np.ceil(np.log(target) / np.log(max(r, 1e-7))) - 1,
+                1, max_refinements))
+
+        best = None
+        tried = set()
+        for q in (16, 32):
             q = min(q, max(4, 2 * G))
+            if q in tried:
+                continue
+            tried.add(q)
             t_nodes = np.cos((2 * np.arange(q) + 1) * np.pi / (2 * q))
             u_nodes = u_lo + (t_nodes + 1) * span / 2
             x_nodes = x0 - h + np.exp(u_nodes)
-            # Node inverses on device, f32 (preconditioner precision)
+            # Node inverses on HOST in f64, stored f32: device f32 getri on
+            # this class of backend runs at bfloat16 grade, which floors the
+            # fit contraction near 1e-1 and forces ~12 refinement passes.
             invs = []
             for xv in x_nodes:
-                An = A_eval_dev(float(xv)).astype(jnp.float32)
-                invs.append(jnp.linalg.inv(An))
-            inv_nodes = jnp.stack(invs)                      # (q, P, P) f32
+                powers = np.array([float(xv) ** p for p in range(B.shape[0])])
+                An = np.einsum('p,pij->ij', powers, B)
+                invs.append(np.linalg.inv(An))
+            inv_nodes = np.stack(invs)                       # (q, P, P) f64
+            # Chebyshev coefficients assembled on HOST in f64, stored f32:
+            # a device f32 einsum here would round the coefficient matrices
+            # at bfloat16 grade and bake ~1e-2 error into the preconditioner
             Tn = np.cos(np.outer(np.arange(q), np.arccos(t_nodes)))
-            coeffs = (2.0 / q) * jnp.einsum(
-                'cn,nab->cab', jnp.asarray(Tn, dtype=jnp.float32), inv_nodes)
-            coeffs = coeffs.at[0].divide(2.0)
+            coeffs = (2.0 / q) * np.einsum('cn,nab->cab', Tn, inv_nodes)
+            coeffs[0] /= 2.0
+            coeffs = coeffs.astype(np.float32)
             Wq = np.zeros((G, q))
             for g in good:
                 t = np.clip(2 * (u_of(ghat[g]) - u_lo) / span - 1, -1, 1)
@@ -431,13 +534,18 @@ class FactorizedStack:
             # Contraction factor: power iteration on R = I - P(g) A(g)
             rho = 0.0
             for g in probes:
-                Pg = jnp.einsum('q,qab->ab',
-                                jnp.asarray(Wq[g], dtype=jnp.float32), coeffs)
+                Pg = jnp.asarray(np.einsum(
+                    'q,qab->ab', Wq[g], coeffs.astype(np.float64)
+                ).astype(np.float32))
                 Ag = A_eval_dev(float(ghat[g]))
                 v = jnp.asarray(rng.standard_normal(P))
                 growth = 1.0
                 for _ in range(8):
-                    w = v - (Pg.astype(jnp.float64) @ (Ag @ v))
+                    # Apply the preconditioner exactly as the runtime does:
+                    # split-bf16 f32 matmul
+                    w = v - matmul_f32x(
+                        Pg, (Ag @ v).astype(jnp.float32)[:, None]
+                    )[:, 0].astype(jnp.float64)
                     nw = float(jnp.linalg.norm(w))
                     nv = float(jnp.linalg.norm(v))
                     growth = nw / max(nv, 1e-300)
@@ -445,17 +553,32 @@ class FactorizedStack:
                         break
                     v = w / nw
                 rho = max(rho, growth)
-            if rho < 0.3:
-                break
-        if rho >= 1.0:
+            if rho < 1.0:
+                cost = (_refs_of(rho) + 1) * q + _refs_of(rho) * kA
+                if best is None or cost < best['cost']:
+                    best = dict(q=q, coeffs=coeffs, Wq=Wq, rho=rho, cost=cost)
+                elif best['rho'] < 0.3:
+                    break          # cost rising and contraction adequate
+                if _refs_of(rho) <= 2:
+                    break          # near-floor refinement count: wider fits
+                                   # only add single-core host inverse time
+            if rho is not None and rho < 1e-6:
+                break              # at the f32 fit floor; wider buys nothing
+        if best is None:
             raise ValueError(
                 f"Chebyshev inverse preconditioner diverges (rho={rho:.2f})")
-        pre = dict(weights=jnp.asarray(Wq),
-                   Bcat=jnp.concatenate(
-                       [coeffs[j].T for j in range(coeffs.shape[0])], axis=1),
+        coeffs, Wq, rho = best['coeffs'], best['Wq'], best['rho']
+        logger.info("poly preconditioner: degree %d, rho %.2e, %d refinements",
+                    best['q'], rho, _refs_of(rho))
+        Bcat_pre = np.concatenate(
+            [coeffs[j].T for j in range(coeffs.shape[0])], axis=1)
+        pre = dict(weights=jnp.asarray(Wq), Bcat=jnp.asarray(Bcat_pre),
                    bad_idx=bad_idx)
+        Abad_inv = None
         if len(bad_idx):
-            pre['Abad'] = jnp.linalg.inv(jnp.asarray(Abad, dtype=jnp.float32))
+            Abad_inv = _scipy_inverse_stack(
+                np.asarray(Abad)).astype(np.float32)
+            pre['Abad'] = jnp.asarray(Abad_inv)
         else:
             pre['Abad'] = jnp.zeros((0, P, P), dtype=jnp.float32)
         self.pre = pre
@@ -463,6 +586,34 @@ class FactorizedStack:
         self.refinements = int(np.clip(
             np.ceil(np.log(target) / np.log(rate)) - 1, 1, max_refinements))
         self.rho = rho
+        if cpath is not None:
+            try:
+                np.savez(cpath, Wq=Wq, Bcat=Bcat_pre,
+                         Abad_inv=(Abad_inv if Abad_inv is not None
+                                   else np.zeros((0,), np.float32)),
+                         refinements=self.refinements, rho=rho)
+            except Exception:
+                pass
+
+    @staticmethod
+    def _poly_cache_path(B, W, target):
+        """On-disk cache location for a finished preconditioner fit, keyed
+        by the separable stack content (the host inverse assembly runs on a
+        single core and dominates repeat-run setup time)."""
+        import hashlib
+        import pathlib
+        import os
+        base = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+        try:
+            d = pathlib.Path(base)
+            d.mkdir(parents=True, exist_ok=True)
+        except Exception:
+            return None
+        h = hashlib.sha1()
+        h.update(np.ascontiguousarray(B).tobytes())
+        h.update(np.ascontiguousarray(W).tobytes())
+        h.update(np.float64(target).tobytes())
+        return d / f"polyfit_{h.hexdigest()[:20]}.npz"
 
     def _build_poly(self, A, target=None, max_refinements=12):
         if target is None:
