@@ -16,10 +16,11 @@ steps (~1200 steps at safety 0.5, max_dt 0.125) that is roughly
 The reference itself cannot run here (no mpi4py/FFTW), so vs_baseline
 reports our throughput against that estimate.
 
-Current record (2026-08-17): 4.62M DOF*steps/sec at 1024x256 (226.8 ms/step)
-after the split-bf16 preconditioner applies + host-assembled Chebyshev
-coefficients dropped refinements from 12 to 2 and grouped RHS transforms
-batched the per-field transform chains.
+Current record (2026-08-17): 4.91M DOF*steps/sec at 1024x256 (213.6 ms/step).
+Cumulative 1.7x over the round-1 path: split-bf16 preconditioner applies +
+host-assembled Chebyshev coefficients (refinements 12 -> 2), grouped RHS
+transforms, and the derived-LX scan step (L X reconstructed from the
+previous solve identity, removing the L GEMM from every step).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

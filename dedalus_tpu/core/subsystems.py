@@ -230,7 +230,26 @@ class LazyCombined:
             W[g] = 0.0
         Abad = np.stack([self.group(g) for g in bad_idx]) if bad_idx \
             else np.zeros((0, P, P))
-        return dict(weights=W, B=B, bad_idx=bad_idx, Abad=Abad, ghat=ghat)
+        # Sparse coefficient matrices (same content as B): node matrices of
+        # the Chebyshev inverse fit factor ~1000x faster through sparse LU
+        # than dense LAPACK on a single-core host at large P
+        B_sparse = []
+        for p in range(degree + 1):
+            Sp = None
+            for name, c in self.coeffs.items():
+                s = seps[name]
+                if p < len(s.B):
+                    term = c * s.B[p]
+                    Sp = term if Sp is None else Sp + term
+            Sp = Sp.tocsr() if Sp is not None else sparse.csr_matrix((P, P))
+            if p == 0:
+                piv = sparse.csr_matrix(
+                    (np.ones(inv_rows.size), (inv_rows, inv_cols)),
+                    shape=(P, P))
+                Sp = (Sp + piv).tocsr()
+            B_sparse.append(Sp)
+        return dict(weights=W, B=B, bad_idx=bad_idx, Abad=Abad, ghat=ghat,
+                    B_sparse=B_sparse)
 
 
 def _pivot_key(pair):

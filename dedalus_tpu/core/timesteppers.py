@@ -226,6 +226,7 @@ class MultistepIMEX(TimestepperBase):
                 self._poly_BML = jnp.concatenate([pm['Bcat'], pl['Bcat']],
                                                  axis=1)
             mats = {'wM': pm['weights'], 'BML': self._poly_BML, 'CM': pm['Abad'],
+                    'BM': pm['Bcat'],
                     'wL': pl['weights'], 'CL': pl['Abad'],
                     'wA': pa['weights'], 'BA': pa['Bcat'], 'CA': pa['Abad'],
                     'wP': pr['weights'], 'BP': pr['Bcat'], 'CP': pr['Abad']}
@@ -237,13 +238,19 @@ class MultistepIMEX(TimestepperBase):
         # holds only its groups' factors — the multi-chip memory win)
         return self.solver.dist.device_put_pencils(mats, self.pencil.G)
 
-    def _build_compiled(self):
+    def _build_compiled(self, derive_lx=False):
+        """derive_lx (poly scans only): instead of applying L explicitly,
+        reconstruct L X from the PREVIOUS solve's identity
+        a0 M X + b0 L X = RHS (exact to the solve residual), carrying the
+        RHS through the scan — this removes the dominant f64 L GEMM from
+        every step, leaving only the small mass-matrix apply."""
         solver = self.solver
         pencil = self.pencil
         rv = pencil.row_valid_dev
         matrix_free = (solver.matsolver == 'matrix_free')
         poly = (solver.matsolver == 'poly')
         banded = (solver.matsolver == 'banded')
+        derive_lx = bool(derive_lx) and poly
         if banded:
             bM, bL = self._banded_ml()
             applyM, applyL = bM.apply_fn(), bL.apply_fn()
@@ -262,7 +269,7 @@ class MultistepIMEX(TimestepperBase):
             refinements = getattr(solver, 'refinements', 1)
         sep = ops_solve.separable_apply
 
-        def step_impl(state_flat, t, MXh, LXh, Fh, a, b, c, mats):
+        def step_impl(state_flat, t, MXh, LXh, Fh, rhs_prev, a, b, c, mats):
             if matrix_free:
                 # Structured operator applications: many small per-axis
                 # matmuls, avoiding XLA's slow dense batched f64 applies
@@ -272,6 +279,11 @@ class MultistepIMEX(TimestepperBase):
                 X = pencil.gather_state(state_flat)
                 MX0 = applyM(mats['M'], X)
                 LX0 = applyL(mats['L'], X)
+            elif derive_lx:
+                X = pencil.gather_state(state_flat)
+                MX0 = ops_solve.separable_apply(
+                    X, mats['wM'], mats['BM'], badM, mats['CM'])
+                LX0 = (rhs_prev - a[0] * MX0) / b[0]
             elif poly:
                 X = pencil.gather_state(state_flat)
                 MX0, LX0 = ops_solve.separable_apply_pair(
@@ -322,7 +334,7 @@ class MultistepIMEX(TimestepperBase):
                 Xnew = solve_fn(mats['s1'], mats['s2'], RHS)
             out = jnp.zeros_like(state_flat)
             out = out.at[pencil.var_index_map_dev].add(Xnew)
-            return out, MXh, LXh, Fh
+            return out, MXh, LXh, Fh, RHS
 
         return step_impl
 
@@ -345,12 +357,13 @@ class MultistepIMEX(TimestepperBase):
         t = jnp.asarray(solver.sim_time)
         raw = self._build_compiled() if self._compiled is None else None
         args = (state_flat, t, self.MX, self.LX, self.F,
+                jnp.zeros_like(self.MX[0]),
                 jnp.asarray(a), jnp.asarray(b), jnp.asarray(c),
                 self._step_mats(fact))
         if self._compiled is None:
             conv, self._compiled_consts = _hoist_closure_constants(raw, args)
             self._compiled = jax.jit(conv)
-        new_state, self.MX, self.LX, self.F = self._compiled(
+        new_state, self.MX, self.LX, self.F, _rhs = self._compiled(
             *args, *self._compiled_consts)
         pencil.unflatten_fields(new_state, solver.state)
         solver.sim_time = solver.sim_time + dt
@@ -395,26 +408,41 @@ class MultistepIMEX(TimestepperBase):
             self._scan_cache = {}
         state_flat = solver.state_flat()
         t0 = jnp.asarray(solver.sim_time)
-        step_impl = self._build_compiled() if n_steps not in self._scan_cache \
-            else None
-        args = (state_flat, t0, self.MX, self.LX, self.F, a, b, c,
-                jnp.asarray(dt), self._step_mats(fact))
+        derive = (solver.matsolver == 'poly')
+        step_impl = self._build_compiled(derive_lx=derive) \
+            if n_steps not in self._scan_cache else None
+        mats = self._step_mats(fact)
+        if derive:
+            # Seed the carried RHS with a0 M x + b0 L x of the incoming
+            # state (one eager pair apply), so the first scan iteration's
+            # derived L X is exact
+            pm, pl = self._poly_ml()
+            X0 = self.pencil.gather_state(state_flat)
+            MX0i, LX0i = ops_solve.separable_apply_pair(
+                X0, mats['BML'], mats['wM'], pm['bad_idx'], mats['CM'],
+                mats['wL'], pl['bad_idx'], mats['CL'])
+            rhs0 = float(a[0]) * MX0i + float(b[0]) * LX0i
+        else:
+            rhs0 = jnp.zeros_like(self.MX[0])
+        args = (state_flat, t0, self.MX, self.LX, self.F, rhs0, a, b, c,
+                jnp.asarray(dt), mats)
         if n_steps not in self._scan_cache:
 
-            def run(state, t0, MXh, LXh, Fh, av, bv, cv, dtv, mats):
+            def run(state, t0, MXh, LXh, Fh, rhs0, av, bv, cv, dtv, mats):
                 def body(carry, _):
-                    st, t, MXc, LXc, Fc = carry
-                    st, MXc, LXc, Fc = step_impl(st, t, MXc, LXc, Fc,
-                                                 av, bv, cv, mats)
-                    return (st, t + dtv, MXc, LXc, Fc), None
-                carry, _ = jax.lax.scan(body, (state, t0, MXh, LXh, Fh),
-                                        None, length=n_steps)
+                    st, t, MXc, LXc, Fc, rhs = carry
+                    st, MXc, LXc, Fc, rhs = step_impl(st, t, MXc, LXc, Fc,
+                                                      rhs, av, bv, cv, mats)
+                    return (st, t + dtv, MXc, LXc, Fc, rhs), None
+                carry, _ = jax.lax.scan(
+                    body, (state, t0, MXh, LXh, Fh, rhs0), None,
+                    length=n_steps)
                 return carry
 
             conv, consts = _hoist_closure_constants(run, args)
             self._scan_cache[n_steps] = (jax.jit(conv), consts)
         fn, consts = self._scan_cache[n_steps]
-        state, t, self.MX, self.LX, self.F = fn(*args, *consts)
+        state, t, self.MX, self.LX, self.F, _rhs = fn(*args, *consts)
         pencil.unflatten_fields(state, solver.state)
         solver.sim_time = solver.sim_time + dt * n_steps
         solver.iteration += n_steps

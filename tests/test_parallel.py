@@ -76,8 +76,10 @@ def test_distributed_step_has_collectives():
     mats = ts._step_mats(fact)
     fn, consts = next(iter(ts._scan_cache.values()))
     a = jnp.zeros(3)
+    rhs0 = jnp.zeros_like(ts.MX[0])
     txt = fn.lower(solver.state_flat(), jnp.asarray(0.0), ts.MX, ts.LX, ts.F,
-                   a, a, a, jnp.asarray(1e-3), mats, *consts).compile().as_text()
+                   rhs0, a, a, a, jnp.asarray(1e-3), mats,
+                   *consts).compile().as_text()
     assert txt.count("all-to-all") >= 2  # x-transposes each way
 
 
