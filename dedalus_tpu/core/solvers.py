@@ -380,9 +380,18 @@ class EigenvalueSolver(SolverBase):
         self.modified_left_eigenvectors = self._embed(
             np.asarray(M_red.conj().T @ pre_left), cv)
         if normalize_left:
+            # Guard degenerate (zero) biorthogonal norms: leave those modes
+            # unnormalized and warn, instead of dividing by zero (parity:
+            # reference solvers.py:216-222 tolerates defective pairings).
             norms = np.diag(pre_left.conj().T @ (M_red @ pre_right))
-            self.left_eigenvectors = self.left_eigenvectors / np.conj(norms)
-            self.modified_left_eigenvectors = self.modified_left_eigenvectors / np.conj(norms)
+            finite = np.abs(norms) > 1e3 * np.finfo(norms.dtype).tiny
+            if not np.all(finite):
+                logger.warning(
+                    "Skipping left-eigenvector normalization for %d mode(s) "
+                    "with zero biorthogonal norm", int(np.sum(~finite)))
+            safe = np.where(finite, np.conj(norms), 1.0)
+            self.left_eigenvectors = self.left_eigenvectors / safe
+            self.modified_left_eigenvectors = self.modified_left_eigenvectors / safe
 
     def solve_dense(self, subproblem=None, sp_index=0, left=False,
                     normalize_left=True, **kw):
@@ -530,6 +539,7 @@ class InitialValueSolver(SolverBase):
         from .evaluator import Evaluator
         self.evaluator = Evaluator(self.dist, dict(self.problem.namespace))
         self.F_handler = None
+        self._chunk_history = []  # compiled-chunk lengths (diagnostics)
 
     # --- time bookkeeping ---
 
@@ -590,38 +600,61 @@ class InitialValueSolver(SolverBase):
         self._maybe_enforce_real()
         self.iteration += 1
 
-    def _handler_chunk(self, dt):
-        """Largest scan chunk that still hits every handler cadence exactly:
-        the gcd of the handlers' iteration cadences (sim_dt cadences are
-        converted at the current fixed dt)."""
-        import math
-        cadences = []
+    def _steps_to_next_fire(self, dt, max_n):
+        """Steps until the next handler firing (exact for iter and sim_dt
+        cadences, matching Handler.check_schedule's crossing semantics;
+        wall_dt cadences are bounded by the measured step rate so a wall-dt
+        handler coexists with long compiled chunks). Returns None when no
+        handler is scheduled at all. Parity: ref evaluator.py:246."""
+        have_schedule = False
+        n_next = max_n
         for h in self.evaluator.handlers:
             if not h.tasks:
                 continue
             if h.iter is not None:
-                cadences.append(max(1, int(h.iter)))
+                have_schedule = True
+                it = max(1, int(h.iter))
+                n_next = min(n_next, it - (self.iteration % it))
             if h.sim_dt is not None:
-                cadences.append(max(1, int(round(h.sim_dt / dt))))
-            if h.wall_dt is not None or h.custom_schedule is not None:
-                cadences.append(1)
-        if not cadences:
+                have_schedule = True
+                sd = float(h.sim_dt)
+                # Next crossing of a sim_dt multiple (same epsilon as
+                # Handler.check_schedule)
+                k = int((self.sim_time + 1e-12) // sd)
+                n = int(np.ceil(((k + 1) * sd - self.sim_time - 1e-12) / dt))
+                n_next = min(n_next, max(1, n))
+            if h.wall_dt is not None:
+                have_schedule = True
+                est = getattr(self, '_est_step_wall', None)
+                if est:
+                    elapsed = self.wall_time - self.start_time
+                    rem = h.wall_dt - (elapsed % h.wall_dt)
+                    n_next = min(n_next, max(1, int(rem / est) + 1))
+                else:
+                    # No rate estimate yet: short first chunk to calibrate
+                    n_next = min(n_next, 10)
+            if h.custom_schedule is not None:
+                have_schedule = True
+                n_next = 1
+        if not have_schedule:
             return None
-        return math.gcd(*cadences) if len(cadences) > 1 else cadences[0]
+        return max(1, n_next)
 
     def run_steps(self, dt, n_steps, evaluate_handlers=True):
         """
         Advance n_steps at fixed dt through compiled lax.scan chunks (no host
-        round-trips between steps). When analysis handlers are scheduled, the
-        scan is chunked at the gcd of their cadences and handlers fire
-        between chunks — the compiled main loop and file output coexist
+        round-trips between steps). When analysis handlers are scheduled, each
+        chunk runs exactly to the next handler firing (next-fire computation,
+        exact for sim_dt cadences that are not multiples of dt) and handlers
+        fire between chunks — the compiled main loop and file output coexist
         (parity with the reference's every-step handler evaluation,
-        evaluator.py:90, at scan speed for coarse cadences).
+        evaluator.py:90,246, at scan speed for coarse cadences).
         """
         dt, n_steps = float(dt), int(n_steps)
         if self.iteration == self.warmup_iterations:
             self.warmup_time = self.wall_time
-        chunk = self._handler_chunk(dt) if evaluate_handlers else None
+        chunk = (self._steps_to_next_fire(dt, n_steps)
+                 if evaluate_handlers else None)
         if chunk is None:
             self.timestepper.run_steps(dt, n_steps)
         else:
@@ -632,9 +665,12 @@ class InitialValueSolver(SolverBase):
                     iteration=self.iteration,
                     wall_time=self.wall_time - self.start_time,
                     sim_time=self.sim_time, timestep=dt)
-                # Advance to the next cadence boundary
-                n = min(chunk - (self.iteration % chunk) or chunk, n_steps - done)
+                # Advance to the next firing (bounded by remaining steps)
+                n = self._steps_to_next_fire(dt, n_steps - done)
+                t_chunk = self.wall_time
                 self.timestepper.run_steps(dt, n)
+                self._est_step_wall = (self.wall_time - t_chunk) / n
+                self._chunk_history.append(n)
                 done += n
             self.evaluator.evaluate_scheduled(
                 iteration=self.iteration,

@@ -431,6 +431,8 @@ class PencilSystem:
         if allow_slot_split and config.get(
                 'matrix assembly', 'slot_split', fallback='True') == 'True':
             self._try_slot_split()
+        self.G_real = self.G
+        self._pad_groups()
 
     # --- layout ---
 

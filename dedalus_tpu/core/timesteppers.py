@@ -409,8 +409,6 @@ class MultistepIMEX(TimestepperBase):
         state_flat = solver.state_flat()
         t0 = jnp.asarray(solver.sim_time)
         derive = (solver.matsolver == 'poly')
-        step_impl = self._build_compiled(derive_lx=derive) \
-            if n_steps not in self._scan_cache else None
         mats = self._step_mats(fact)
         if derive:
             # Seed the carried RHS with a0 M x + b0 L x of the incoming
@@ -424,24 +422,27 @@ class MultistepIMEX(TimestepperBase):
             rhs0 = float(a[0]) * MX0i + float(b[0]) * LX0i
         else:
             rhs0 = jnp.zeros_like(self.MX[0])
+        # ONE compiled program serves every chunk length: the trip count is a
+        # dynamic argument of a lax.while_loop (fori_loop), so handler-chunked
+        # runs and warmup/bench runs of different lengths share a single
+        # (expensive, remote) compilation instead of one per scan length.
         args = (state_flat, t0, self.MX, self.LX, self.F, rhs0, a, b, c,
-                jnp.asarray(dt), mats)
-        if n_steps not in self._scan_cache:
+                jnp.asarray(dt), jnp.asarray(n_steps, dtype=jnp.int32), mats)
+        if 'run' not in self._scan_cache:
+            step_impl = self._build_compiled(derive_lx=derive)
 
-            def run(state, t0, MXh, LXh, Fh, rhs0, av, bv, cv, dtv, mats):
-                def body(carry, _):
+            def run(state, t0, MXh, LXh, Fh, rhs0, av, bv, cv, dtv, nv, mats):
+                def body(_, carry):
                     st, t, MXc, LXc, Fc, rhs = carry
                     st, MXc, LXc, Fc, rhs = step_impl(st, t, MXc, LXc, Fc,
                                                       rhs, av, bv, cv, mats)
-                    return (st, t + dtv, MXc, LXc, Fc, rhs), None
-                carry, _ = jax.lax.scan(
-                    body, (state, t0, MXh, LXh, Fh, rhs0), None,
-                    length=n_steps)
-                return carry
+                    return (st, t + dtv, MXc, LXc, Fc, rhs)
+                return jax.lax.fori_loop(
+                    0, nv, body, (state, t0, MXh, LXh, Fh, rhs0))
 
             conv, consts = _hoist_closure_constants(run, args)
-            self._scan_cache[n_steps] = (jax.jit(conv), consts)
-        fn, consts = self._scan_cache[n_steps]
+            self._scan_cache['run'] = (jax.jit(conv), consts)
+        fn, consts = self._scan_cache['run']
         state, t, self.MX, self.LX, self.F, _rhs = fn(*args, *consts)
         pencil.unflatten_fields(state, solver.state)
         solver.sim_time = solver.sim_time + dt * n_steps
@@ -701,21 +702,21 @@ class RungeKuttaIMEX(TimestepperBase):
         t0 = jnp.asarray(solver.sim_time)
         ML = solver.dist.device_put_pencils(
             (pencil.matrices['M'], pencil.matrices['L']), pencil.G)
-        args = (state_flat, t0, s1, s2, jnp.asarray(k), *ML)
-        if n_steps not in self._scan_cache:
+        args = (state_flat, t0, s1, s2, jnp.asarray(k),
+                jnp.asarray(n_steps, dtype=jnp.int32), *ML)
+        if 'run' not in self._scan_cache:
             step_impl = self._build_compiled()
 
-            def run(state, t0, sa, sb, dtv, Mm, Lm):
-                def body(carry, _):
+            def run(state, t0, sa, sb, dtv, nv, Mm, Lm):
+                def body(_, carry):
                     st, t = carry
                     st = step_impl(st, t, dtv, sa, sb, Mm, Lm)
-                    return (st, t + dtv), None
-                carry, _ = jax.lax.scan(body, (state, t0), None, length=n_steps)
-                return carry
+                    return (st, t + dtv)
+                return jax.lax.fori_loop(0, nv, body, (state, t0))
 
             conv, consts = _hoist_closure_constants(run, args)
-            self._scan_cache[n_steps] = (jax.jit(conv), consts)
-        fn, consts = self._scan_cache[n_steps]
+            self._scan_cache['run'] = (jax.jit(conv), consts)
+        fn, consts = self._scan_cache['run']
         state, t = fn(*args, *consts)
         pencil.unflatten_fields(state, solver.state)
         solver.sim_time = solver.sim_time + k * n_steps

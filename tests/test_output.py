@@ -134,6 +134,68 @@ def test_handlers_fire_during_run_steps(tmp_path):
     assert np.abs(d_scan - d_loop).max() < 1e-13
 
 
+def test_sim_dt_cadence_exact_under_run_steps(tmp_path):
+    """sim_dt cadences that are NOT multiples of dt must fire at exactly the
+    same iterations under run_steps as under the per-step loop (next-fire
+    scheduling; parity: reference evaluator.py:246)."""
+    import h5py
+    import dedalus_tpu.public as d3
+    from dedalus_tpu.models.rbc import build_rbc_problem
+
+    dt = 1e-3
+    sim_dt = 0.0037  # not a multiple of dt
+
+    def run(use_run_steps, sub):
+        problem, ctx = build_rbc_problem(16, 8, Rayleigh=1e4)
+        solver = problem.build_solver(d3.SBDF2)
+        b = ctx['b']
+        z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
+        Lz = ctx['Lz']
+        b.fill_random('g', seed=3, distribution='normal', scale=1e-3)
+        b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+        h = solver.evaluator.add_file_handler(tmp_path / sub, sim_dt=sim_dt,
+                                              mode='overwrite')
+        h.add_task(b, name='b')
+        if use_run_steps:
+            solver.run_steps(dt, 31)
+        else:
+            for _ in range(31):
+                solver.step(dt)
+        files = sorted((tmp_path / sub).glob('*.h5'))
+        with h5py.File(files[0], 'r') as f:
+            return (np.asarray(f['tasks/b']), np.asarray(f['scales/iteration']),
+                    np.asarray(f['scales/sim_time']))
+
+    d_scan, it_scan, t_scan = run(True, 'scan')
+    d_loop, it_loop, t_loop = run(False, 'loop')
+    assert np.array_equal(it_scan, it_loop)
+    np.testing.assert_allclose(t_scan, t_loop, atol=1e-14)
+    assert np.abs(d_scan - d_loop).max() < 1e-13
+
+
+def test_wall_dt_handler_keeps_chunks(tmp_path):
+    """A wall_dt handler must not collapse run_steps to per-step dispatch:
+    the scan still runs multi-step chunks (bounded by the measured rate)."""
+    import dedalus_tpu.public as d3
+    from dedalus_tpu.models.rbc import build_rbc_problem
+
+    problem, ctx = build_rbc_problem(16, 8, Rayleigh=1e4)
+    solver = problem.build_solver(d3.SBDF2)
+    b = ctx['b']
+    z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
+    Lz = ctx['Lz']
+    b.fill_random('g', seed=3, distribution='normal', scale=1e-3)
+    b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+    h = solver.evaluator.add_file_handler(tmp_path / 'wall', wall_dt=3600,
+                                          mode='overwrite')
+    h.add_task(b, name='b')
+    solver.run_steps(1e-3, 60)
+    assert solver.iteration == 60
+    # With an hour-long wall cadence the rate-bounded chunks must be large:
+    # the compiled scan ran with multi-step lengths, not per-step dispatch.
+    assert any(n > 1 for n in solver._chunk_history), solver._chunk_history
+
+
 def _simple_solver(tmp_path, dtype=np.float64):
     c = d3.Coordinate('x')
     dist = d3.Distributor(c, dtype=dtype)
