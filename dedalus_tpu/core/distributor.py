@@ -97,8 +97,10 @@ class Distributor:
         coeff space and axis r+1 once it has been transformed — reproducing
         the reference's layout chain (coeff: first R axes distributed; grid:
         axis 0 local, axes 1..R distributed; ref distributor.py:59-75).
-        Mesh dims whose target axis size does not divide the mesh extent are
-        left replicated (safe fallback).
+        Non-divisible axis extents are fine here: these specs are applied as
+        with_sharding_constraint inside traced code, where GSPMD pads uneven
+        shards internally (the reference's uneven-block distribution,
+        transposes.pyx:77-99, falls out of the compiler).
         """
         mesh = self.mesh
         if mesh is None:
@@ -111,7 +113,7 @@ class Distributor:
             if axis >= self.dim:
                 continue
             data_axis = n_tensor + axis
-            if shape[data_axis] % mesh.shape[name] == 0 and spec[data_axis] is None:
+            if shape[data_axis] >= mesh.shape[name] and spec[data_axis] is None:
                 spec[data_axis] = name
         return PartitionSpec(*spec)
 

@@ -496,6 +496,7 @@ class PencilSystem:
         # Device copies
         self.var_index_map_dev = jnp.asarray(self.var_index_map)
         self.row_valid_dev = jnp.asarray(self.row_valid)
+        self.col_valid_dev = jnp.asarray(self.col_valid)
 
     def _coeff_shape(self, field):
         shape = tuple(cs.dim for cs in field.tensorsig)
@@ -759,6 +760,7 @@ class PencilSystem:
         self.eq_index_maps = new_eq_maps
         self.var_index_map_dev = jnp.asarray(self.var_index_map)
         self.row_valid_dev = jnp.asarray(self.row_valid)
+        self.col_valid_dev = jnp.asarray(self.col_valid)
         self.matrices_scipy = new_scipy
         coupled_new = list(sp0.coupled)
         coupled_new[colat_axis] = False
@@ -798,6 +800,71 @@ class PencilSystem:
                 "Slot-split stacks (G=%d, P=%d) still exceed "
                 "max_dense_stack_gb; keeping sparse form", self.G, Rs)
         self.slot_split = (Gs, L)
+
+    def _pad_groups(self):
+        """
+        Pad the group axis to a multiple of the device-mesh size with fully
+        invalid groups (all rows/cols invalid -> identity pivots, zero
+        matrices, zero RHS), so pencil stacks, factorizations, and histories
+        shard evenly over the mesh at ANY problem size — the framework-level
+        equivalent of the reference's uneven block distribution
+        (ref transposes.pyx:77-99, distributor.py:357-401). Pad groups are
+        exact no-ops: their RHS is masked to zero by row_valid, the pivoted
+        identity solve returns zero, and their scatter indices all point at
+        state position 0 with zero values.
+        """
+        mesh = self.dist.mesh
+        if mesh is None:
+            return
+        n_mesh = int(prod(tuple(mesh.shape[n] for n in mesh.axis_names)))
+        G = self.G
+        Gp = -(-G // n_mesh) * n_mesh
+        if Gp == G:
+            return
+        pad = Gp - G
+        R, C = self.R, self.C
+        self.var_index_map = np.concatenate(
+            [self.var_index_map, np.zeros((pad, C), dtype=np.int32)])
+        self.col_valid = np.concatenate(
+            [self.col_valid, np.zeros((pad, C), dtype=bool)])
+        self.row_valid = np.concatenate(
+            [self.row_valid, np.zeros((pad, R), dtype=bool)])
+        self.eq_index_maps = [
+            np.concatenate([m, np.zeros((pad, m.shape[1]), dtype=np.int32)])
+            for m in self.eq_index_maps]
+        self.var_index_map_dev = jnp.asarray(self.var_index_map)
+        self.row_valid_dev = jnp.asarray(self.row_valid)
+        self.col_valid_dev = jnp.asarray(self.col_valid)
+        for g in range(pad):
+            self.pivot_pairs.append((np.arange(R), np.arange(C)))
+        # Matrices: zero content (identity pivots are installed downstream)
+        zero = sparse.csr_matrix((R, C), dtype=self.dtype)
+        for name in list(self.matrices_scipy):
+            mats = self.matrices_scipy[name]
+            if isinstance(mats, SeparableMatrixStack):
+                mats.G = Gp
+                mats.ghat = np.concatenate(
+                    [mats.ghat, np.full(pad, mats.ghat[0])])
+                for g in range(G, Gp):
+                    mats.bad[g] = zero
+            else:
+                mats.extend([zero] * pad)
+        if self._stacks_np is not None:
+            for name in list(self.matrices):
+                stack = np.concatenate(
+                    [self._stacks_np[name],
+                     np.zeros((pad, R, C), dtype=self.dtype)])
+                self._stacks_np[name] = stack
+                self.matrices[name] = jnp.asarray(stack)
+        # Dummy subproblems so per-group consumers stay index-aligned
+        last = self.subproblems[-1]
+        self.subproblems = list(self.subproblems) + [
+            Subproblem(self.dist, last.coupled, last.group,
+                       dict(last.group_wavenumbers))
+            for _ in range(pad)]
+        self.G = Gp
+        logger.info("Padded pencil groups %d -> %d for even sharding over "
+                    "%d mesh devices", G, Gp, n_mesh)
 
     def _try_sampled_assembly(self, names):
         """
@@ -1036,8 +1103,12 @@ class PencilSystem:
 
     def gather_state(self, state_flat):
         """(state_total,) -> (G, C) pencil matrix (group-sharded when a mesh
-        is active: groups are embarrassingly parallel across devices)."""
-        return self.dist.constrain_pencils(state_flat[self.var_index_map_dev])
+        is active: groups are embarrassingly parallel across devices). Invalid
+        entries are masked: their matrix columns are structurally zero
+        (assemble_group masks Dr A Dc), and mesh-padding groups gather from
+        state position 0, which carries live data."""
+        X = state_flat[self.var_index_map_dev] * self.col_valid_dev
+        return self.dist.constrain_pencils(X)
 
     def scatter_state(self, X):
         """(G, C) -> (state_total,) (invalid entries are zero so adds are safe)."""

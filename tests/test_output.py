@@ -49,11 +49,80 @@ def test_file_handler_roundtrip(tmp_path):
 
 
 def test_quad_mesh():
-    from dedalus_tpu.extras.plot_tools import quad_mesh
+    from dedalus_tpu.extras.plot_tools import quad_mesh, get_1d_vertices
     x = np.linspace(0, 1, 5)
     y = np.linspace(0, 2, 7)
     xe, ye = quad_mesh(x, y)
-    assert xe.shape == (6, 8)
+    # Reference convention: x along the LAST mesh axis (plot_tools.py:427)
+    assert xe.shape == (8, 6) and ye.shape == (8, 6)
+    v = get_1d_vertices(x)
+    assert np.allclose(v[1:-1], (x[:-1] + x[1:]) / 2)
+    v_cut = get_1d_vertices(x, cut_edges=True)
+    assert v_cut[0] == x[0] and v_cut[-1] == x[-1]
+
+
+def test_plot_bot_family(tmp_path):
+    """plot_bot / plot_bot_2d / plot_bot_3d / MultiFigure produce figures
+    from datasets and live Fields (parity: ref plot_tools.py:54-327)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from dedalus_tpu.extras.plot_tools import (
+        plot_bot_2d, plot_bot_3d, MultiFigure, Box, Frame, pad_limits,
+        quad_mesh)
+
+    # Live 2D field
+    coords = d3.CartesianCoordinates('x', 'z')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    xb = d3.RealFourier(coords['x'], size=16, bounds=(0, 2 * np.pi))
+    zb = d3.ChebyshevT(coords['z'], size=8, bounds=(0, 1))
+    u = dist.Field(name='u', bases=(xb, zb))
+    x, z = dist.local_grids(xb, zb, scales=1)
+    u.change_scales(1)
+    u['g'] = np.sin(x) * z
+    u.require_grid_space()
+    paxes, caxes = plot_bot_2d(u, even_scale=True)
+    assert paxes.figure is caxes.figure
+    plt.close('all')
+
+    # 3D slice via a fake h5py-like dataset
+    class FakeDim:
+        def __init__(self, g, label):
+            self._g, self.label = g, label
+        def __getitem__(self, item):
+            return self._g
+
+    class FakeDset:
+        def __init__(self, data, grids, labels):
+            self._d = data
+            self.shape = data.shape
+            self.attrs = {'name': 'fake'}
+            self.dims = [FakeDim(g, l) for g, l in zip(grids, labels)]
+        def __getitem__(self, item):
+            return self._d[item]
+
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((4, 6, 5))
+    grids = [np.linspace(0, 1, n) for n in data.shape]
+    ds = FakeDset(data, grids, ['x', 'y', 'z'])
+    paxes, _ = plot_bot_3d(ds, 'y', 2)
+    # The slice normal to y shows the (x, z) plane
+    assert paxes.get_xlabel() == 'x' and paxes.get_ylabel() == 'z'
+    plt.close('all')
+
+    # MultiFigure panel layout
+    mf = MultiFigure(2, 3, Box(2, 2), Frame(0.2, 0.2, 0.2, 0.2),
+                     Frame(0.1, 0.1, 0.1, 0.1))
+    ax = mf.add_axes(1, 2, (0, 0, 1, 1))
+    assert ax.figure is mf.figure
+    w, h = mf.figure.get_size_inches()
+    assert h == int(h)  # integer rectification
+    plt.close('all')
+
+    # pad_limits covers the meshes
+    xm, ym = quad_mesh(grids[0], grids[1])
+    x0, x1, y0, y1 = pad_limits(xm, ym, xpad=0.1)
+    assert x0 < xm.min() and x1 > xm.max()
 
 
 def test_overwrite_mode_removes_stale_sets(tmp_path):

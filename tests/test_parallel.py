@@ -78,9 +78,38 @@ def test_distributed_step_has_collectives():
     a = jnp.zeros(3)
     rhs0 = jnp.zeros_like(ts.MX[0])
     txt = fn.lower(solver.state_flat(), jnp.asarray(0.0), ts.MX, ts.LX, ts.F,
-                   rhs0, a, a, a, jnp.asarray(1e-3), mats,
+                   rhs0, a, a, a, jnp.asarray(1e-3),
+                   jnp.asarray(3, jnp.int32), mats,
                    *consts).compile().as_text()
     assert txt.count("all-to-all") >= 2  # x-transposes each way
+
+
+@pytest.mark.parametrize("shape", [(36, 16), (40, 18)])
+def test_distributed_odd_sizes_match_serial(shape):
+    """Sizes that do NOT divide the mesh still shard and match serial:
+    pencil groups are padded to a mesh multiple inside the framework and
+    GSPMD pads uneven grid shards (ref transposes.pyx:77-99 uneven blocks)."""
+    Nx, Nz = shape
+
+    def run(mesh, n_steps=4):
+        problem, ctx = build_rbc_problem(Nx, Nz, Rayleigh=1e5, mesh=mesh)
+        solver = problem.build_solver(d3.SBDF2)
+        b = ctx['b']
+        z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
+        Lz = ctx['Lz']
+        b.fill_random('g', seed=42, distribution='normal', scale=1e-3)
+        b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+        solver.run_steps(1e-3, n_steps)
+        return np.asarray(solver.state_flat()), solver
+
+    s, _ = run(None)
+    d, solver = run((8,))
+    err = np.abs(s - d).max()
+    assert err < 1e-12 * max(1, np.abs(s).max()), f"odd-size mismatch: {err}"
+    # Groups really were padded to a mesh multiple and sharded
+    pencil = solver.pencil
+    assert pencil.G % 8 == 0 and pencil.G_real <= pencil.G
+    assert solver.timestepper.MX.sharding.spec[1] is not None
 
 
 def test_distributed_shell_ivp_matches_serial():
