@@ -231,6 +231,8 @@ class MultistepIMEX(TimestepperBase):
                     'wA': pa['weights'], 'BA': pa['Bcat'], 'CA': pa['Abad'],
                     'wP': pr['weights'], 'BP': pr['Bcat'], 'CP': pr['Abad']}
         else:
+            if not hasattr(self, '_fact_args') or self._fact_args is None:
+                _, self._fact_args = self._solve_fn_and_args()
             s1, s2 = self._fact_args(fact)
             mats = {'s1': s1, 's2': s2,
                     'M': self.pencil.matrices['M'], 'L': self.pencil.matrices['L']}
@@ -339,8 +341,11 @@ class MultistepIMEX(TimestepperBase):
         return step_impl
 
     def step(self, dt, wall_time=0.0):
+        """One step at dt (any dt history): routes through the SAME compiled
+        dynamic-length run program as run_steps with a trip count of 1, so a
+        whole simulation — startup steps, CFL-adaptive chunks, fixed-dt scans
+        — costs exactly ONE large (remote) compilation."""
         solver = self.solver
-        pencil = self.pencil
         # Cycle timestep history and compute scheme coefficients (host)
         self.dt_hist.appendleft(dt)
         a, b, c = self.compute_coefficients(list(self.dt_hist), self._iteration)
@@ -353,20 +358,7 @@ class MultistepIMEX(TimestepperBase):
             solver.evaluator.evaluate_scheduled(
                 iteration=solver.iteration, wall_time=wall_time,
                 sim_time=solver.sim_time, timestep=dt)
-        state_flat = solver.state_flat()
-        t = jnp.asarray(solver.sim_time)
-        raw = self._build_compiled() if self._compiled is None else None
-        args = (state_flat, t, self.MX, self.LX, self.F,
-                jnp.zeros_like(self.MX[0]),
-                jnp.asarray(a), jnp.asarray(b), jnp.asarray(c),
-                self._step_mats(fact))
-        if self._compiled is None:
-            conv, self._compiled_consts = _hoist_closure_constants(raw, args)
-            self._compiled = jax.jit(conv)
-        new_state, self.MX, self.LX, self.F, _rhs = self._compiled(
-            *args, *self._compiled_consts)
-        pencil.unflatten_fields(new_state, solver.state)
-        solver.sim_time = solver.sim_time + dt
+        self._run_compiled(a, b, c, dt, 1, fact)
 
     @property
     def needs_startup(self):
@@ -402,33 +394,46 @@ class MultistepIMEX(TimestepperBase):
         a, b, c = self.compute_coefficients([dt] * self.steps, self._iteration)
         self._iteration += n_steps
         n = self.steps + 1
-        a, b, c = jnp.asarray(_pad(a, n)), jnp.asarray(_pad(b, n)), jnp.asarray(_pad(c, n))
+        a, b, c = _pad(a, n), _pad(b, n), _pad(c, n)
         fact = self._prepare(float(a[0]), float(b[0]))
+        self._run_compiled(a, b, c, dt, n_steps, fact)
+        solver.iteration += n_steps
+
+    def _run_compiled(self, a, b, c, dt, n_steps, fact):
+        """Advance n_steps applying the SAME (a, b, c) each step, through ONE
+        compiled dynamic-trip-count program: the trip count is a lax.fori_loop
+        argument, so startup steps, handler-chunked runs, and bench scans of
+        any length all share a single (expensive, remote) compilation."""
+        solver = self.solver
+        pencil = self.pencil
         if not hasattr(self, '_scan_cache'):
             self._scan_cache = {}
         state_flat = solver.state_flat()
         t0 = jnp.asarray(solver.sim_time)
         derive = (solver.matsolver == 'poly')
         mats = self._step_mats(fact)
+        a = jnp.asarray(a)
+        b = jnp.asarray(b)
+        c = jnp.asarray(c)
         if derive:
             # Seed the carried RHS with a0 M x + b0 L x of the incoming
-            # state (one eager pair apply), so the first scan iteration's
+            # state (one eager pair apply), so the first iteration's
             # derived L X is exact
             pm, pl = self._poly_ml()
-            X0 = self.pencil.gather_state(state_flat)
+            X0 = pencil.gather_state(state_flat)
             MX0i, LX0i = ops_solve.separable_apply_pair(
                 X0, mats['BML'], mats['wM'], pm['bad_idx'], mats['CM'],
                 mats['wL'], pl['bad_idx'], mats['CL'])
             rhs0 = float(a[0]) * MX0i + float(b[0]) * LX0i
         else:
             rhs0 = jnp.zeros_like(self.MX[0])
-        # ONE compiled program serves every chunk length: the trip count is a
-        # dynamic argument of a lax.while_loop (fori_loop), so handler-chunked
-        # runs and warmup/bench runs of different lengths share a single
-        # (expensive, remote) compilation instead of one per scan length.
         args = (state_flat, t0, self.MX, self.LX, self.F, rhs0, a, b, c,
                 jnp.asarray(dt), jnp.asarray(n_steps, dtype=jnp.int32), mats)
-        if 'run' not in self._scan_cache:
+        # The banded solve function carries per-factorization structure
+        # (border ranks, demotion slots) in its closure; those programs are
+        # keyed by factorization. All other matsolvers share ONE program.
+        key = ('run', id(fact)) if solver.matsolver == 'banded' else 'run'
+        if key not in self._scan_cache:
             step_impl = self._build_compiled(derive_lx=derive)
 
             def run(state, t0, MXh, LXh, Fh, rhs0, av, bv, cv, dtv, nv, mats):
@@ -441,12 +446,11 @@ class MultistepIMEX(TimestepperBase):
                     0, nv, body, (state, t0, MXh, LXh, Fh, rhs0))
 
             conv, consts = _hoist_closure_constants(run, args)
-            self._scan_cache['run'] = (jax.jit(conv), consts)
-        fn, consts = self._scan_cache['run']
+            self._scan_cache[key] = (jax.jit(conv), consts)
+        fn, consts = self._scan_cache[key]
         state, t, self.MX, self.LX, self.F, _rhs = fn(*args, *consts)
         pencil.unflatten_fields(state, solver.state)
         solver.sim_time = solver.sim_time + dt * n_steps
-        solver.iteration += n_steps
 
 
 @add_scheme
@@ -680,22 +684,26 @@ class RungeKuttaIMEX(TimestepperBase):
     def needs_startup(self):
         return False
 
-    def run_steps(self, dt, n_steps, wall_time=0.0):
-        """Advance n_steps at fixed dt as one compiled lax.scan."""
-        solver = self.solver
-        pencil = self.pencil
-        k = float(dt)
+    def _stage_stacks(self, k):
         if not hasattr(self, '_stage_stack_cache'):
             self._stage_stack_cache = {}
         if k not in self._stage_stack_cache:
-            facts = [self._get_stage_factor(k * self.H[i, i]) for i in range(1, self.stages + 1)]
+            facts = [self._get_stage_factor(k * self.H[i, i])
+                     for i in range(1, self.stages + 1)]
             if not hasattr(self, '_fact_args'):
                 _, self._fact_args = self._solve_fn_and_args()
             s1 = jnp.stack([self._fact_args(f)[0] for f in facts])
             s2 = jnp.stack([self._fact_args(f)[1] for f in facts])
-            self._stage_stack_cache[k] = solver.dist.device_put_pencils(
-                (s1, s2), pencil.G, g_dim=1)
-        s1, s2 = self._stage_stack_cache[k]
+            self._stage_stack_cache[k] = self.solver.dist.device_put_pencils(
+                (s1, s2), self.pencil.G, g_dim=1)
+        return self._stage_stack_cache[k]
+
+    def _run_compiled(self, k, n_steps):
+        """Advance n_steps at fixed dt through ONE compiled dynamic-trip-count
+        program (shared by step() and run_steps of any length)."""
+        solver = self.solver
+        pencil = self.pencil
+        s1, s2 = self._stage_stacks(k)
         if not hasattr(self, '_scan_cache'):
             self._scan_cache = {}
         state_flat = solver.state_flat()
@@ -720,37 +728,19 @@ class RungeKuttaIMEX(TimestepperBase):
         state, t = fn(*args, *consts)
         pencil.unflatten_fields(state, solver.state)
         solver.sim_time = solver.sim_time + k * n_steps
-        solver.iteration += n_steps
+
+    def run_steps(self, dt, n_steps, wall_time=0.0):
+        """Advance n_steps at fixed dt as one compiled loop."""
+        self._run_compiled(float(dt), int(n_steps))
+        self.solver.iteration += n_steps
 
     def step(self, dt, wall_time=0.0):
         solver = self.solver
-        pencil = self.pencil
-        k = float(dt)
-        raw = self._build_compiled() if self._compiled is None else None
-        if not hasattr(self, '_stage_stack_cache'):
-            self._stage_stack_cache = {}
-        if k not in self._stage_stack_cache:
-            facts = [self._get_stage_factor(k * self.H[i, i]) for i in range(1, self.stages + 1)]
-            s1 = jnp.stack([self._fact_args(f)[0] for f in facts])
-            s2 = jnp.stack([self._fact_args(f)[1] for f in facts])
-            self._stage_stack_cache[k] = solver.dist.device_put_pencils(
-                (s1, s2), pencil.G, g_dim=1)
-        s1, s2 = self._stage_stack_cache[k]
         if getattr(solver, 'evaluator', None) is not None and solver.evaluator.handlers:
             solver.evaluator.evaluate_scheduled(
                 iteration=solver.iteration, wall_time=wall_time,
                 sim_time=solver.sim_time, timestep=dt)
-        state_flat = solver.state_flat()
-        ML = solver.dist.device_put_pencils(
-            (pencil.matrices['M'], pencil.matrices['L']), pencil.G)
-        args = (state_flat, jnp.asarray(solver.sim_time), jnp.asarray(k),
-                s1, s2, *ML)
-        if self._compiled is None:
-            conv, self._compiled_consts = _hoist_closure_constants(raw, args)
-            self._compiled = jax.jit(conv)
-        new_state = self._compiled(*args, *self._compiled_consts)
-        pencil.unflatten_fields(new_state, solver.state)
-        solver.sim_time = solver.sim_time + dt
+        self._run_compiled(float(dt), 1)
 
 
 @add_scheme
