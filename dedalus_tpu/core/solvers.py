@@ -679,8 +679,29 @@ class InitialValueSolver(SolverBase):
         if self.enforce_real_cadence and n_steps >= self.enforce_real_cadence:
             self.enforce_hermitian_symmetry(self.state)
 
+    def _evolve_cfl(self, cfl, log_cadence=100):
+        """CFL-adaptive main loop at compiled-chunk speed: between CFL
+        updates dt is constant, so each inter-update span runs as ONE
+        compiled multi-step call (handler cadences still fire exactly via
+        run_steps' next-fire chunking). Refactorization happens only when
+        the thresholded dt actually changes — the reference's
+        refactor-on-(a0,b0)-change semantics (ref timesteppers.py:135)
+        without its per-step host dispatch."""
+        while self.proceed:
+            dt = cfl.compute_timestep()
+            n = cfl.chunk_steps()
+            self.run_steps(dt, n)
+            if self.iteration % log_cadence < n:
+                logger.info(f"Iteration={self.iteration}, "
+                            f"Time={self.sim_time:.6e}, dt={dt:.3e}")
+        self.log_stats()
+
     def evolve(self, timestep_function, log_cadence=100):
-        """Advance until a stop criterion triggers."""
+        """Advance until a stop criterion triggers. Passing a CFL controller
+        instance selects the chunked compiled main loop."""
+        from ..extras.flow_tools import CFL as _CFL
+        if isinstance(timestep_function, _CFL):
+            return self._evolve_cfl(timestep_function, log_cadence)
         profiling = False
         if self.profile:
             import os

