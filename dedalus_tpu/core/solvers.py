@@ -272,6 +272,25 @@ class SolverBase:
             datas.append(out.data)
         return self.pencil.gather_eq_data(datas)
 
+    def _shard_factorization(self, fact):
+        """Group-shard a FactorizedStack's per-group device arrays over the
+        mesh (the BVP/EVP analogue of the IVP path's device_put_pencils;
+        the reference runs all solver types under MPI, solvers.py:324,418).
+        No-op in serial runs or for host-resident factorizations."""
+        dist = self.dist
+        if dist.mesh is None:
+            return fact
+        G = self.pencil.G
+        for attr in ('lu', 'perm', 'Ainv', 'A'):
+            arr = getattr(fact, attr, None)
+            if arr is not None and arr.ndim >= 1 and arr.shape[0] == G:
+                setattr(fact, attr, dist.device_put_pencils(arr, G))
+        for attr in ('polyA', 'pre'):
+            d = getattr(fact, attr, None)
+            if isinstance(d, dict) and 'weights' in d:
+                d['weights'] = dist.device_put_pencils(d['weights'], G)
+        return fact
+
     def evaluate_F(self, wall_time=0.0, timestep=0.0, schedule=True):
         """Evaluate all equation RHS expressions and gather (G, R) pencils."""
         if schedule and getattr(self, 'evaluator', None) is not None:
@@ -290,7 +309,8 @@ class SolverBase:
 
 
 class LinearBoundaryValueSolver(SolverBase):
-    """L.X = F (parity: solvers.py:324)."""
+    """L.X = F (parity: solvers.py:324). On a device mesh the factorization
+    stacks are group-sharded (each device factors/solves only its pencils)."""
 
     matrix_names = ('L',)
 
@@ -304,8 +324,10 @@ class LinearBoundaryValueSolver(SolverBase):
             if rebuild_matrices:
                 self.pencil.build_matrices(['L'])
             A = self.pencil.combined_with_pivots({'L': 1.0})
-            self._factorized = ops_solve.FactorizedStack(A, method=self.matsolver)
+            self._factorized = self._shard_factorization(
+                ops_solve.FactorizedStack(A, method=self.matsolver))
         F = self.evaluate_F(schedule=False)
+        F = self.dist.device_put_pencils(F, self.pencil.G)
         X = self._factorized.solve(F)
         self.set_state_pencils(X)
 
@@ -325,8 +347,10 @@ class NonlinearBoundaryValueSolver(SolverBase):
         # Rebuild dF matrices about the current state (NCC backgrounds changed)
         self.pencil.build_matrices(['dF'])
         A = self.pencil.combined_with_pivots({'dF': 1.0})
-        fact = ops_solve.FactorizedStack(A, method=self.matsolver)
+        fact = self._shard_factorization(
+            ops_solve.FactorizedStack(A, method=self.matsolver))
         F = self.evaluate_F(schedule=False)
+        F = self.dist.device_put_pencils(F, self.pencil.G)
         dX = fact.solve(-F)
         # Scatter perturbations and update variables
         flat = self.pencil.scatter_state(dX)

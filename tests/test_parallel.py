@@ -174,3 +174,102 @@ def test_distributed_2d_mesh_3d_problem():
     d = run((2, 2))
     err = np.abs(s - d).max()
     assert err < 1e-13, f"2D-mesh distributed mismatch: {err}"
+
+
+def test_distributed_lbvp_matches_serial():
+    """LBVP factorization stacks shard over the mesh and the solution
+    matches serial (ref solvers.py:324 runs LBVPs under MPI)."""
+    def run(mesh):
+        coords = d3.CartesianCoordinates('x', 'z')
+        dist = d3.Distributor(coords, dtype=np.float64, mesh=mesh)
+        xb = d3.RealFourier(coords['x'], size=32, bounds=(0, 2 * np.pi), dealias=1.5)
+        zb = d3.ChebyshevT(coords['z'], size=16, bounds=(0, 1), dealias=1.5)
+        u = dist.Field(name='u', bases=(xb, zb))
+        tau1 = dist.Field(name='tau1', bases=xb)
+        tau2 = dist.Field(name='tau2', bases=xb)
+        lift = lambda A, n: d3.Lift(A, zb.derivative_basis(2), n)
+        f = dist.Field(name='f', bases=(xb, zb))
+        x, z = dist.local_grids(xb, zb, scales=1)
+        f.change_scales(1)
+        f['g'] = np.sin(2 * x) * np.cos(np.pi * z)
+        problem = d3.LBVP([u, tau1, tau2], namespace=locals())
+        problem.add_equation("lap(u) + lift(tau1,-1) + lift(tau2,-2) = f")
+        problem.add_equation("u(z=0) = 0")
+        problem.add_equation("u(z=1) = 0")
+        solver = problem.build_solver()
+        solver.solve()
+        return np.asarray(solver.state_flat()), solver
+
+    s, _ = run(None)
+    d, solver = run((8,))
+    err = np.abs(s - d).max()
+    assert err < 1e-12, f"LBVP distributed mismatch: {err}"
+    # The factorization really is group-sharded over the mesh
+    fact = solver._factorized
+    arr = getattr(fact, 'lu', None)
+    if arr is None:
+        arr = getattr(fact, 'Ainv', None)
+    if arr is not None:
+        assert arr.sharding.spec[0] is not None
+
+
+def test_distributed_nlbvp_matches_serial():
+    """Newton iterations with per-iteration factorization shard over the
+    mesh (ref solvers.py:418)."""
+    def run(mesh):
+        c = d3.Coordinate('x')
+        dist = d3.Distributor(c, dtype=np.float64, mesh=None)  # 1D: serial axis
+        # 2D so a separable axis exists to shard
+        coords = d3.CartesianCoordinates('x', 'z')
+        dist = d3.Distributor(coords, dtype=np.float64, mesh=mesh)
+        xb = d3.RealFourier(coords['x'], size=16, bounds=(0, 2 * np.pi), dealias=2)
+        zb = d3.ChebyshevT(coords['z'], size=16, bounds=(0, 1), dealias=2)
+        u = dist.Field(name='u', bases=(xb, zb))
+        tau1 = dist.Field(name='tau1', bases=xb)
+        tau2 = dist.Field(name='tau2', bases=xb)
+        lift = lambda A, n: d3.Lift(A, zb.derivative_basis(2), n)
+        g = dist.Field(name='g', bases=(xb, zb))
+        x, z = dist.local_grids(xb, zb, scales=1)
+        g.change_scales(1)
+        g['g'] = 1 + 0.1 * np.sin(x) * z
+        problem = d3.NLBVP([u, tau1, tau2], namespace=locals())
+        problem.add_equation("lap(u) + lift(tau1,-1) + lift(tau2,-2) = u*u - g")
+        problem.add_equation("u(z=0) = 0")
+        problem.add_equation("u(z=1) = 0")
+        solver = problem.build_solver()
+        u['g'] = 0.1
+        for _ in range(6):
+            err = solver.newton_iteration()
+        return np.asarray(solver.state_flat()), err
+
+    s, es = run(None)
+    d, ed = run((8,))
+    err = np.abs(s - d).max()
+    assert err < 1e-11, f"NLBVP distributed mismatch: {err}"
+
+
+def test_distributed_evp_matches_serial():
+    """EVP with a mesh-attached Distributor reproduces serial eigenvalues."""
+    def run(mesh):
+        coords = d3.CartesianCoordinates('x', 'z')
+        dist = d3.Distributor(coords, dtype=np.complex128, mesh=mesh)
+        xb = d3.ComplexFourier(coords['x'], size=8, bounds=(0, 2 * np.pi))
+        zb = d3.ChebyshevT(coords['z'], size=16, bounds=(0, 1))
+        u = dist.Field(name='u', bases=(xb, zb))
+        tau1 = dist.Field(name='tau1', bases=xb)
+        tau2 = dist.Field(name='tau2', bases=xb)
+        s = dist.Field(name='s')
+        lift = lambda A, n: d3.Lift(A, zb.derivative_basis(2), n)
+        problem = d3.EVP([u, tau1, tau2], eigenvalue=s, namespace=locals())
+        problem.add_equation("s*u + lap(u) + lift(tau1,-1) + lift(tau2,-2) = 0")
+        problem.add_equation("u(z=0) = 0")
+        problem.add_equation("u(z=1) = 0")
+        solver = problem.build_solver()
+        solver.solve_dense(sp_index=1)
+        ev = solver.eigenvalues
+        return np.sort_complex(ev[np.isfinite(ev)])
+
+    es = run(None)
+    ed = run((8,))
+    n = min(es.size, ed.size, 10)
+    np.testing.assert_allclose(es[:n], ed[:n], rtol=1e-9, atol=1e-9)
