@@ -972,10 +972,13 @@ class BallConstantEmbed(LinearOperator):
         field = arg_fields[0]
         field.require_coeff_space()
         data = field.data  # (..., M, 1, 1)
-        col = device_matrix(('BallConstEmbed', self.target_radial._key()),
+        # Cache key must include the parent colatitude size: the same radial
+        # basis parameters can appear under different angular resolutions,
+        # and the embed column spans the joint (colat slot, radial) block.
+        L = self.target_radial.parent.colatitude_basis.size
+        col = device_matrix(('BallConstEmbed', self.target_radial._key(), L),
                             lambda: np.asarray(
                                 self.target_radial.constant_spatial_column().todense()))
-        L = self.target_radial.parent.colatitude_basis.size
         n = self.target_radial.size
         out = (data[..., 0] * col[:, 0]).reshape(data.shape[:-2] + (L, n))
         return self._build_output(self.dist.coeff_layout, out, scales=None)

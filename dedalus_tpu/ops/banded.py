@@ -246,14 +246,22 @@ def _safe_inv(M):
     return out, bad
 
 
-def _factor_host(blocks):
+def _factor_host(blocks, pin_tol=1e-8):
     """
     Block-tridiagonal QR factorization, vectorized over groups (host numpy).
     Unconditionally stable without pivoting; parity with the reference's
-    BandedQR matsolver (matsolvers.py:210). Groups whose R acquires a
-    singular diagonal block (rank-deficient band core) are flagged in the
-    returned 'singular' mask (their Rinv blocks are zeroed) instead of
-    raising, so the solver can repair them by border demotion.
+    BandedQR matsolver (matsolvers.py:210).
+
+    Rank-deficient band cores are repaired by PIVOT PINNING: a (near-)zero
+    diagonal entry of R is replaced by the group's running diagonal scale
+    sigma, which changes the factored band by exactly sigma * (Q e_k) e_k^T
+    — a rank-1 correction the caller compensates through extra Woodbury
+    slots whose solved columns are just -sigma * Rhat^{-1} e_k (one back-
+    substitution; Q never needs materializing). Unlike in-band unit
+    placements or row/column demotion, this pins a kernel at ANY position
+    (ball saddle pencils carry one exact band-core kernel per (m, ell)
+    group whose anchoring lies at |row-col| ~ P). Returns the factor dict
+    plus 'pins' (G, Nb, nb) bool and 'sigma' (G, Nb, nb) pin values.
 
     Sweep i = 0..Nb-2: QR the stacked first column [C_i; sub_{i+1}] with a
     complete (2nb x 2nb) Q, rotate the trailing panel; R acquires three block
@@ -264,14 +272,35 @@ def _factor_host(blocks):
     Rinv = np.zeros((G, Nb, nb, nb))
     R1 = np.zeros((G, Nb, nb, nb))
     R2 = np.zeros((G, Nb, nb, nb))
+    pins = np.zeros((G, Nb, nb), dtype=bool)
+    sigma = np.zeros((G, Nb, nb))
+    runmax = np.zeros(G)
     singular = np.zeros(G, dtype=bool)
+
+    def pin(Rii, i):
+        nonlocal runmax
+        d = np.abs(np.diagonal(Rii, axis1=1, axis2=2))       # (G, nb)
+        runmax = np.maximum(runmax, d.max(axis=1))
+        scale = np.maximum(runmax, 1e-300)
+        p = d < pin_tol * scale[:, None]
+        if p.any():
+            gs, js = np.nonzero(p)
+            # Exact correction: Rhat = R + (scale - old) e_j e_j^T, so the
+            # factored band changes by sigma (Q e_k) e_k^T with
+            # sigma = scale - old_diagonal (signed).
+            old = np.diagonal(Rii, axis1=1, axis2=2)[gs, js]
+            Rii[gs, js, js] = scale[gs]
+            pins[gs, i, js] = True
+            sigma[gs, i, js] = scale[gs] - old
+        return Rii
+
     C = diag[:, 0].copy()
     S = sup[:, 0].copy() if Nb > 1 else np.zeros((G, nb, nb))
     for i in range(Nb - 1):
         M2 = np.concatenate([C, sub[:, i + 1]], axis=1)          # (G, 2nb, nb)
         Q, R = np.linalg.qr(M2, mode='complete')
         Qt[:, i] = Q.swapaxes(1, 2)
-        Rii = R[:, :nb, :]
+        Rii = pin(R[:, :nb, :].copy(), i)
         panel = np.zeros((G, 2 * nb, 2 * nb))
         panel[:, :nb, :nb] = S
         panel[:, nb:, :nb] = diag[:, i + 1]
@@ -285,52 +314,70 @@ def _factor_host(blocks):
         singular |= b
     Q, R = np.linalg.qr(C, mode='complete')
     QtL = Q.swapaxes(1, 2)
-    Rinv[:, -1], b = _safe_inv(R)
+    RL = pin(R.copy(), Nb - 1)
+    Rinv[:, -1], b = _safe_inv(RL)
     singular |= b
     R2[:, -2:] = 0.0
     R1[:, -1] = 0.0
     return dict(Qt=Qt, QtL=QtL, Rinv=Rinv, R1=R1, R2=R2,
-                singular=singular)
+                singular=singular, pins=pins, sigma=sigma)
 
 
 @jax.jit
-def _factor_device(diag, sub, sup):
+def _factor_device(diag, sub, sup, pin_tol=1e-8):
     """Device block-tridiagonal QR (lax.scan over blocks; f64 QR and
     triangular solves are TPU-supported). Returns the same dict as the host
-    factorization, computed in a fraction of the time at large G*Nb."""
+    factorization (including pivot pins), computed in a fraction of the time
+    at large G*Nb."""
     G, Nb, nb, _ = diag.shape
     eye = jnp.broadcast_to(jnp.eye(nb, dtype=diag.dtype), (G, nb, nb))
+    eye1 = jnp.eye(nb, dtype=diag.dtype)
 
     def tri_inv(Rii):
         return jax.lax.linalg.triangular_solve(
             Rii, eye, left_side=True, lower=False)
 
+    def pin(Rii, runmax):
+        d = jnp.abs(jnp.diagonal(Rii, axis1=1, axis2=2))
+        runmax = jnp.maximum(runmax, d.max(axis=1))
+        scale = jnp.maximum(runmax, 1e-300)
+        p = d < pin_tol * scale[:, None]
+        delta = jnp.where(
+            p, scale[:, None] - jnp.diagonal(Rii, axis1=1, axis2=2), 0.0)
+        Rii = Rii + delta[:, :, None] * eye1
+        return Rii, p, delta, runmax
+
     def step(carry, inputs):
-        C, S = carry
+        C, S, runmax = carry
         subi, diagi, supi = inputs
         M2 = jnp.concatenate([C, subi], axis=1)          # (G, 2nb, nb)
         Q, R = jnp.linalg.qr(M2, mode='complete')
         Qt = jnp.swapaxes(Q, 1, 2)
-        Rii = R[:, :nb, :]
+        Rii, p, delta, runmax = pin(R[:, :nb, :], runmax)
         top = jnp.concatenate([S, jnp.zeros_like(S)], axis=2)
         bot = jnp.concatenate([diagi, supi], axis=2)
         panel = jnp.concatenate([top, bot], axis=1)      # (G, 2nb, 2nb)
         QtP = Qt @ panel
-        out = (Qt, tri_inv(Rii), QtP[:, :nb, :nb], QtP[:, :nb, nb:])
-        return (QtP[:, nb:, :nb], QtP[:, nb:, nb:]), out
+        out = (Qt, tri_inv(Rii), QtP[:, :nb, :nb], QtP[:, :nb, nb:], p, delta)
+        return (QtP[:, nb:, :nb], QtP[:, nb:, nb:], runmax), out
 
-    (C, _), (Qt, Rinv_s, R1_s, R2_s) = jax.lax.scan(
-        step, (diag[:, 0], sup[:, 0]),
+    runmax0 = jnp.zeros(G, dtype=diag.dtype)
+    (C, _, runmax), (Qt, Rinv_s, R1_s, R2_s, p_s, d_s) = jax.lax.scan(
+        step, (diag[:, 0], sup[:, 0], runmax0),
         (sub[:, 1:].swapaxes(0, 1), diag[:, 1:].swapaxes(0, 1),
          sup[:, 1:].swapaxes(0, 1)))
     Q, R = jnp.linalg.qr(C, mode='complete')
     QtL = jnp.swapaxes(Q, 1, 2)
-    RinvL = tri_inv(R)
+    RL, pL, dL, runmax = pin(R, runmax)
+    RinvL = tri_inv(RL)
     Rinv = jnp.concatenate([Rinv_s.swapaxes(0, 1), RinvL[:, None]], axis=1)
     zero = jnp.zeros((G, 1, nb, nb), dtype=diag.dtype)
     R1 = jnp.concatenate([R1_s.swapaxes(0, 1), zero], axis=1)
     R2 = jnp.concatenate([R2_s.swapaxes(0, 1), zero], axis=1)
-    return dict(Qt=Qt.swapaxes(0, 1), QtL=QtL, Rinv=Rinv, R1=R1, R2=R2)
+    pins = jnp.concatenate([p_s.swapaxes(0, 1), pL[:, None]], axis=1)
+    sigma = jnp.concatenate([d_s.swapaxes(0, 1), dL[:, None]], axis=1)
+    return dict(Qt=Qt.swapaxes(0, 1), QtL=QtL, Rinv=Rinv, R1=R1, R2=R2,
+                pins=pins, sigma=sigma)
 
 
 def _device_f64_factor_ok():
@@ -464,52 +511,6 @@ def _band_dense_group(sb, g):
     return A
 
 
-def _band_row_get(sb, g, r):
-    nb, Nb = sb.nb, sb.Nb
-    br, i = r // nb, r % nb
-    out = np.zeros(sb.Pp)
-    out[br * nb:(br + 1) * nb] = sb.diag[g, br, i]
-    if br > 0:
-        out[(br - 1) * nb:br * nb] = sb.sub[g, br, i]
-    if br < Nb - 1:
-        out[(br + 1) * nb:(br + 2) * nb] = sb.sup[g, br, i]
-    return out
-
-
-def _band_col_get(sb, g, c):
-    nb, Nb = sb.nb, sb.Nb
-    bc, j = c // nb, c % nb
-    out = np.zeros(sb.Pp)
-    out[bc * nb:(bc + 1) * nb] = sb.diag[g, bc, :, j]
-    if bc > 0:
-        out[(bc - 1) * nb:bc * nb] = sb.sup[g, bc - 1, :, j]
-    if bc < Nb - 1:
-        out[(bc + 1) * nb:(bc + 2) * nb] = sb.sub[g, bc + 1, :, j]
-    return out
-
-
-def _band_row_clear_to_unit(sb, g, r):
-    nb, Nb = sb.nb, sb.Nb
-    br, i = r // nb, r % nb
-    sb.diag[g, br, i] = 0.0
-    if br > 0:
-        sb.sub[g, br, i] = 0.0
-    if br < Nb - 1:
-        sb.sup[g, br, i] = 0.0
-    sb.diag[g, br, i, i] = 1.0
-
-
-def _band_col_clear_to_unit(sb, g, c):
-    nb, Nb = sb.nb, sb.Nb
-    bc, j = c // nb, c % nb
-    sb.diag[g, bc, :, j] = 0.0
-    if bc > 0:
-        sb.sup[g, bc - 1, :, j] = 0.0
-    if bc < Nb - 1:
-        sb.sub[g, bc + 1, :, j] = 0.0
-    sb.diag[g, bc, j, j] = 1.0
-
-
 class BorderedBandedSolver:
     """
     Device solver: f32 block-tridiagonal QR sweeps + Woodbury correction for
@@ -523,8 +524,8 @@ class BorderedBandedSolver:
     """
 
     def __init__(self, blocks, refinements=3, factor_dtype=jnp.float32,
-                 bad=None, group_dense=None, max_cond=1e7, max_bad=None,
-                 exact_apply=None, exact_arrs=None, chunk_G=256):
+                 bad=None, group_dense=None, max_cond=1e7, max_cond_S=1e12,
+                 max_bad=None, exact_apply=None, exact_arrs=None, chunk_G=256):
         self.blocks = blocks
         self.order = blocks.order
         self.nb = blocks.nb
@@ -552,46 +553,57 @@ class BorderedBandedSolver:
         for j in range(nbord):
             Vfull[:, nbord + j, b0 + j] = 1.0
 
+        Vfull0 = Vfull.copy()
         with _Timer('factor+W1 (pass 1)'):
-            qr, W1, sing = self._chunked_factor_W1(
+            qr, W1, sing, pin_cols = self._chunked_factor_W1(
                 self._neutralized(sblocks, bad), Ublocks)
-        if sing.any():
-            # Rank-deficient band cores (e.g. slot-split spherical pencils
-            # whose tau-anchored rows sit out of in-band reach): demote the
-            # kernel rows/columns into extra Woodbury border slots and
-            # refactor. Unrepairable groups fall through to dense overrides.
-            with _Timer(f'demotion repair ({int(sing.sum())} singular groups)'):
-                Uex, Vex, unrepaired = self._demote_singular(
-                    sblocks, np.nonzero(sing)[0], bad)
-            for g in unrepaired:
-                if group_dense is None:
-                    raise ValueError(
-                        "singular band core and no dense group provider")
-                bad[g] = group_dense(int(g))
-            if Uex is not None:
-                Ufull = np.concatenate([Ufull, Uex], axis=2)
-                Vfull = np.concatenate([Vfull, Vex], axis=1)
-                Ublocks = Ufull.reshape(G, self.Nb, self.nb, -1)
-            with _Timer('factor+W1 (pass 1b, after demotion)'):
-                qr, W1, sing = self._chunked_factor_W1(
+        # Rank-deficient band cores (e.g. ball saddle pencils: one exact
+        # kernel per (m, ell) group anchored only at |row-col| ~ P) are
+        # repaired by PIVOT PINNING inside the QR sweeps: the factored band
+        # becomes Bhat = B + sum_k sigma_k (Q e_k) e_k^T, compensated here
+        # exactly through extra Woodbury slots with solved columns
+        # -sigma_k Rhat^{-1} e_k — no refactorization, works at any kernel
+        # position (in-band unit placements and row/column demotion cannot
+        # bridge a kernel whose left/right supports are band-disjoint).
+        def extend_with_pins(W1, Vfull, pin_cols):
+            if not pin_cols:
+                return W1, Vfull
+            K = max(ks.size for ks, _ in pin_cols.values())
+            W1ex = np.zeros((G, Pp, K))
+            Vex = np.zeros((G, K, Pp))
+            for g, (ks, cols) in pin_cols.items():
+                W1ex[g, :, :ks.size] = cols
+                for m, k in enumerate(ks):
+                    Vex[g, m, k] = 1.0
+            npin = sum(ks.size for ks, _ in pin_cols.values())
+            logger.info("banded: pinned %d rank-deficient pivots across %d "
+                        "groups (max %d per group)", npin, len(pin_cols), K)
+            return (np.concatenate([W1, W1ex], axis=2),
+                    np.concatenate([Vfull, Vex], axis=1))
+
+        W1, Vfull = extend_with_pins(W1, Vfull, pin_cols)
+        still = [int(g) for g in np.nonzero(sing)[0] if int(g) not in bad]
+        if still:                           # pinning missed: dense overrides
+            if group_dense is None:
+                raise ValueError(
+                    "singular band core and no dense group provider")
+            limit = max_bad if max_bad is not None else max(16, G // 4)
+            limit = min(limit, int(2e9 / max(P * P * 4, 1)) + 1)
+            if len(still) + len(bad) > limit:
+                raise ValueError(
+                    f"banded core is rank-deficient in {len(still)} "
+                    f"groups (limit {limit}); this pencil needs a dense "
+                    f"or matrix-free solver")
+            logger.info("banded: %d groups stay singular after pinning; "
+                        "dense overrides", len(still))
+            for g in still:
+                bad[g] = group_dense(g)
+            with _Timer('factor+W1 (pass 1b)'):
+                qr, W1, sing, pin_cols = self._chunked_factor_W1(
                     self._neutralized(sblocks, bad), Ublocks)
-            still = [int(g) for g in np.nonzero(sing)[0] if int(g) not in bad]
-            if still:                      # demotion missed: dense overrides
-                limit = max_bad if max_bad is not None else max(16, G // 4)
-                limit = min(limit, int(2e9 / max(P * P * 4, 1)) + 1)
-                if len(still) + len(bad) > limit:
-                    raise ValueError(
-                        f"banded core is rank-deficient in {len(still)} "
-                        f"groups (limit {limit}); this pencil needs a dense "
-                        f"or matrix-free solver")
-                logger.info("banded: %d groups stay singular after demotion; "
-                            "dense overrides", len(still))
-                for g in still:
-                    bad[g] = group_dense(g)
-                with _Timer('factor+W1 (pass 1c)'):
-                    qr, W1, sing = self._chunked_factor_W1(
-                        self._neutralized(sblocks, bad), Ublocks)
-        B = Ufull.shape[2]
+            Vfull = Vfull0
+            W1, Vfull = extend_with_pins(W1, Vfull, pin_cols)
+        B = W1.shape[2]
         S = np.eye(B) + Vfull @ W1
         # Dense-override groups whose scaled band or capacitance matrix stays
         # ill-conditioned (the tau band loses conditioning as k -> 0; the
@@ -601,7 +613,10 @@ class BorderedBandedSolver:
             condS = np.linalg.cond(np.where(np.isfinite(S), S, 0.0))
         self.diagnostics = dict(growth=growth.copy(), condS=condS.copy(),
                                 S_finite=np.isfinite(S).all(axis=(1, 2)))
-        ill = np.nonzero((growth > max_cond) | (condS > max_cond)
+        # growth gates the f32 band factors (error ~ growth * eps32);
+        # condS gates the f64 Woodbury capacitance (error ~ condS * eps64,
+        # contracted by the refinement passes) — hence the looser threshold.
+        ill = np.nonzero((growth > max_cond) | (condS > max_cond_S)
                          | ~np.isfinite(condS)
                          | ~np.isfinite(S).all(axis=(1, 2)))[0]
         ill = [int(g) for g in ill if g not in bad]
@@ -623,8 +638,11 @@ class BorderedBandedSolver:
             with _Timer('dense overrides + refactor'):
                 for g in ill:
                     bad[g] = group_dense(int(g))
-                qr, W1, _ = self._chunked_factor_W1(
+                qr, W1, _, pin_cols = self._chunked_factor_W1(
                     self._neutralized(sblocks, bad), Ublocks)
+            Vfull = Vfull0
+            W1, Vfull = extend_with_pins(W1, Vfull, pin_cols)
+            B = W1.shape[2]
             S = np.eye(B) + Vfull @ W1
         self.bad_idx = tuple(sorted(bad))
         for g in self.bad_idx:   # bad groups solve densely; keep S invertible
@@ -676,87 +694,14 @@ class BorderedBandedSolver:
         self.exact_apply = exact_apply
         self.exact_arrs = exact_arrs
 
-    @staticmethod
-    def _demote_singular(sblocks, groups, bad, tol=1e-9, max_per=12):
-        """
-        Repair rank-deficient band cores by demoting kernel rows/columns
-        into extra Woodbury border slots. For each null direction of a
-        group's band: the dominant row r is replaced in the band by the unit
-        row e_r (its content moves to an extra V row with U column e_r), and
-        the dominant column c by e_c (content to an extra U column with V
-        row e_c^T). This preserves A_band + U V = A_full exactly at ANY
-        position, so group-dependent kernels (slot-split spherical pencils:
-        tau-anchored last valid rows x low pressure modes, out of in-band
-        reach of any shared layout) get pinned per group. Returns
-        (Uextra (G, Pp, K), Vextra (G, K, Pp), unrepaired group list);
-        (None, None, groups) when nothing was repairable.
-        """
-        G, Pp, P = sblocks.G, sblocks.Pp, sblocks.P
-        plans = {}
-        unrepaired = []
-        for g in groups:
-            g = int(g)
-            if g in bad:
-                continue
-            Ab = _band_dense_group(sblocks, g)
-            Uc, sv, Vt = np.linalg.svd(Ab)
-            null = np.nonzero(sv < tol * max(sv[0], 1e-300))[0]
-            if null.size == 0 or null.size > max_per:
-                unrepaired.append(g)
-                continue
-            used_r, used_c = set(), set()
-            items = []
-            ok = True
-            for idx in null:
-                w = np.abs(Uc[:, idx]).copy()
-                v = np.abs(Vt[idx]).copy()
-                w[P:] = 0.0
-                v[P:] = 0.0
-                r = next((int(i) for i in np.argsort(-w)
-                          if int(i) not in used_r and w[i] > 0), None)
-                c = next((int(i) for i in np.argsort(-v)
-                          if int(i) not in used_c and v[i] > 0), None)
-                if r is None or c is None:
-                    ok = False
-                    break
-                used_r.add(r)
-                used_c.add(c)
-                items.append((r, c))
-            if ok:
-                plans[g] = items
-            else:
-                unrepaired.append(g)
-        if not plans:
-            return None, None, unrepaired
-        K = 2 * max(len(v) for v in plans.values())
-        Uex = np.zeros((G, Pp, K))
-        Vex = np.zeros((G, K, Pp))
-        for g, items in plans.items():
-            slot = 0
-            for r, c in items:
-                rowvec = _band_row_get(sblocks, g, r)
-                rowvec[r] -= 1.0
-                _band_row_clear_to_unit(sblocks, g, r)
-                Uex[g, r, slot] = 1.0
-                Vex[g, slot] = rowvec
-                slot += 1
-                colvec = _band_col_get(sblocks, g, c)
-                colvec[c] -= 1.0
-                _band_col_clear_to_unit(sblocks, g, c)
-                Uex[g, :, slot] = colvec
-                Vex[g, slot, c] = 1.0
-                slot += 1
-        logger.info("banded: demoted kernel rows/cols in %d groups "
-                    "(max %d directions)", len(plans), K // 2)
-        return Uex, Vex, unrepaired
-
     def _chunked_factor_W1(self, fblocks, Ublocks):
         """f64 factorization + Woodbury RHS solves on device, chunked over
         groups to bound peak HBM; returns (f32 factors, f64 W1 (host),
-        singular-core mask (G,))."""
+        singular-core mask (G,), pinned-pivot columns {g: (ks, cols)})."""
         G = fblocks.G
         chunk = max(1, min(self.chunk_G, G))
         qr_parts, W1_parts, sing_parts = [], [], []
+        pin_cols = {}
         for g0 in range(0, G, chunk):
             sl = slice(g0, min(g0 + chunk, G))
             if (G * self.Nb * self.nb ** 3 > 1e8) and _device_f64_factor_ok():
@@ -766,7 +711,12 @@ class BorderedBandedSolver:
                 W1c = _multi_rhs_solve_device(
                     qr64['Qt'], qr64['QtL'], qr64['Rinv'], qr64['R1'],
                     qr64['R2'], jnp.asarray(Ublocks[sl]))
-                Rh = np.asarray(qr64['Rinv'])
+                qr64 = {k: np.asarray(v) for k, v in qr64.items()}
+                pins = qr64.pop('pins')
+                sigma = qr64.pop('sigma')
+                if pins.any():
+                    pin_cols.update(self._pin_columns(qr64, pins, sigma, g0))
+                Rh = qr64['Rinv']
                 sing_parts.append(~np.isfinite(Rh).all(axis=(1, 2, 3))
                                   | (np.abs(np.where(np.isfinite(Rh), Rh, 0.0)
                                             ).max(axis=(1, 2, 3)) > 1e30))
@@ -781,6 +731,10 @@ class BorderedBandedSolver:
                                    fblocks.nb, fblocks.pad)
                 qr64 = _factor_host(sub)
                 sing_parts.append(qr64.pop('singular'))
+                pins = qr64.pop('pins')
+                sigma = qr64.pop('sigma')
+                if pins.any():
+                    pin_cols.update(self._pin_columns(qr64, pins, sigma, g0))
                 W1_parts.append(self._host_core_solve(qr64, Ublocks[sl]))
                 qr_parts.append({k: np.asarray(v, dtype=np.float32)
                                  for k, v in qr64.items()})
@@ -790,7 +744,7 @@ class BorderedBandedSolver:
                               np.float32(0.0))
         W1 = np.concatenate(W1_parts).reshape(G, fblocks.Pp, -1)
         W1 = np.where(np.isfinite(W1), W1, 0.0)
-        return qr, W1, np.concatenate(sing_parts)
+        return qr, W1, np.concatenate(sing_parts), pin_cols
 
     @staticmethod
     def _neutralized(blocks, bad):
@@ -861,6 +815,39 @@ class BorderedBandedSolver:
         Vrow = blocks.Vrow * Dr[:, :nbord, None] * Dc[:, None, :]
         return BandedBlocks(diag, sub, sup, Ucol, Vrow, blocks.order,
                             blocks.nb, blocks.pad)
+
+    @staticmethod
+    def _host_back_solve(qr, Y):
+        """Back-substitution only (x = Rhat^{-1} y), multiple RHS:
+        Y (G,Nb,nb,k). Used for the pinned-pivot Woodbury columns
+        -sigma * Rhat^{-1} e_k (the Q sweeps cancel: Bhat^{-1} Q = Rhat^{-1})."""
+        G, Nb, nb, k = Y.shape
+        Rinv, R1, R2 = qr['Rinv'], qr['R1'], qr['R2']
+        x = np.zeros_like(Y)
+        x[:, -1] = Rinv[:, -1] @ Y[:, -1]
+        if Nb > 1:
+            x[:, -2] = Rinv[:, -2] @ (Y[:, -2] - R1[:, -2] @ x[:, -1])
+        for i in range(Nb - 3, -1, -1):
+            x[:, i] = Rinv[:, i] @ (Y[:, i] - R1[:, i] @ x[:, i + 1]
+                                    - R2[:, i] @ x[:, i + 2])
+        return x
+
+    def _pin_columns(self, qr64, pins, sigma, g0):
+        """Extra Woodbury data for pinned pivots of one factor chunk:
+        {global g: (flat positions, -sigma * Rhat^{-1} e_k columns (Pp, kg))}.
+        qr64 arrays are host f64."""
+        out = {}
+        Gc, Nb, nb = pins.shape
+        for gl in np.nonzero(pins.any(axis=(1, 2)))[0]:
+            ks = np.nonzero(pins[gl].reshape(-1))[0]
+            Y = np.zeros((1, Nb, nb, ks.size))
+            for m, k in enumerate(ks):
+                Y[0, k // nb, k % nb, m] = 1.0
+            sub = {key: qr64[key][gl:gl + 1] for key in ('Rinv', 'R1', 'R2')}
+            x = self._host_back_solve(sub, Y)[0]          # (Nb, nb, kg)
+            cols = -sigma[gl].reshape(-1)[ks] * x.reshape(Nb * nb, ks.size)
+            out[g0 + int(gl)] = (ks, cols)
+        return out
 
     @staticmethod
     def _host_core_solve(qr, R):

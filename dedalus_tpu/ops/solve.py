@@ -398,8 +398,10 @@ class FactorizedStack:
                         g, pivot_pairs=ppairs)
                 else:
                     group_dense = A.group_sparse
+                refs = int(config.get('linear algebra', 'banded_refinements',
+                                      fallback='4'))
                 self.banded = ops_banded.BorderedBandedSolver(
-                    blocks, refinements=3, bad=bf['bad'],
+                    blocks, refinements=refs, bad=bf['bad'],
                     group_dense=group_dense,
                     exact_apply=exact_apply, exact_arrs=exact_arrs)
                 return

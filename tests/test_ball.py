@@ -588,3 +588,27 @@ def test_spherical_trace_transpose():
     T0 = T.evaluate()
     T0.require_coeff_space(); TT.require_coeff_space()
     assert np.abs(np.asarray(TT.data) - np.asarray(T0.data)).max() < 1e-12
+
+
+def test_ball_ivp_banded_matsolver_matches_lu():
+    """Ball saddle pencils (incompressible u + p, tau method) factor through
+    the banded matsolver via QR pivot pinning — zero dense overrides — and
+    the trajectory matches dense LU (the reference solves these pencils at
+    O(band) via sparse LU; matsolvers.py:70-183)."""
+    import dedalus_tpu.public as d3
+    from dedalus_tpu.models.ball import build_ball_problem, set_conductive_ic
+
+    def run(matsolver, n=3):
+        problem, ctx = build_ball_problem(8, 4, 32, Rayleigh=1e4)
+        solver = problem.build_solver(d3.SBDF2, matsolver=matsolver)
+        set_conductive_ic(ctx)
+        solver.run_steps(1e-4, n)
+        return np.asarray(solver.state_flat()), solver
+
+    ref, _ = run('lu')
+    got, solver = run('banded')
+    assert solver.matsolver == 'banded'
+    banded = solver.timestepper._current_fact.banded
+    assert len(banded.bad_idx) == 0, "expected zero dense overrides"
+    err = np.abs(ref - got).max()
+    assert err < 1e-9, f"ball banded trajectory mismatch: {err}"

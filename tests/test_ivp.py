@@ -441,43 +441,48 @@ def test_banded_bordered_matsolver_matches_lu():
     assert err < 1e-11 * max(1, np.abs(ref).max()), f"banded mismatch: {err}"
 
 
-def test_banded_demotion_repairs_planted_kernel():
-    """Singular band cores are repaired by demoting kernel rows/columns into
-    extra Woodbury border slots (exactly preserving A_band + U V)."""
+def test_banded_pivot_pinning_repairs_border_anchored_kernel():
+    """A band core whose kernel is anchored ONLY by far border content (the
+    ball-saddle structure: left/right null supports band-disjoint) is
+    repaired by QR pivot pinning + exact Woodbury compensation — the solve
+    matches the dense solution to near machine precision."""
+    import jax.numpy as jnp
     import dedalus_tpu.ops.banded as ops_banded
+    from scipy import sparse as ss
 
-    rng = np.random.default_rng(0)
-    nb, Nb = 4, 6
-    Pp = nb * Nb
-
-    class SB:
-        pass
-
-    sb = SB()
-    sb.G, sb.P, sb.Pp, sb.nb, sb.Nb = 1, Pp, Pp, nb, Nb
-    sb.diag = rng.normal(size=(1, Nb, nb, nb))
-    sb.sub = rng.normal(size=(1, Nb, nb, nb))
-    sb.sup = rng.normal(size=(1, Nb, nb, nb))
-    sb.sub[:, 0] = 0
-    sb.sup[:, -1] = 0
-    A = ops_banded._band_dense_group(sb, 0)
-    A[10, :] = 1.5 * A[9, :]
-    A[:, 3] = -2.0 * A[:, 2]
+    rng = np.random.default_rng(3)
+    nb, Nb, nbord = 4, 6, 1
+    P = nb * Nb
+    A = np.zeros((P, P))
+    # In-pattern block-tridiagonal content
     for i in range(Nb):
         r0 = i * nb
-        sb.diag[0, i] = A[r0:r0 + nb, r0:r0 + nb]
+        A[r0:r0 + nb, r0:r0 + nb] = rng.normal(size=(nb, nb))
         if i > 0:
-            sb.sub[0, i] = A[r0:r0 + nb, r0 - nb:r0]
+            A[r0:r0 + nb, r0 - nb:r0] = rng.normal(size=(nb, nb))
         if i < Nb - 1:
-            sb.sup[0, i] = A[r0:r0 + nb, r0 + nb:r0 + 2 * nb]
-    sv = np.linalg.svd(ops_banded._band_dense_group(sb, 0), compute_uv=False)
-    assert (sv < 1e-10 * sv[0]).sum() == 1
-    Uex, Vex, unrep = ops_banded.BorderedBandedSolver._demote_singular(
-        sb, [0], {})
-    assert not unrep
-    A2 = ops_banded._band_dense_group(sb, 0)
-    sv2 = np.linalg.svd(A2, compute_uv=False)
-    assert sv2[-1] > 1e-6 * sv2[0]
-    # A_band + Uextra Vextra reproduces the original matrix exactly
-    recon = A2 + Uex[0] @ Vex[0]
-    assert np.abs(recon - A).max() < 1e-12
+            A[r0:r0 + nb, r0 + nb:r0 + 2 * nb] = rng.normal(size=(nb, nb))
+    # Border row 0 (dense) and border column P-1 (dense)
+    A[0, :] = rng.normal(size=P)
+    A[:, P - 1] = rng.normal(size=P)
+    # Plant a kernel in the band: columns 12, 13 dependent over their
+    # in-pattern rows; only the border row's far entry pins it in A_full
+    A[1:, 13] = -2.0 * A[1:, 12]
+    A[0, 13] = 1.7   # border-row anchoring (out-of-pattern for row 0)
+    order = dict(col_perm=np.arange(P), row_perm=np.arange(P),
+                 n_border=nbord, n_core=P - nbord, bcol_first=False)
+    blocks = ops_banded.build_banded_blocks(
+        None, None, None, order, nb, exact=[ss.csr_matrix(A)])
+    # The band alone (in-pattern + identity-regularized border slots) is
+    # singular; the full matrix is not
+    sv_full = np.linalg.svd(A, compute_uv=False)
+    assert sv_full[-1] > 1e-8 * sv_full[0]
+    solver = ops_banded.BorderedBandedSolver(
+        blocks, refinements=6,
+        group_dense=lambda g: (_ for _ in ()).throw(AssertionError(
+            "pinning should repair without dense overrides")))
+    assert not solver.bad_idx
+    R = rng.normal(size=(1, P))
+    X = np.asarray(solver.solve(jnp.asarray(R)))
+    Xd = np.linalg.solve(A, R[0])
+    assert np.abs(X[0] - Xd).max() < 1e-9 * max(1, np.abs(Xd).max())
