@@ -1,59 +1,92 @@
 """
-Benchmark: 2D Rayleigh-Benard IMEX stepping throughput (DOF*steps/sec/chip).
+Benchmark: BASELINE-scale IMEX stepping throughput (DOF*steps/sec/chip).
 
-Default configuration is the BASELINE-scale 1024x256 run (the largest RBC
-that fits this device's compile budget; 2048x512 via BENCH_NX/BENCH_NZ).
-The compiled step fuses MMT transforms, the nonlinear RHS, and the
-separable-GEMM (poly) pencil solve into one XLA program; run_steps scans
-dependent steps inside a single device call, so timings are honest under
-the axon server's memoization (identical-input calls return cached results).
+Configs (env `BENCH_CONFIG`, default 'rbc'):
+  rbc   2D Rayleigh-Benard at BENCH_NX x BENCH_NZ (default 2048x512 — the
+        BASELINE target; compiled step fuses MMT transforms, nonlinear RHS,
+        and the separable-GEMM poly solve; run_steps drives a single
+        dynamic-trip-count program, so timings are honest under the axon
+        server's memoization).
+  ball  3D ball internally-heated convection at BENCH_BALL (default 64,32,32)
+        through the banded matsolver (QR pivot pinning; the scalable
+        spherical path).
+  all   rbc + ball + the measured CPU self-anchor, with a roofline fraction
+        against the measured device matmul ceiling. Writes BENCH_DETAILS.json.
 
-Baseline: the reference publishes no absolute numbers (BASELINE.md); its only
-anchor is "2-D RBC 256x64, Ra=2e6, t_stop=50: about 5 cpu-minutes"
-(examples/ivp_2d_rayleigh_benard/rayleigh_benard.py:6). With CFL-limited
-steps (~1200 steps at safety 0.5, max_dt 0.125) that is roughly
-  256*64*4 fields * 1200 steps / 300 s ~= 2.6e5 DOF*steps/sec.
-The reference itself cannot run here (no mpi4py/FFTW), so vs_baseline
-reports our throughput against that estimate.
+Baselines: the reference publishes no absolute numbers (BASELINE.md). Two
+anchors are reported:
+  * anchor_cpu_measured — THIS framework on the CPU backend at the reference
+    example's own 256x64 RBC config (measured in a subprocess).
+  * anchor_ref_estimate — 2.6e5 DOF*steps/s, an ESTIMATE derived from the
+    reference docstring "256x64, Ra=2e6, t_stop=50: about 5 cpu-minutes"
+    (examples/ivp_2d_rayleigh_benard/rayleigh_benard.py:6) at CFL-limited
+    step counts; the reference itself cannot run here (no mpi4py/FFTW).
+`vs_baseline` is throughput / anchor_ref_estimate for continuity with
+earlier rounds; the measured self-anchor is in the details.
 
-Current record (2026-08-17): 4.91M DOF*steps/sec at 1024x256 (213.6 ms/step).
-Cumulative 1.7x over the round-1 path: split-bf16 preconditioner applies +
-host-assembled Chebyshev coefficients (refinements 12 -> 2), grouped RHS
-transforms, and the derived-LX scan step (L X reconstructed from the
-previous solve identity, removing the L GEMM from every step).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "details"}.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 
-def main():
+def _setup_jax():
     import jax
-    # Persistent compilation cache: the axon remote compiler takes minutes per
-    # program; cached executables make reruns (and the driver's bench) fast.
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import dedalus_tpu  # noqa: F401 (x64 on)
+    return jax
+
+
+ANCHOR_REF_ESTIMATE = 2.6e5  # see module docstring: reference CPU estimate
+
+
+def measure_ceiling(n=1024, iters=8):
+    """Measured device matmul ceiling (TF/s): a compiled chain of dependent
+    bf16 matmuls (the MXU fast path; dispatch amortized by lax.fori_loop)."""
+    import jax
+    import jax.numpy as jnp
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((n, n)),
+                    dtype=jnp.bfloat16)
+    a = jnp.asarray(np.random.default_rng(1).standard_normal((n, n)),
+                    dtype=jnp.bfloat16)
+
+    @jax.jit
+    def chain(x, a):
+        def body(_, x):
+            return jnp.matmul(x, a, preferred_element_type=jnp.bfloat16) * 1e-3
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    chain(x, a).block_until_ready()          # compile + warm
+    t0 = time.perf_counter()
+    chain(x * 1.0000001, a).block_until_ready()
+    dt = time.perf_counter() - t0
+    return 2 * n**3 * iters / dt / 1e12
+
+
+def _program_flops(solver):
+    """XLA's own flop count for the compiled run program. The trip count is
+    a dynamic while-loop bound, so XLA's model counts the loop body ONCE —
+    i.e. this is (approximately) flops per STEP."""
+    cost = solver.timestepper.run_program_cost()
+    if not cost:
+        return None
+    return float(cost.get('flops', 0.0)) or None
+
+
+def run_rbc(Nx, Nz, n_steps, matsolver, n_warm=5):
+    import jax
     import dedalus_tpu.public as d3
     from dedalus_tpu.models.rbc import build_rbc_problem
 
-    Nx = int(os.environ.get('BENCH_NX', 1024))
-    Nz = int(os.environ.get('BENCH_NZ', 256))
-    n_warm = int(os.environ.get('BENCH_WARMUP', 5))
-    n_steps = int(os.environ.get('BENCH_STEPS', 50))
-    matsolver = os.environ.get('BENCH_SOLVER', 'poly')
     dt = 1e-3
-
     t0 = time.perf_counter()
-    # Eager IC work on the CPU backend (avoids per-op remote TPU compiles);
-    # solver/device arrays are built on the default (TPU) device.
     cpu = jax.devices('cpu')[0]
     device = jax.devices()[0]
     with jax.default_device(cpu):
@@ -65,39 +98,143 @@ def main():
         b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
         b.require_coeff_space()
     solver = problem.build_solver(d3.SBDF2, matsolver=matsolver)
-    # Commit all state data to the accelerator
     for f in solver.state:
         f.data = jax.device_put(np.asarray(f.data), device)
     t1 = time.perf_counter()
-
-    # Warmup (compile): startup steps + one scan chunk
+    # Warmup (compile): startup steps + the shared dynamic-length run program
     solver.run_steps(dt, max(n_warm, 3))
     jax.block_until_ready(solver.timestepper.F)
     solver.run_steps(dt, n_steps)
     jax.block_until_ready(solver.timestepper.F)
     t2 = time.perf_counter()
-
-    # Timed: one compiled scan over n_steps (a single device call on evolving
-    # state — no identical-input memoization)
+    # Timed: one compiled call over n_steps of dependent, evolving state
     solver.run_steps(dt, n_steps)
     jax.block_until_ready(solver.timestepper.F)
     t3 = time.perf_counter()
-
-    run_time = t3 - t2
     dof = Nx * Nz * 4  # p, b, u(2)
-    throughput = dof * n_steps / run_time
-    baseline = 2.6e5  # estimated reference CPU anchor (see module docstring)
+    return dict(config=f"RBC {Nx}x{Nz} f64 ({solver.matsolver})",
+                dof=dof, steps=n_steps,
+                setup_s=round(t1 - t0, 1),
+                compile_warmup_s=round(t2 - t1, 1),
+                run_s=round(t3 - t2, 3),
+                ms_per_step=round((t3 - t2) / n_steps * 1e3, 2),
+                throughput=round(dof * n_steps / (t3 - t2), 1),
+                flops_per_step=_program_flops(solver))
+
+
+def run_ball(Nphi, Ntheta, Nr, n_steps, matsolver='banded', n_warm=3):
+    import jax
+    import dedalus_tpu.public as d3
+    from dedalus_tpu.models.ball import build_ball_problem, set_conductive_ic
+
+    dt = 1e-4
+    t0 = time.perf_counter()
+    cpu = jax.devices('cpu')[0]
+    device = jax.devices()[0]
+    with jax.default_device(cpu):
+        problem, ctx = build_ball_problem(Nphi, Ntheta, Nr, Rayleigh=1e4)
+        set_conductive_ic(ctx)
+    solver = problem.build_solver(d3.SBDF2, matsolver=matsolver)
+    for f in solver.state:
+        f.data = jax.device_put(np.asarray(f.data), device)
+    t1 = time.perf_counter()
+    solver.run_steps(dt, max(n_warm, 3))
+    jax.block_until_ready(solver.timestepper.F)
+    solver.run_steps(dt, n_steps)
+    jax.block_until_ready(solver.timestepper.F)
+    t2 = time.perf_counter()
+    solver.run_steps(dt, n_steps)
+    jax.block_until_ready(solver.timestepper.F)
+    t3 = time.perf_counter()
+    dof = Nphi * Ntheta * Nr * 5  # p, T, u(3)
+    return dict(config=f"ball {Nphi}x{Ntheta}x{Nr} f64 ({solver.matsolver})",
+                dof=dof, steps=n_steps,
+                setup_s=round(t1 - t0, 1),
+                compile_warmup_s=round(t2 - t1, 1),
+                run_s=round(t3 - t2, 3),
+                ms_per_step=round((t3 - t2) / n_steps * 1e3, 2),
+                throughput=round(dof * n_steps / (t3 - t2), 1))
+
+
+def measure_cpu_anchor():
+    """THIS framework on the CPU backend at the reference example's 256x64
+    config (subprocess: the backend is fixed per process)."""
+    code = r"""
+import time, json
+import numpy as np
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import dedalus_tpu.public as d3
+from dedalus_tpu.models.rbc import build_rbc_problem
+problem, ctx = build_rbc_problem(256, 64, Rayleigh=2e6)
+solver = problem.build_solver(d3.SBDF2)
+b = ctx['b']; z = ctx['dist'].local_grid(ctx['zbasis'], scale=1); Lz = ctx['Lz']
+b.fill_random('g', seed=42, distribution='normal', scale=1e-3)
+b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+dt, n = 1e-3, 200
+solver.run_steps(dt, 10)
+jax.block_until_ready(solver.timestepper.F)
+t0 = time.perf_counter()
+solver.run_steps(dt, n)
+jax.block_until_ready(solver.timestepper.F)
+el = time.perf_counter() - t0
+print(json.dumps({'throughput': 256 * 64 * 4 * n / el}))
+"""
+    try:
+        out = subprocess.run([sys.executable, '-c', code], cwd='/root/repo',
+                             capture_output=True, text=True, timeout=900)
+        line = out.stdout.strip().splitlines()[-1]
+        return round(json.loads(line)['throughput'], 1)
+    except Exception:
+        return None
+
+
+def main():
+    jax = _setup_jax()
+    import dedalus_tpu  # noqa: F401 (x64 on)
+
+    config = os.environ.get('BENCH_CONFIG', 'rbc')
+    Nx = int(os.environ.get('BENCH_NX', 2048))
+    Nz = int(os.environ.get('BENCH_NZ', 512))
+    n_steps = int(os.environ.get('BENCH_STEPS', 50))
+    matsolver = os.environ.get('BENCH_SOLVER', 'poly')
+    details = {"device": str(jax.devices()[0]),
+               "anchor_ref_estimate": ANCHOR_REF_ESTIMATE}
+
+    if config in ('all',):
+        details["ceiling_tfs_bf16"] = round(measure_ceiling(), 3)
+        details["anchor_cpu_measured"] = measure_cpu_anchor()
+    head = None
+    if config in ('rbc', 'all'):
+        head = run_rbc(Nx, Nz, n_steps, matsolver)
+        details["rbc"] = head
+        if "ceiling_tfs_bf16" in details and head.get("flops_per_step"):
+            eff = (head["flops_per_step"]
+                   / (head["run_s"] / head["steps"])
+                   / (details["ceiling_tfs_bf16"] * 1e12))
+            details["rbc"]["roofline_frac"] = round(eff, 3)
+    if config in ('ball', 'all'):
+        shape = tuple(int(s) for s in
+                      os.environ.get('BENCH_BALL', '64,32,32').split(','))
+        ball = run_ball(*shape, n_steps=min(n_steps, 20),
+                        matsolver=os.environ.get('BENCH_BALL_SOLVER', 'banded'))
+        details["ball"] = ball
+        if head is None:
+            head = ball
+    with open('/root/repo/BENCH_DETAILS.json', 'w') as f:
+        json.dump(details, f, indent=1)
     result = {
-        "metric": f"RBC {Nx}x{Nz} f64 DOF*steps/sec/chip ({solver.matsolver})",
-        "value": round(throughput, 1),
+        "metric": f"{head['config']} DOF*steps/sec/chip",
+        "value": head["throughput"],
         "unit": "DOF*steps/sec",
-        "vs_baseline": round(throughput / baseline, 3),
+        "vs_baseline": round(head["throughput"] / ANCHOR_REF_ESTIMATE, 3),
+        "details": details,
     }
     print(json.dumps(result))
-    print(f"# setup={t1-t0:.1f}s compile+warmup={t2-t1:.1f}s "
-          f"run={run_time:.3f}s/{n_steps} steps "
-          f"({run_time/n_steps*1e3:.2f} ms/step) device={jax.devices()[0]}",
-          file=sys.stderr)
+    print(f"# {head['config']}: setup={head['setup_s']}s "
+          f"compile+warmup={head['compile_warmup_s']}s "
+          f"run={head['run_s']}s/{head['steps']} steps "
+          f"({head['ms_per_step']} ms/step)", file=sys.stderr)
 
 
 if __name__ == '__main__':

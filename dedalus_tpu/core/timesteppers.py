@@ -70,6 +70,22 @@ class TimestepperBase:
             self._factorized[key] = ops_solve.FactorizedStack(A, method=self.solver.matsolver)
         return self._factorized[key]
 
+    def run_program_cost(self):
+        """XLA cost analysis of the compiled run program (flops/bytes).
+        Uses jit's lowering with the last call's arguments; the persistent
+        compilation cache makes this a disk hit, not a recompile. The trip
+        count is a dynamic while-loop bound, so XLA counts the loop body
+        once — i.e. flops are (approximately) per STEP."""
+        cached = [v for k, v in getattr(self, '_scan_cache', {}).items()]
+        args = getattr(self, '_last_run_args', None)
+        if not cached or args is None:
+            return None
+        fn, consts = cached[-1]
+        try:
+            return fn.lower(*args, *consts).compile().cost_analysis()
+        except Exception:
+            return None
+
     def _solve_fn_and_args(self):
         """Jit-safe solve function + per-factorization array extractor."""
         method = self.solver.matsolver
@@ -448,6 +464,7 @@ class MultistepIMEX(TimestepperBase):
             conv, consts = _hoist_closure_constants(run, args)
             self._scan_cache[key] = (jax.jit(conv), consts)
         fn, consts = self._scan_cache[key]
+        self._last_run_args = args
         state, t, self.MX, self.LX, self.F, _rhs = fn(*args, *consts)
         pencil.unflatten_fields(state, solver.state)
         solver.sim_time = solver.sim_time + dt * n_steps
@@ -725,6 +742,7 @@ class RungeKuttaIMEX(TimestepperBase):
             conv, consts = _hoist_closure_constants(run, args)
             self._scan_cache['run'] = (jax.jit(conv), consts)
         fn, consts = self._scan_cache['run']
+        self._last_run_args = args
         state, t = fn(*args, *consts)
         pencil.unflatten_fields(state, solver.state)
         solver.sim_time = solver.sim_time + k * n_steps
