@@ -59,7 +59,8 @@ class TimestepperBase:
 
     def _get_factorized(self, a0, b0):
         key = (float(a0), float(b0))
-        if key not in self._factorized:
+        fact = self._factorized.pop(key, None)
+        if fact is None:
             if self.solver.matsolver == 'banded':
                 # The banded path always works from the sparse per-group
                 # representation (never materializes dense stacks)
@@ -67,8 +68,20 @@ class TimestepperBase:
                 A = LazyCombined(self.pencil, {'M': a0, 'L': b0})
             else:
                 A = self.pencil.combined_with_pivots({'M': a0, 'L': b0})
-            self._factorized[key] = ops_solve.FactorizedStack(A, method=self.solver.matsolver)
-        return self._factorized[key]
+            fact = ops_solve.FactorizedStack(A, method=self.solver.matsolver)
+        # LRU-bounded cache: variable-dt (CFL-adaptive) runs visit many
+        # (a0, b0) keys, and each factorization pins GBs of device arrays at
+        # production sizes — unbounded growth OOMs the chip (ref parity:
+        # dedalus/core/timesteppers.py:135 stores only the CURRENT LHS).
+        self._factorized[key] = fact
+        from ..utils.config import config
+        limit = max(2, int(config.get('linear algebra',
+                                      'max_cached_factorizations',
+                                      fallback='3')))
+        while len(self._factorized) > limit:
+            oldest = next(k for k in self._factorized if k != key)
+            del self._factorized[oldest]
+        return fact
 
     def run_program_cost(self):
         """XLA cost analysis of the compiled run program (flops/bytes).

@@ -259,13 +259,33 @@ def _split3_bf16(A):
     return a1, a2, a3
 
 
+def presplit_f32_host(A):
+    """Exact 3-term bf16 decomposition of an f32 array, computed on HOST
+    (numpy + ml_dtypes) and shipped to device as three bf16 arrays.
+
+    Passing a pre-split tuple instead of the f32 original to matmul_f32x
+    matters for LARGE operands held across a scan: in-jit splitting makes XLA
+    hoist three loop-invariant bf16 copies ALONGSIDE the f32 buffer (2.5x the
+    storage); pre-splitting stores only the three bf16 terms (1.5x f32 size)
+    and never materializes the f32 array on device at all."""
+    import ml_dtypes
+    bf16 = ml_dtypes.bfloat16
+    A = np.ascontiguousarray(np.asarray(A), dtype=np.float32)
+    a1 = A.astype(bf16)
+    r = A - a1.astype(np.float32)
+    a2 = r.astype(bf16)
+    a3 = (r - a2.astype(np.float32)).astype(bf16)
+    return (jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(a3))
+
+
 def matmul_f32x(X, B):
     """True-f32 matmul as six bfloat16 MXU passes with f32 accumulation.
     Backends whose 'f32' matmul silently runs at bfloat16 grade (and ignore
     the HIGHEST precision hint) would otherwise cap iterative-refinement
-    contraction near 1e-1; the explicit split cannot be degraded."""
+    contraction near 1e-1; the explicit split cannot be degraded.
+    B may be a pre-split (b1, b2, b3) bf16 tuple (see presplit_f32_host)."""
     x1, x2, x3 = _split3_bf16(X)
-    b1, b2, b3 = _split3_bf16(B)
+    b1, b2, b3 = B if isinstance(B, tuple) else _split3_bf16(B)
     f32 = jnp.float32
     mm = partial(jnp.matmul, preferred_element_type=f32)
     Y = mm(x1, b1)
@@ -291,7 +311,7 @@ def separable_apply(X, weights, Bcat, bad_idx=(), Abad=None):
     """
     G, P = X.shape
     q = weights.shape[1]
-    if Bcat.dtype == jnp.float32:
+    if isinstance(Bcat, tuple) or Bcat.dtype == jnp.float32:
         # Split-bf16 GEMM + exact VPU weights contraction: true f32 results
         # even on backends whose f32 matmul runs bf16-grade
         Xc = X.astype(jnp.float32)
@@ -319,7 +339,7 @@ def separable_apply_pair(X, Bcat, wA, badA, CA, wB, badB, CB):
     of the compiled step on flop-bound devices."""
     G, P = X.shape
     qA = wA.shape[1]
-    if Bcat.dtype == jnp.float32:
+    if isinstance(Bcat, tuple) or Bcat.dtype == jnp.float32:
         Xc = X.astype(jnp.float32)
         T = matmul_f32x(Xc, Bcat).reshape(G, -1, P)
         YA = _weights_contract(wA.astype(jnp.float32),
@@ -451,14 +471,21 @@ class FactorizedStack:
             try:
                 z = np.load(cpath)
                 self.pre = dict(weights=jnp.asarray(z['Wq']),
-                                Bcat=jnp.asarray(z['Bcat']),
+                                Bcat=presplit_f32_host(z['Bcat']),
                                 bad_idx=bad_idx)
                 if len(bad_idx):
                     self.pre['Abad'] = jnp.asarray(z['Abad_inv'])
                 else:
                     self.pre['Abad'] = jnp.zeros((0, P, P), dtype=jnp.float32)
-                self.refinements = int(z['refinements'])
                 self.rho = float(z['rho'])
+                # Recompute the refinement count from the cached contraction
+                # factor (not the cached count: the count formula may have
+                # changed since the fit was saved, and each refinement is a
+                # full-width GEMM pair per step)
+                rate = max(self.rho, 1e-6)
+                self.refinements = int(np.clip(
+                    np.ceil(np.log(target) / np.log(rate)) - 1, 1,
+                    max_refinements))
                 logger.info("poly preconditioner: loaded cached fit "
                             "(rho %.2e, %d refinements)", self.rho,
                             self.refinements)
@@ -588,7 +615,7 @@ class FactorizedStack:
                     best['q'], rho, _refs_of(rho))
         Bcat_pre = np.concatenate(
             [coeffs[j].T for j in range(coeffs.shape[0])], axis=1)
-        pre = dict(weights=jnp.asarray(Wq), Bcat=jnp.asarray(Bcat_pre),
+        pre = dict(weights=jnp.asarray(Wq), Bcat=presplit_f32_host(Bcat_pre),
                    bad_idx=bad_idx)
         Abad_inv = None
         if len(bad_idx):
@@ -678,7 +705,7 @@ class FactorizedStack:
         # The preconditioner runs in f32 (fast MXU path); refinement residuals
         # are f64 against the EXACT separable A, so the solve still converges
         # to the f64 floor -- the f32 noise only caps the per-pass contraction.
-        pre['Bcat'] = pre['Bcat'].astype(jnp.float32)
+        pre['Bcat'] = presplit_f32_host(np.asarray(pre['Bcat']))
         pre['Abad'] = pre['Abad'].astype(jnp.float32)
         self.pre = pre
         # Initial apply already lands at relative error ~rho; each refinement
