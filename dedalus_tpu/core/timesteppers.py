@@ -68,7 +68,13 @@ class TimestepperBase:
                 A = LazyCombined(self.pencil, {'M': a0, 'L': b0})
             else:
                 A = self.pencil.combined_with_pivots({'M': a0, 'L': b0})
-            fact = ops_solve.FactorizedStack(A, method=self.solver.matsolver)
+            fact = ops_solve.FactorizedStack(
+                A, method=self.solver.matsolver,
+                plan_hint=getattr(self, '_poly_plan_hint', None))
+            if getattr(fact, 'apply_plan', None) is not None:
+                # Later factorizations adopt this apply structure: all facts
+                # of one timestepper share the compiled run program
+                self._poly_plan_hint = fact.apply_plan
         # LRU-bounded cache: variable-dt (CFL-adaptive) runs visit many
         # (a0, b0) keys, and each factorization pins GBs of device arrays at
         # production sizes — unbounded growth OOMs the chip (ref parity:

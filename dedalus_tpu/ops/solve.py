@@ -259,21 +259,28 @@ def _split3_bf16(A):
     return a1, a2, a3
 
 
-def presplit_f32_host(A):
-    """Exact 3-term bf16 decomposition of an f32 array, computed on HOST
-    (numpy + ml_dtypes) and shipped to device as three bf16 arrays.
+def presplit_f32_host(A, n_terms=3):
+    """Exact bf16 term decomposition of an f32 array, computed on HOST
+    (numpy + ml_dtypes) and shipped to device as n_terms bf16 arrays.
 
     Passing a pre-split tuple instead of the f32 original to matmul_f32x
     matters for LARGE operands held across a scan: in-jit splitting makes XLA
     hoist three loop-invariant bf16 copies ALONGSIDE the f32 buffer (2.5x the
-    storage); pre-splitting stores only the three bf16 terms (1.5x f32 size)
-    and never materializes the f32 array on device at all."""
+    storage); pre-splitting stores only the bf16 terms (1.5x f32 size for 3
+    terms, 1x for 2) and never materializes the f32 array on device at all.
+    n_terms=2 gives a ~2^-16-accurate product in 3 MXU passes (enough for a
+    PRECONDITIONER, where apply noise only raises the refinement count);
+    n_terms=3 gives true-f32 in 6 passes."""
     import ml_dtypes
     bf16 = ml_dtypes.bfloat16
     A = np.ascontiguousarray(np.asarray(A), dtype=np.float32)
     a1 = A.astype(bf16)
+    if n_terms == 1:
+        return (jnp.asarray(a1),)
     r = A - a1.astype(np.float32)
     a2 = r.astype(bf16)
+    if n_terms == 2:
+        return (jnp.asarray(a1), jnp.asarray(a2))
     a3 = (r - a2.astype(np.float32)).astype(bf16)
     return (jnp.asarray(a1), jnp.asarray(a2), jnp.asarray(a3))
 
@@ -283,11 +290,18 @@ def matmul_f32x(X, B):
     Backends whose 'f32' matmul silently runs at bfloat16 grade (and ignore
     the HIGHEST precision hint) would otherwise cap iterative-refinement
     contraction near 1e-1; the explicit split cannot be degraded.
-    B may be a pre-split (b1, b2, b3) bf16 tuple (see presplit_f32_host)."""
-    x1, x2, x3 = _split3_bf16(X)
-    b1, b2, b3 = B if isinstance(B, tuple) else _split3_bf16(B)
+    B may be a pre-split bf16 tuple (see presplit_f32_host): 3 terms run the
+    6-pass true-f32 product, 2 terms the 3-pass ~2^-16 product."""
     f32 = jnp.float32
     mm = partial(jnp.matmul, preferred_element_type=f32)
+    if isinstance(B, tuple) and len(B) == 1:
+        return mm(X.astype(jnp.bfloat16), B[0])
+    if isinstance(B, tuple) and len(B) == 2:
+        x1, x2, _ = _split3_bf16(X)
+        b1, b2 = B
+        return mm(x1, b1) + mm(x1, b2) + mm(x2, b1)
+    x1, x2, x3 = _split3_bf16(X)
+    b1, b2, b3 = B if isinstance(B, tuple) else _split3_bf16(B)
     Y = mm(x1, b1)
     Y = Y + mm(x1, b2) + mm(x2, b1)
     Y = Y + mm(x1, b3) + mm(x2, b2) + mm(x3, b1)
@@ -364,13 +378,123 @@ def separable_apply_pair(X, Bcat, wA, badA, CA, wB, badB, CB):
     return YA, YB
 
 
+def _host_apply_plan(coeffs, Wq, B, ghat, bad_idx, target, max_refinements=12,
+                     restrict=None):
+    """Pick (q_eff, passes, refinements) for the preconditioner APPLY by host
+    probes. Chebyshev TRUNCATION of an existing inverse fit is near-optimal,
+    so narrower applies (q_eff < q) and 3-pass (2-term split) bf16 products
+    can be evaluated from the fitted coefficients without refitting; each
+    option's contraction factor rho decides its refinement count, and the
+    winner minimizes modeled per-solve GEMM cost
+    (refs+1)*passes*q_eff + refs*kA (kA = the f64 exact-apply equivalent).
+
+    coeffs: (q, P, P) f32 Chebyshev coefficient matrices of the inverse.
+    Wq: (G, q) evaluation weights. B: (d+1, P, P) f64 exact separable stack.
+    Returns dict(q_eff, passes, rho, refinements, cost)."""
+    import ml_dtypes
+    bf16 = ml_dtypes.bfloat16
+    q_full, P, _ = coeffs.shape
+    G = len(ghat)
+    bad = set(bad_idx)
+    good = [g for g in range(G) if g not in bad]
+    probes = good[:: max(1, len(good) // 3)][:3]
+    rng = np.random.default_rng(20260817)
+
+    def split_terms(M, n_terms):
+        M = M.astype(np.float32)
+        t1 = M.astype(bf16)
+        out = [t1]
+        if n_terms >= 2:
+            r = M - t1.astype(np.float32)
+            t2 = r.astype(bf16)
+            out.append(t2)
+            if n_terms == 3:
+                out.append((r - t2.astype(np.float32)).astype(bf16))
+        # f32 hosts for numpy matmul: bf16 values exactly representable
+        return [x.astype(np.float32) for x in out]
+
+    def refs_needed(r):
+        """Refinements to reach `target`; may exceed max_refinements, in
+        which case the option CANNOT meet the solve target and must be
+        rejected (clipping would silently accept an inaccurate solve).
+        1.5x margin: rho is estimated from a few probe groups, and the max
+        over all groups can run slightly worse."""
+        rate = max(1.5 * r, 1e-7)
+        if rate >= 0.5:
+            return float('inf')
+        return float(np.ceil(np.log(target) / np.log(rate)) - 1)
+
+    Ags = {g: sum(ghat[g] ** p * B[p] for p in range(B.shape[0]))
+           for g in probes}
+    # 1-pass (pure bf16) plans are deliberately absent: their ~1e-2 apply
+    # noise needs ~11 refinements, and the f64 exact applies those add lose
+    # more than the narrower preconditioner saves (measured: 2617 vs 1871
+    # ms/step at 2048x512).
+    pass_opts = ((3, 2), (6, 3))               # (MXU passes, split terms)
+    cands = sorted({q for q in (4, 8, 12, 16, 24, 32, 48, q_full)
+                    if 4 <= q <= q_full})
+    if restrict is not None:
+        # A sibling factorization already chose a plan; adopt its shape (the
+        # compiled run program is SHARED across factorizations, so mats
+        # structure and refinement counts must agree) and probe only rho.
+        q_r, p_r = restrict
+        cands = [min(int(q_r), q_full)]
+        pass_opts = tuple(po for po in pass_opts if po[0] == p_r) or pass_opts
+    rhos = {(q, p): 0.0 for q in cands for p, _ in pass_opts}
+    for g in probes:
+        # Incremental partial sums share the O(q P^2) accumulation across
+        # all truncation candidates
+        Pg = np.zeros((P, P), dtype=np.float32)
+        j = 0
+        for q_eff in cands:
+            while j < q_eff:
+                Pg += Wq[g, j].astype(np.float32) * coeffs[j]
+                j += 1
+            for passes, n_terms in pass_opts:
+                ps = split_terms(Pg.T, n_terms)
+                v = rng.standard_normal(P)
+                growth = 1.0
+                for _ in range(8):
+                    u = (Ags[g] @ v).astype(np.float32)
+                    xs = split_terms(u[None, :], n_terms)
+                    Y = xs[0] @ ps[0]
+                    if n_terms >= 2:
+                        Y = Y + xs[0] @ ps[1] + xs[1] @ ps[0]
+                    if n_terms == 3:
+                        Y = Y + xs[0] @ ps[2] + xs[1] @ ps[1] + xs[2] @ ps[0]
+                    w = v - Y[0].astype(np.float64)
+                    nw = np.linalg.norm(w)
+                    nv = np.linalg.norm(v)
+                    growth = nw / max(nv, 1e-300)
+                    if nw < 1e-280:
+                        break
+                    v = w / nw
+                rhos[(q_eff, passes)] = max(rhos[(q_eff, passes)], growth)
+    kA = 7.0 * B.shape[0]
+    best = None
+    for (q_eff, passes), r in rhos.items():
+        nr = refs_needed(r)
+        if not (r < 0.7) or nr > max_refinements:
+            continue
+        refs = int(max(nr, 1))
+        cost = (refs + 1) * passes * q_eff + refs * kA
+        if best is None or cost < best['cost']:
+            best = dict(q_eff=q_eff, passes=passes, rho=float(r),
+                        refinements=refs, cost=cost)
+    return best
+
+
 class FactorizedStack:
     """A factorized (G,P,P) stack with a device solve method. `A` is either a
     dense ndarray stack or a lazy provider exposing `poly_form()` (large
     systems where the dense stack must never materialize)."""
 
-    def __init__(self, A, method='lu'):
+    def __init__(self, A, method='lu', plan_hint=None):
         self.method = method
+        # (q_eff, passes) of a sibling factorization's preconditioner apply:
+        # factorizations sharing one compiled run program must agree on the
+        # apply structure (see _host_apply_plan restrict)
+        self._plan_hint = plan_hint
         if not isinstance(A, (np.ndarray, jnp.ndarray)) and hasattr(A, 'poly_form'):
             if method == 'banded':
                 from . import banded as ops_banded
@@ -470,25 +594,17 @@ class FactorizedStack:
         if cpath is not None and cpath.exists():
             try:
                 z = np.load(cpath)
-                self.pre = dict(weights=jnp.asarray(z['Wq']),
-                                Bcat=presplit_f32_host(z['Bcat']),
-                                bad_idx=bad_idx)
-                if len(bad_idx):
-                    self.pre['Abad'] = jnp.asarray(z['Abad_inv'])
-                else:
-                    self.pre['Abad'] = jnp.zeros((0, P, P), dtype=jnp.float32)
-                self.rho = float(z['rho'])
-                # Recompute the refinement count from the cached contraction
-                # factor (not the cached count: the count formula may have
-                # changed since the fit was saved, and each refinement is a
-                # full-width GEMM pair per step)
-                rate = max(self.rho, 1e-6)
-                self.refinements = int(np.clip(
-                    np.ceil(np.log(target) / np.log(rate)) - 1, 1,
-                    max_refinements))
-                logger.info("poly preconditioner: loaded cached fit "
-                            "(rho %.2e, %d refinements)", self.rho,
-                            self.refinements)
+                Wq_full = np.asarray(z['Wq'])
+                q_full = Wq_full.shape[1]
+                # coeffs[j] = Bcat[:, j*P:(j+1)*P].T  (see the save path)
+                coeffs = np.ascontiguousarray(
+                    np.asarray(z['Bcat']).reshape(P, q_full, P)
+                    .transpose(1, 2, 0))
+                self._finish_pre(coeffs, Wq_full, B, ghat, bad_idx,
+                                 np.asarray(z['Abad_inv']) if len(bad_idx)
+                                 else None,
+                                 float(z['rho']), target, max_refinements,
+                                 origin="cached fit")
                 return
             except Exception:
                 pass
@@ -611,32 +727,68 @@ class FactorizedStack:
             raise ValueError(
                 f"Chebyshev inverse preconditioner diverges (rho={rho:.2f})")
         coeffs, Wq, rho = best['coeffs'], best['Wq'], best['rho']
-        logger.info("poly preconditioner: degree %d, rho %.2e, %d refinements",
-                    best['q'], rho, _refs_of(rho))
         Bcat_pre = np.concatenate(
             [coeffs[j].T for j in range(coeffs.shape[0])], axis=1)
-        pre = dict(weights=jnp.asarray(Wq), Bcat=presplit_f32_host(Bcat_pre),
-                   bad_idx=bad_idx)
         Abad_inv = None
         if len(bad_idx):
             Abad_inv = _scipy_inverse_stack(
                 np.asarray(Abad)).astype(np.float32)
-            pre['Abad'] = jnp.asarray(Abad_inv)
-        else:
-            pre['Abad'] = jnp.zeros((0, P, P), dtype=jnp.float32)
-        self.pre = pre
-        rate = max(rho, 1e-6)
-        self.refinements = int(np.clip(
-            np.ceil(np.log(target) / np.log(rate)) - 1, 1, max_refinements))
-        self.rho = rho
         if cpath is not None:
             try:
                 np.savez(cpath, Wq=Wq, Bcat=Bcat_pre,
                          Abad_inv=(Abad_inv if Abad_inv is not None
                                    else np.zeros((0,), np.float32)),
-                         refinements=self.refinements, rho=rho)
+                         refinements=_refs_of(rho), rho=rho)
             except Exception:
                 pass
+        self._finish_pre(coeffs, Wq, B, ghat, bad_idx, Abad_inv, rho,
+                         target, max_refinements, origin="fresh fit")
+
+    def _finish_pre(self, coeffs, Wq_full, B, ghat, bad_idx, Abad_inv,
+                    rho_full, target, max_refinements, origin):
+        """Finalize the poly preconditioner: host (q_eff, passes) plan search
+        over TRUNCATIONS of the fitted Chebyshev inverse (narrower applies /
+        fewer bf16 passes trade contraction for per-step GEMM width; the
+        refinement count absorbs the difference at the same solve target),
+        then presplit bf16 device storage of the chosen apply."""
+        P = coeffs.shape[1]
+        plan = None
+        restrict = getattr(self, '_plan_hint', None)
+        try:
+            plan = _host_apply_plan(coeffs, Wq_full, B, ghat, bad_idx,
+                                    target, max_refinements,
+                                    restrict=restrict)
+            if plan is None and restrict is not None:
+                logger.info("hinted apply plan %s cannot meet the solve "
+                            "target here; re-searching", restrict)
+                plan = _host_apply_plan(coeffs, Wq_full, B, ghat, bad_idx,
+                                        target, max_refinements)
+        except Exception:
+            logger.warning("apply-plan search failed; using the full fit",
+                           exc_info=True)
+        if plan is None:
+            rate = max(rho_full, 1e-6)
+            plan = dict(q_eff=coeffs.shape[0], passes=6, rho=rho_full,
+                        refinements=int(np.clip(
+                            np.ceil(np.log(target) / np.log(rate)) - 1,
+                            1, max_refinements)))
+        qe = plan['q_eff']
+        Bcat_eff = np.concatenate([coeffs[j].T for j in range(qe)], axis=1)
+        pre = dict(weights=jnp.asarray(Wq_full[:, :qe]),
+                   Bcat=presplit_f32_host(Bcat_eff,
+                                          {1: 1, 3: 2, 6: 3}[plan['passes']]),
+                   bad_idx=tuple(bad_idx))
+        if Abad_inv is not None and len(bad_idx):
+            pre['Abad'] = jnp.asarray(np.asarray(Abad_inv, dtype=np.float32))
+        else:
+            pre['Abad'] = jnp.zeros((0, P, P), dtype=jnp.float32)
+        self.pre = pre
+        self.rho = float(plan['rho'])
+        self.refinements = int(plan['refinements'])
+        self.apply_plan = (qe, int(plan['passes']))
+        logger.info("poly preconditioner: %s q=%d -> q_eff=%d, %d-pass, "
+                    "rho %.2e, %d refinements", origin, coeffs.shape[0], qe,
+                    plan['passes'], self.rho, self.refinements)
 
     @staticmethod
     def _poly_cache_path(B, W, target):
