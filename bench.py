@@ -181,6 +181,32 @@ def run_ball(Nphi, Ntheta, Nr, n_steps, matsolver=None, n_warm=3):
                 throughput=round(dof * n_steps / (t3 - t2), 1))
 
 
+def run_ball_bounded(shape, n_steps, matsolver, timeout_s):
+    """run_ball in a subprocess with a hard timeout: the spherical step's
+    remote compile has shown unbounded wall time on this backend, and one
+    slow leg must not consume the whole bench budget."""
+    payload = json.dumps(dict(shape=list(shape), n_steps=n_steps,
+                              matsolver=matsolver))
+    code = (
+        "import json, sys\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "import bench\n"
+        "bench._setup_jax()\n"
+        "import dedalus_tpu\n"
+        "cfg = json.loads(sys.argv[1])\n"
+        "r = bench.run_ball(*cfg['shape'], n_steps=cfg['n_steps'],\n"
+        "                   matsolver=cfg['matsolver'])\n"
+        "print('BALL_RESULT ' + json.dumps(r))\n")
+    out = subprocess.run([sys.executable, '-c', code, payload],
+                         cwd='/root/repo', capture_output=True, text=True,
+                         timeout=timeout_s)
+    for line in out.stdout.splitlines():
+        if line.startswith('BALL_RESULT '):
+            return json.loads(line[len('BALL_RESULT '):])
+    tail = (out.stderr or out.stdout or '').strip().splitlines()[-6:]
+    raise RuntimeError("ball bench subprocess failed: " + " | ".join(tail))
+
+
 def measure_cpu_anchor():
     """THIS framework on the CPU backend at the reference example's 256x64
     config (subprocess: the backend is fixed per process)."""
@@ -250,8 +276,10 @@ def main():
             # BENCH_BALL_SOLVER forces one (e.g. 'banded' — the multi-chip
             # memory-scalable path; its (nb,nb)-block arrays pad ~3.2x on
             # TPU tiles, which can exceed single-chip HBM here).
-            ball = run_ball(*shape, n_steps=min(n_steps, 20),
-                            matsolver=os.environ.get('BENCH_BALL_SOLVER'))
+            ball = run_ball_bounded(
+                shape, n_steps=min(n_steps, 20),
+                matsolver=os.environ.get('BENCH_BALL_SOLVER'),
+                timeout_s=int(os.environ.get('BENCH_BALL_TIMEOUT', 2400)))
             details["ball"] = ball
             if head is None:
                 head = ball
