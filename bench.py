@@ -38,7 +38,8 @@ import time
 # order during tracing depends on it, and an unpinned seed gives every run a
 # byte-different (but equivalent) program — defeating the XLA persistent
 # compilation cache that otherwise skips the ~10-minute remote compile.
-if os.environ.get('PYTHONHASHSEED') != '0':
+if (os.environ.get('PYTHONHASHSEED') != '0'
+        and sys.argv and sys.argv[0].endswith('bench.py')):
     env = dict(os.environ, PYTHONHASHSEED='0')
     os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
