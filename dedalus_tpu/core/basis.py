@@ -591,6 +591,19 @@ class ComplexFourier(FourierBase):
         return hash(self._key())
 
 
+def Fourier(*args, dtype=None, **kw):
+    """Factory dispatching to RealFourier / ComplexFourier by dtype
+    (parity: basis.py:939)."""
+    if dtype is None:
+        raise ValueError("dtype must be specified")
+    dtype = np.dtype(dtype)
+    if dtype == np.float64:
+        return RealFourier(*args, **kw)
+    if dtype == np.complex128:
+        return ComplexFourier(*args, **kw)
+    raise ValueError(f"Unrecognized dtype: {dtype}")
+
+
 class RealFourier(FourierBase):
     """
     Real trigonometric basis with interleaved (cos, -sin) coefficient pairs:

@@ -361,6 +361,23 @@ class Field(Operand):
         return self.name if self.name else repr(self)
 
 
+ScalarField = Field
+
+
+def VectorField(dist, coordsys, *args, **kw):
+    """Module-level vector field factory (parity: field.py:990)."""
+    return Field(dist, *args, tensorsig=(coordsys,), **kw)
+
+
+def TensorField(dist, coordsys, *args, order=2, **kw):
+    """Module-level tensor field factory (parity: field.py:995)."""
+    if isinstance(coordsys, (tuple, list)):
+        tensorsig = tuple(coordsys)
+    else:
+        tensorsig = (coordsys,) * order
+    return Field(dist, *args, tensorsig=tensorsig, **kw)
+
+
 class LockedField(Field):
     """Field locked to a particular layout (parity: field.py:1003)."""
 

@@ -1168,6 +1168,26 @@ def AngularComponent(operand, index=0):
     raise NotImplementedError("AngularComponent: unsupported coordinate system")
 
 
+def AzimuthalComponent(operand, index=0):
+    """Azimuthal component of a polar-coordinate tensor slot (parity:
+    operators.py:2286 AzimuthalComponent): component 0 of tensorsig[index]
+    in the coordsys's azimuth-first ordering — the same raw slice the
+    reference's Component.operate takes."""
+    from .coords import PolarCoordinates
+    if index < 0:
+        index += len(operand.tensorsig)
+    if not isinstance(operand.tensorsig[index], PolarCoordinates):
+        raise ValueError(
+            "Can only take the AzimuthalComponent of a PolarCoordinate vector")
+    if index != 0:
+        raise NotImplementedError(
+            "AzimuthalComponent: leading tensor slot only")
+    return Component(operand, 0)
+
+
+azimuthal = AzimuthalComponent
+
+
 def TransposeComponents(operand, indices=(0, 1)):
     i0, i1 = indices
     if i0 != 0 or i1 != 1:

@@ -357,6 +357,28 @@ class SphericalCurl(BallRegOperator):
         return None
 
 
+class SphericalEllProduct(BallRegOperator):
+    """Multiplication by ell_func(ell + regtotal) per (ell, regularity)
+    component (parity: operators.py:4155 SphericalEllProduct /
+    :4199 _radial_matrix = ell_func(ell + regtotal) * Id)."""
+
+    dk = 0
+    name = 'SphericalEllProduct'
+
+    def __init__(self, operand, coordsys, ell_func):
+        self.ell_func = ell_func
+        super().__init__(operand, coordsys)
+
+    def new_operands(self, operand):
+        return SphericalEllProduct(operand, self.coordsys, self.ell_func)
+
+    def radial_matrix_ell(self, in_idx, out_idx, ell):
+        from ..spectral import intertwiner as it
+        reg = it.regtotal(in_idx)
+        return float(self.ell_func(ell + reg)) * \
+            self.radial_in.operator_matrix_ell('Id', ell, reg)
+
+
 class SphericalTransposeComponents(BallRegOperator):
     """Transpose of a rank-2 spherical tensor. In SPIN space the transpose is
     a plain index swap; in the REGULARITY coefficient space it is the

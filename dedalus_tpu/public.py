@@ -9,9 +9,11 @@ from .core.distributor import Distributor
 from .core.domain import Domain
 from .core.basis import (
     Jacobi, ChebyshevT, ChebyshevU, ChebyshevV, Legendre, Ultraspherical,
-    RealFourier, ComplexFourier,
+    RealFourier, ComplexFourier, Fourier,
 )
-from .core.field import Field, LockedField
+from .core.field import (
+    Field, LockedField, ScalarField, VectorField, TensorField,
+)
 from .core.basis_polar import AnnulusBasis, DiskBasis
 from .core.basis_sphere import SphereBasis
 from .core.basis_ball import BallBasis, ShellBasis
@@ -21,11 +23,16 @@ from .core.operators import (
     Differentiate, Gradient, Divergence, Laplacian, Curl, Skew, Trace,
     TransposeComponents, Interpolate, Integrate, Average, Lift, TimeDerivative,
     Component, Power, UnaryGridFunction, GeneralFunction,
-    RadialComponent, AngularComponent, AdvectiveCFL,
+    RadialComponent, AngularComponent, AzimuthalComponent, AdvectiveCFL,
+    Grid, Coeff, HilbertTransform,
     grad, div, curl, lap, skew, trace, transpose, integ, ave, interp, dt, lift,
-    radial, angular,
+    radial, angular, azimuthal,
+    convert as Convert,
 )
+from .core.operators_ball import SphericalEllProduct
+from .extras import quick_domains
 trans = TransposeComponents
+LiftTau = Lift    # deprecated reference alias (ref operators.py Lift)
 from .core.arithmetic import Add, Multiply, DotProduct, CrossProduct
 from .core.arithmetic import DotProduct as dot
 from .core.arithmetic import CrossProduct as cross
