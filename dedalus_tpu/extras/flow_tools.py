@@ -111,7 +111,8 @@ class CFL:
     """
 
     def __init__(self, solver, initial_dt, cadence=1, safety=1.0, max_dt=np.inf,
-                 min_dt=0.0, max_change=np.inf, min_change=0.0, threshold=0.0):
+                 min_dt=0.0, max_change=np.inf, min_change=0.0, threshold=0.0,
+                 quantize=0.0):
         self.solver = solver
         self.initial_dt = initial_dt
         self.cadence = cadence
@@ -121,6 +122,19 @@ class CFL:
         self.max_change = max_change
         self.min_change = min_change
         self.threshold = threshold
+        # quantize (TPU extension, opt-in): ratio r > 1 snaps each timestep
+        # DOWN (CFL-safe) onto the geometric grid {r^k}. An adaptive run then
+        # visits a BOUNDED set of (a0, b0) keys, so LHS factorizations (and
+        # their preconditioner fits — minutes of setup each at production
+        # sizes) are reused from the timestepper's LRU cache instead of being
+        # rebuilt for every drifting dt value. r = 2**(1/4) costs at most
+        # ~16% of the optimal step size.
+        if quantize and not quantize > 1.0:
+            raise ValueError("quantize must be a ratio > 1 (e.g. 2**0.25)")
+        self.quantize = float(quantize) if quantize else 0.0
+        if self.quantize and initial_dt > 0 and np.isfinite(initial_dt):
+            initial_dt = self._snap(initial_dt)
+            self.initial_dt = initial_dt
         self.stored_dt = initial_dt
         self._freq_ops = []
         self._fmax_compiled = None
@@ -197,9 +211,17 @@ class CFL:
             dt *= self.safety
             dt = min(dt, self.max_dt, self.max_change * self.stored_dt)
             dt = max(dt, self.min_dt, self.min_change * self.stored_dt)
+            if self.quantize and dt > 0 and np.isfinite(dt):
+                dt = self._snap(dt)
             if abs(dt - self.stored_dt) > self.threshold * self.stored_dt:
                 self.stored_dt = dt
         return self.stored_dt
+
+    def _snap(self, dt):
+        """Snap dt DOWN onto the geometric grid {quantize^k} (unit-anchored;
+        rounding down keeps the step CFL-safe)."""
+        lr = np.log(self.quantize)
+        return float(np.exp(lr * np.floor(np.log(dt) / lr + 1e-12)))
 
     def chunk_steps(self, max_n=None):
         """Number of steps to advance before the next scheduled CFL update

@@ -69,6 +69,30 @@ def test_cfl_bounds():
     assert dt == 0.25
 
 
+def test_cfl_quantize_geometric_grid():
+    """quantize=r snaps dt DOWN onto {r^k}: adaptive runs then visit a
+    bounded set of (a0, b0) factorization keys."""
+    solver, u, dist, xb, zb = build_solver()
+    r = 2 ** 0.25
+    data = np.zeros((2, 16, 16))
+    data[0] = 2.0
+    u['g'] = data
+    cfl = d3.CFL(solver, initial_dt=1.0, cadence=1, safety=1.0, quantize=r)
+    cfl.add_velocity(u)
+    solver.step(1e-4)
+    solver.step(1e-4)
+    dt = cfl.compute_timestep()
+    exact = (2 / 16) / 2.0      # unquantized target (~0.0625)
+    # On the grid: dt = r^k for integer k, and within (exact/r, exact]
+    k = np.log(dt) / np.log(r)
+    assert abs(k - round(k)) < 1e-9
+    assert exact / r - 2e-3 < dt <= exact + 2e-3
+    # Safety: never snaps upward
+    assert dt <= exact + 2e-3
+    with np.testing.assert_raises(ValueError):
+        d3.CFL(solver, initial_dt=1.0, quantize=0.5)
+
+
 def test_cfl_disk_metric():
     """Disk azimuthal crossing frequency uses m_max / R, not raw coordinate
     spacing (ref basis.py:6130-6154)."""
