@@ -68,9 +68,19 @@ class TimestepperBase:
                 A = LazyCombined(self.pencil, {'M': a0, 'L': b0})
             else:
                 A = self.pencil.combined_with_pivots({'M': a0, 'L': b0})
+            # Most recent sibling poly factorization: its preconditioner
+            # drives the device-GEMM refit for the new (a0, b0) — the CFL
+            # dt-change path — instead of a fresh host node-inverse fit
+            refit_base = None
+            if self.solver.matsolver == 'poly':
+                for prev in reversed(list(self._factorized.values())):
+                    if getattr(prev, 'pre', None) is not None:
+                        refit_base = prev
+                        break
             fact = ops_solve.FactorizedStack(
                 A, method=self.solver.matsolver,
-                plan_hint=getattr(self, '_poly_plan_hint', None))
+                plan_hint=getattr(self, '_poly_plan_hint', None),
+                refit_base=refit_base)
             if getattr(fact, 'apply_plan', None) is not None:
                 # Later factorizations adopt this apply structure: all facts
                 # of one timestepper share the compiled run program

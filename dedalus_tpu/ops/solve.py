@@ -378,6 +378,19 @@ def separable_apply_pair(X, Bcat, wA, badA, CA, wB, badB, CB):
     return YA, YB
 
 
+def _fit_geometry(ghat, good):
+    """Chebyshev-in-log(k) interpolation map parameters (x0, h, u_lo, span)
+    for the inverse fit. Depends only on the good-group ghat values, so a
+    base fit and a refit of the same pencil share node positions exactly."""
+    x = np.asarray(ghat)[list(good)]
+    x0, x1 = float(x.min()), float(x.max())
+    h = max(np.diff(np.sort(x)).min(), 1e-12) if len(x) > 1 else 1.0
+    u_lo = float(np.log(h))
+    u_hi = float(np.log(x1 - x0 + h))
+    span = max(u_hi - u_lo, 1e-12)
+    return x0, h, u_lo, span
+
+
 def _host_apply_plan(coeffs, Wq, B, ghat, bad_idx, target, max_refinements=12,
                      restrict=None):
     """Pick (q_eff, passes, refinements) for the preconditioner APPLY by host
@@ -489,12 +502,15 @@ class FactorizedStack:
     dense ndarray stack or a lazy provider exposing `poly_form()` (large
     systems where the dense stack must never materialize)."""
 
-    def __init__(self, A, method='lu', plan_hint=None):
+    def __init__(self, A, method='lu', plan_hint=None, refit_base=None):
         self.method = method
         # (q_eff, passes) of a sibling factorization's preconditioner apply:
         # factorizations sharing one compiled run program must agree on the
         # apply structure (see _host_apply_plan restrict)
         self._plan_hint = plan_hint
+        # Sibling poly factorization of the SAME pencil at different (a0,b0):
+        # enables the device-GEMM Chebyshev refit (see _refit_from_base)
+        self._refit_base = refit_base if method == 'poly' else None
         if not isinstance(A, (np.ndarray, jnp.ndarray)) and hasattr(A, 'poly_form'):
             if method == 'banded':
                 from . import banded as ops_banded
@@ -580,6 +596,11 @@ class FactorizedStack:
         keyed by the matrix content, so reruns of the same configuration
         skip the single-core host inverse cost entirely.
         """
+        # Detach the sibling reference immediately: keeping it past
+        # construction would chain-retain every evicted factorization's
+        # device arrays through _refit_base links.
+        refit_base = getattr(self, '_refit_base', None)
+        self._refit_base = None
         W = np.asarray(pf['weights'])
         B = np.asarray(pf['B'])                  # (d+1, P, P) f64
         bad_idx = tuple(pf['bad_idx'])
@@ -609,19 +630,49 @@ class FactorizedStack:
             except Exception:
                 pass
         good = [g for g in range(G) if g not in bad_idx]
-        x = ghat[good]
-        x0, x1 = float(x.min()), float(x.max())
-        h = max(np.diff(np.sort(x)).min(), 1e-12) if len(x) > 1 else 1.0
+        # Device-accelerated refit: when a sibling factorization of the SAME
+        # pencil (different (a0, b0), e.g. a CFL timestep change) is
+        # available, its preconditioner turns the node inverses into a few
+        # GEMM refinement sweeps instead of minutes of single-core host
+        # sparse LU.
+        base = refit_base
+        if base is not None and getattr(base, 'pre', None) is not None:
+            out = None
+            try:
+                out = self._refit_from_base(pf, base, good)
+            except Exception:
+                logger.warning("device refit failed; using the host fit",
+                               exc_info=True)
+            if out is not None:
+                coeffs_r, Wq_r, res_r = out
+                Abad_inv = (_scipy_inverse_stack(
+                    np.asarray(Abad)).astype(np.float32)
+                    if len(bad_idx) else None)
+                if cpath is not None:
+                    try:
+                        Bcat_r = np.concatenate(
+                            [coeffs_r[j].T for j in range(coeffs_r.shape[0])],
+                            axis=1)
+                        np.savez(cpath, Wq=Wq_r, Bcat=Bcat_r,
+                                 Abad_inv=(Abad_inv if Abad_inv is not None
+                                           else np.zeros((0,), np.float32)),
+                                 refinements=0, rho=res_r)
+                    except Exception:
+                        pass
+                self._finish_pre(coeffs_r, Wq_r, B, ghat, bad_idx, Abad_inv,
+                                 res_r, target, max_refinements,
+                                 origin="device refit")
+                return
+
+        # Log map: the polynomial extension of A is typically singular at
+        # the mean mode (k=0); interpolating the inverse in log-distance
+        # from the smallest good wavenumber keeps the resolvent pole far
+        # outside the interpolation interval.
+        x0, h, u_lo, span = _fit_geometry(ghat, good)
 
         def u_of(xv):
-            # Log map: the polynomial extension of A is typically singular at
-            # the mean mode (k=0); interpolating the inverse in log-distance
-            # from the smallest good wavenumber keeps the resolvent pole far
-            # outside the interpolation interval.
             return np.log(xv - x0 + h)
 
-        u_lo, u_hi = u_of(x0), u_of(x1)
-        span = max(u_hi - u_lo, 1e-12)
         B_dev = jnp.asarray(B)  # f64 on device for node evaluation
 
         def A_eval_dev(xv):
@@ -744,6 +795,88 @@ class FactorizedStack:
         self._finish_pre(coeffs, Wq, B, ghat, bad_idx, Abad_inv, rho,
                          target, max_refinements, origin="fresh fit")
 
+    def _refit_from_base(self, pf, base, good, n_iters=10):
+        """Chebyshev-inverse refit on DEVICE: node inverses of the NEW
+        combined stack computed by preconditioned (Schulz-type) refinement
+        Z <- Z + P_base(x) (I - A_new(x) Z), all split-bf16 GEMMs, instead
+        of host sparse-LU per node. Valid when `base` factorized the SAME
+        pencil at nearby (a0, b0) — the typical CFL timestep change, where
+        ||I - P_base A_new|| ~ |1 - a0_new/a0_old| < 1. Returns
+        (coeffs (q,P,P) f32, Wq (G,q), residual) or None if diverged."""
+        import jax
+        B_sp = pf.get('B_sparse')
+        if B_sp is None:
+            return None
+        ghat = np.asarray(pf['ghat'])
+        bad_idx = tuple(pf['bad_idx'])
+        G = len(ghat)
+        P = B_sp[0].shape[0]
+        x0, h, u_lo, span = _fit_geometry(ghat, good)
+        q = int(getattr(base, '_fit_q_full', 32))
+        q_b = int(np.asarray(base.pre['weights']).shape[1])
+        Bcat_b = base.pre['Bcat']              # presplit bf16 tuple (device)
+        if not isinstance(Bcat_b, tuple):
+            Bcat_b = (jnp.asarray(Bcat_b, dtype=jnp.float32),)
+        t_nodes = np.cos((2 * np.arange(q) + 1) * np.pi / (2 * q))
+        u_nodes = u_lo + (t_nodes + 1) * span / 2
+        x_nodes = x0 - h + np.exp(u_nodes)
+        Tn = np.cos(np.outer(np.arange(q), np.arccos(t_nodes)))
+
+        def w_at(xv):
+            t = np.clip(2 * (np.log(xv - x0 + h) - u_lo) / span - 1, -1, 1)
+            return np.cos(np.arange(q_b) * np.arccos(t))
+
+        eye = jnp.eye(P, dtype=jnp.float32)
+
+        @jax.jit
+        def refine_node(Aj, w):
+            def pold(R):
+                # P_base(x) @ R via the presplit GEMM form:
+                # (R^T Bcat).reshape(P,q,P)[a,j,b] = (coeffs_j R[:,a])_b
+                T = matmul_f32x(R.T, Bcat_b).reshape(P, q_b, P)
+                return jnp.einsum('q,aqb->ba', w, T)
+
+            Z = pold(eye)
+
+            def body(_, Z):
+                return Z + pold(eye - matmul_f32x(Aj, Z))
+
+            Z = jax.lax.fori_loop(0, n_iters, body, Z)
+            res = jnp.max(jnp.abs(eye - matmul_f32x(Aj, Z)))
+            return Z, res
+
+        @jax.jit
+        def accum(coeffs, col, Z):
+            return coeffs + col[:, None, None] * Z[None]
+
+        coeffs_dev = jnp.zeros((q, P, P), dtype=jnp.float32)
+        fac = 2.0 / q
+        res_max = 0.0
+        for j, xv in enumerate(x_nodes):
+            powers = [float(xv) ** p for p in range(len(B_sp))]
+            An = None
+            for p, Sp in enumerate(B_sp):
+                term = powers[p] * Sp
+                An = term if An is None else An + term
+            Aj = jnp.asarray(np.asarray(An.todense(), dtype=np.float32))
+            Z, res = refine_node(Aj, jnp.asarray(w_at(float(xv))))
+            res_max = max(res_max, float(res))
+            if not res_max < 0.5:
+                logger.info("device refit diverged at node %d (res %.2e); "
+                            "using the host fit", j, res_max)
+                return None
+            col = (fac * Tn[:, j]).astype(np.float32)
+            col[0] /= 2.0           # the c=0 Chebyshev projection is halved
+            coeffs_dev = accum(coeffs_dev, jnp.asarray(col), Z)
+        coeffs = np.asarray(coeffs_dev)
+        Wq = np.zeros((G, q))
+        karr = np.arange(q)
+        for g in good:
+            t = np.clip(2 * (np.log(ghat[g] - x0 + h) - u_lo) / span - 1,
+                        -1, 1)
+            Wq[g] = np.cos(karr * np.arccos(t))
+        return coeffs, Wq, res_max
+
     def _finish_pre(self, coeffs, Wq_full, B, ghat, bad_idx, Abad_inv,
                     rho_full, target, max_refinements, origin):
         """Finalize the poly preconditioner: host (q_eff, passes) plan search
@@ -786,6 +919,7 @@ class FactorizedStack:
         self.rho = float(plan['rho'])
         self.refinements = int(plan['refinements'])
         self.apply_plan = (qe, int(plan['passes']))
+        self._fit_q_full = int(coeffs.shape[0])
         logger.info("poly preconditioner: %s q=%d -> q_eff=%d, %d-pass, "
                     "rho %.2e, %d refinements", origin, coeffs.shape[0], qe,
                     plan['passes'], self.rho, self.refinements)

@@ -162,6 +162,37 @@ def test_poly_factorized_stack_solve():
     assert np.abs(Xs - X).max() / np.abs(X).max() < 1e-10
 
 
+def test_poly_device_refit_from_base():
+    """A sibling factorization at different (a0, b0) seeds a device-GEMM
+    Chebyshev refit (the CFL dt-change path); the refit solve must still
+    reach the solve target."""
+    from dedalus_tpu.models.rbc import build_rbc_problem
+    from dedalus_tpu.core.subsystems import LazyCombined
+    from dedalus_tpu.ops import solve as ops_solve
+    import jax.numpy as jnp
+    prob, kw = build_rbc_problem(Nx=64, Nz=12)   # G=32: separable assembly on
+    solver = prob.build_solver(d3.SBDF2, matsolver='poly')
+    ps = solver.pencil
+    ps.build_matrices(['M', 'L'])
+    lc1 = LazyCombined(ps, {'M': 1000.0, 'L': 1.0})
+    base = ops_solve.FactorizedStack(lc1, 'poly')
+    # 30% timestep change; refit from base instead of a fresh host fit
+    lc2 = LazyCombined(ps, {'M': 1300.0, 'L': 1.0})
+    # Drop any fit cache for this key so the refit path actually runs
+    pf2 = lc2.poly_form()
+    cpath = ops_solve.FactorizedStack._poly_cache_path(
+        np.asarray(pf2['B']), np.asarray(pf2['weights']), 1e-15)
+    if cpath is not None and cpath.exists():
+        cpath.unlink()
+    fact2 = ops_solve.FactorizedStack(lc2, 'poly', refit_base=base)
+    assert fact2._refit_base is None        # no chain-retention of siblings
+    A2 = np.asarray(ps.combined_with_pivots({'M': 1300.0, 'L': 1.0}))
+    X = np.random.default_rng(1).standard_normal(A2.shape[:2])
+    R = np.einsum('gij,gj->gi', A2, X)
+    Xs = np.asarray(fact2.poly_solve(jnp.asarray(R)))
+    assert np.abs(Xs - X).max() / np.abs(X).max() < 1e-10
+
+
 def test_complex_fourier_ivp():
     # Advection with complex dtype: dt(u) + v*dx(u) = 0; exact phase rotation
     c = d3.Coordinate('x')
