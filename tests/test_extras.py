@@ -189,6 +189,37 @@ def test_cfl_chunked_matches_per_step():
     assert err < 1e-12, f"chunked CFL mismatch: {err}"
 
 
+def test_cfl_quantize_refit_integration():
+    """Quantized CFL evolve on a separable-assembly problem: dt changes go
+    through the device-GEMM refit (sibling-preconditioner path), visit only
+    grid dt values, and the run stays finite and bounded in factorizations."""
+    from dedalus_tpu.models.rbc import build_rbc_problem
+    problem, ctx = build_rbc_problem(64, 12, Rayleigh=1e5)  # G=32: separable
+    solver = problem.build_solver(d3.SBDF2, matsolver='poly')
+    b = ctx['b']
+    z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
+    Lz = ctx['Lz']
+    b.fill_random('g', seed=11, distribution='normal', scale=1e-3)
+    b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+    solver.stop_iteration = 30
+    r = 2 ** 0.25
+    cfl = d3.CFL(solver, initial_dt=2e-3, cadence=5, safety=0.5,
+                 max_change=2.0, max_dt=0.05, quantize=r)
+    cfl.add_velocity(ctx['u'])
+    dts = []
+    while solver.proceed:
+        dt = cfl.compute_timestep()
+        solver.run_steps(dt, cfl.chunk_steps())
+        dts.append(dt)
+    state = np.asarray(solver.state_flat())
+    assert np.isfinite(state).all()
+    for dt in dts:
+        k = np.log(dt) / np.log(r)
+        assert abs(k - round(k)) < 1e-9, f"dt {dt} off the quantize grid"
+    # Factorization cache stays LRU-bounded
+    assert len(solver.timestepper._factorized) <= 3
+
+
 def test_cfl_evolve_fast_path():
     """solver.evolve(cfl) selects the chunked loop and honors stop criteria."""
     from dedalus_tpu.models.rbc import build_rbc_problem
