@@ -472,6 +472,90 @@ def block_tridiag_qr_solve(Qt, QtL, Rinv, R1, R2, r):
     return x.swapaxes(0, 1)                    # (G, Nb, nb)
 
 
+def _affine_prefix(A, b, reverse=False):
+    """Cumulative composition of batched affine maps f_i(x) = A_i x + b_i
+    along axis 0 via `jax.lax.associative_scan` (log-depth, batched GEMMs).
+
+    reverse=False: out_i = f_i o f_{i-1} o ... o f_0
+    reverse=True:  out_i = f_i o f_{i+1} o ... o f_{n-1}
+
+    A: (n, ..., d, d), b: (n, ..., d). Returns (Acum, bcum) with the same
+    shapes; apply as x_i = Acum_i @ x_anchor + bcum_i.
+    """
+    def combine(x, y):
+        # x = the operand nearer the scan's starting end (lower indices
+        # forward, HIGHER indices under reverse=True — associative_scan
+        # implements reverse as flip/scan/flip): compose as y o x, which in
+        # both directions applies the anchor-adjacent maps first.
+        Ax, bx = x
+        Ay, by = y
+        return Ay @ Ax, _bmv(Ay, bx) + by
+
+    return jax.lax.associative_scan(combine, (A, b), reverse=reverse)
+
+
+def block_tridiag_qr_solve_prefix(Qt, QtL, Rinv, R1, R2, r):
+    """
+    Parallel-prefix variant of `block_tridiag_qr_solve`: both sweeps are
+    first-order affine recurrences, so cumulative affine composition
+    (associative_scan) replaces the Nb sequential scan iterations with
+    ~2 log2(Nb) levels of batched (2nb, 2nb) GEMMs on the MXU. On
+    dispatch-latency-bound devices (~ms per scan iteration) this turns an
+    O(Nb)-latency solve into an O(log Nb) one at ~2nb x the flops — flops
+    the MXU has to spare.
+
+    Stability: the forward recurrence matrices are (nb, nb) blocks of
+    orthogonal Q factors (spectral norm <= 1), so forward products cannot
+    grow. Backward products are bounded by the conditioning of the
+    pivot-pinned triangular factor; accumulated f32 noise is mopped up by
+    the caller's f64 iterative refinement (BorderedBandedSolver).
+    """
+    G, Nb, nb = r.shape
+    if Nb < 3:
+        return block_tridiag_qr_solve(Qt, QtL, Rinv, R1, R2, r)
+    rT = r.swapaxes(0, 1)                       # (Nb, G, nb)
+    QtT = Qt.swapaxes(0, 1)                     # (Nb-1, G, 2nb, 2nb)
+    # Forward sweep: c_{i+1} = Qt_i[nb:, :nb] c_i + Qt_i[nb:, nb:] r_{i+1}
+    A = QtT[:, :, nb:, :nb]
+    b = _bmv(QtT[:, :, nb:, nb:], rT[1:])
+    Acum, bcum = _affine_prefix(A, b)
+    carries = jnp.concatenate([rT[:1], _bmv(Acum, rT[0]) + bcum])  # c_0..c_{Nb-1}
+    y = jnp.concatenate([
+        _bmv(QtT[:, :, :nb, :nb], carries[:-1])
+        + _bmv(QtT[:, :, :nb, nb:], rT[1:]),
+        _bmv(QtL, carries[-1])[None]])          # (Nb, G, nb)
+    # Backward sweep on s_i = [x_i; x_{i+1}]:
+    #   s_i = M_i s_{i+1} + n_i,  M_i = [[-Rinv R1, -Rinv R2], [I, 0]]
+    RinvT = Rinv.swapaxes(0, 1)
+    xN = _bmv(RinvT[-1], y[-1])
+    E = -(RinvT[:-1] @ R1.swapaxes(0, 1)[:-1])
+    F = -(RinvT[:-1] @ R2.swapaxes(0, 1)[:-1])
+    eye = jnp.broadcast_to(jnp.eye(nb, dtype=r.dtype), E.shape)
+    M = jnp.concatenate([
+        jnp.concatenate([E, F], axis=-1),
+        jnp.concatenate([eye, jnp.zeros_like(eye)], axis=-1)], axis=-2)
+    n_vec = jnp.concatenate(
+        [_bmv(RinvT[:-1], y[:-1]), jnp.zeros((Nb - 1, G, nb), r.dtype)],
+        axis=-1)
+    Mcum, ncum = _affine_prefix(M, n_vec, reverse=True)
+    sN = jnp.concatenate([xN, jnp.zeros_like(xN)], axis=-1)  # s_{Nb-1}
+    s = _bmv(Mcum, sN) + ncum                   # s_0..s_{Nb-2}
+    x = jnp.concatenate([s[:, :, :nb], xN[None]])
+    return x.swapaxes(0, 1)                     # (G, Nb, nb)
+
+
+def _solve_sweeps_fn():
+    """Sweep implementation per config/backend: sequential scans on CPU
+    (cheap dispatch, minimal flops), parallel-prefix on accelerators
+    (dispatch-latency-bound)."""
+    from ..utils.config import config
+    mode = config.get('linear algebra', 'banded_solve', fallback='auto')
+    if mode == 'auto':
+        mode = 'scan' if jax.default_backend() == 'cpu' else 'prefix'
+    return block_tridiag_qr_solve_prefix if mode == 'prefix' \
+        else block_tridiag_qr_solve
+
+
 def apply_band(mats, x):
     """In-pattern block-tridiagonal application (jit-safe).
     mats: device dict (diag/sub/sup); x: (G, Nb, nb) -> (G, Nb, nb)."""
@@ -889,6 +973,7 @@ class BorderedBandedSolver:
         refinements = self.refinements
         bad_idx = self.bad_idx
         exact_apply = self.exact_apply
+        sweeps = _solve_sweeps_fn()
 
         def once(arrs, R):
             """One mixed-precision banded+Woodbury solve in pencil coords."""
@@ -898,8 +983,8 @@ class BorderedBandedSolver:
             rflat = jnp.pad(R[:, arrs['row_perm']], ((0, 0), (0, pad)))
             rflat = rflat * arrs['Dr']
             rc = rflat.astype(f32).reshape(G, Nb, nb)
-            y = block_tridiag_qr_solve(fac['Qt'], fac['QtL'], fac['Rinv'],
-                                       fac['R1'], fac['R2'], rc)
+            y = sweeps(fac['Qt'], fac['QtL'], fac['Rinv'],
+                       fac['R1'], fac['R2'], rc)
             yflat = y.reshape(G, Nb * nb).astype(rflat.dtype)
             t = _bmv(fac['Sinv'], _bmv(fac['Vfull'], yflat))
             x = yflat - _bmv(fac['W1'], t)

@@ -44,6 +44,10 @@ DEFAULTS = {
         # Residual target for iteratively-refined device solves (poly/banded):
         # sets the refinement count from the measured contraction rate
         'solve_target': '1e-15',
+        # Banded sweep kernel: 'scan' (sequential lax.scan, minimal flops),
+        # 'prefix' (associative-scan affine composition, O(log Nb) depth for
+        # dispatch-latency-bound accelerators), or 'auto' (prefix off-CPU)
+        'banded_solve': 'auto',
     },
     'memory': {
         'cache_transform_matrices': 'True',

@@ -517,3 +517,64 @@ def test_banded_pivot_pinning_repairs_border_anchored_kernel():
     X = np.asarray(solver.solve(jnp.asarray(R)))
     Xd = np.linalg.solve(A, R[0])
     assert np.abs(X[0] - Xd).max() < 1e-9 * max(1, np.abs(Xd).max())
+
+
+@pytest.mark.parametrize('Nb', [1, 2, 3, 5, 33])
+def test_banded_prefix_solve_matches_scan(Nb):
+    """The parallel-prefix (associative-scan) sweep kernel reproduces the
+    sequential lax.scan sweeps on random well-conditioned block-tridiagonal
+    systems at every block count, including the Nb<3 short-circuit."""
+    import jax.numpy as jnp
+    import dedalus_tpu.ops.banded as ops_banded
+
+    rng = np.random.default_rng(7)
+    G, nb = 6, 4
+    diag = rng.standard_normal((G, Nb, nb, nb)) + 4 * np.eye(nb)
+    sub = rng.standard_normal((G, Nb, nb, nb))
+    sub[:, 0] = 0
+    sup = rng.standard_normal((G, Nb, nb, nb))
+    sup[:, -1] = 0
+    qr = ops_banded._factor_device(
+        jnp.asarray(diag), jnp.asarray(sub), jnp.asarray(sup))
+    r = rng.standard_normal((G, Nb, nb))
+    args = (qr['Qt'], qr['QtL'], qr['Rinv'], qr['R1'], qr['R2'],
+            jnp.asarray(r))
+    x_scan = np.asarray(ops_banded.block_tridiag_qr_solve(*args))
+    x_pref = np.asarray(ops_banded.block_tridiag_qr_solve_prefix(*args))
+    assert np.abs(x_scan - x_pref).max() < 1e-11 * max(1, np.abs(x_scan).max())
+
+
+def test_banded_prefix_mode_end_to_end():
+    """Force banded_solve='prefix' through the full bordered solver and check
+    the RBC trajectory still matches dense LU (the refinement passes absorb
+    any prefix-composition noise)."""
+    from dedalus_tpu.models.rbc import build_rbc_problem
+    from dedalus_tpu.utils.config import config
+
+    def run(matsolver, mode):
+        old_gb = config.get('memory', 'max_dense_stack_gb')
+        old_min = config.get('matrix assembly', 'sampled_min_groups')
+        old_mode = config.get('linear algebra', 'banded_solve')
+        try:
+            config.set('linear algebra', 'banded_solve', mode)
+            if matsolver == 'banded':
+                config.set('memory', 'max_dense_stack_gb', '0')
+                config.set('matrix assembly', 'sampled_min_groups', '8')
+            problem, ctx = build_rbc_problem(32, 16, Rayleigh=1e5)
+            solver = problem.build_solver(d3.SBDF2, matsolver=matsolver)
+            b = ctx['b']
+            z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
+            Lz = ctx['Lz']
+            b.fill_random('g', seed=42, distribution='normal', scale=1e-3)
+            b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+            solver.run_steps(1e-3, 20)
+            return np.asarray(solver.state_flat())
+        finally:
+            config.set('memory', 'max_dense_stack_gb', old_gb)
+            config.set('matrix assembly', 'sampled_min_groups', old_min)
+            config.set('linear algebra', 'banded_solve', old_mode)
+
+    ref = run('lu', 'scan')
+    got = run('banded', 'prefix')
+    err = np.abs(ref - got).max()
+    assert err < 1e-11 * max(1, np.abs(ref).max()), f"prefix mismatch: {err}"
