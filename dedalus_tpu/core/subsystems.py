@@ -1044,6 +1044,13 @@ class PencilSystem:
                     (np.ones(prows.size), (prows, pcols)), shape=pat.shape)
             bw = ops_banded.measure_bandwidth(pat.tocsr(), order)
             nb = max(bw, 4)
+            # TPU tile alignment: (8, 128) tiling pads every (nb, nb) factor
+            # block to 128 lanes, so memory per row is FLAT in nb up to 64 —
+            # rounding nb up is free and shrinks the sweep/prefix depth.
+            mult = int(config.get('linear algebra', 'banded_block_multiple',
+                                  fallback='1'))
+            if mult > 1:
+                nb = int(np.ceil(nb / mult) * mult)
             # Banded pays off once the core spans at least a few blocks
             if 0 < 3 * nb <= order['n_core']:
                 plan = dict(order=order, nb=nb)

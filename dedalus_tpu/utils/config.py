@@ -48,6 +48,11 @@ DEFAULTS = {
         # 'prefix' (associative-scan affine composition, O(log Nb) depth for
         # dispatch-latency-bound accelerators), or 'auto' (prefix off-CPU)
         'banded_solve': 'auto',
+        # Round the banded block size up to a multiple of this: TPU (8, 128)
+        # tiling pads (nb, nb) factor blocks to 128 lanes, so memory per row
+        # is flat in nb up to 64 — larger blocks cost nothing and shrink the
+        # sweep/prefix depth. 1 = exact bandwidth (CPU default).
+        'banded_block_multiple': '1',
     },
     'memory': {
         'cache_transform_matrices': 'True',

@@ -578,3 +578,40 @@ def test_banded_prefix_mode_end_to_end():
     got = run('banded', 'prefix')
     err = np.abs(ref - got).max()
     assert err < 1e-11 * max(1, np.abs(ref).max()), f"prefix mismatch: {err}"
+
+
+def test_banded_block_multiple_rounding():
+    """banded_block_multiple rounds the block size up (TPU tile alignment:
+    (nb, nb) blocks pad to 128 lanes, so wider blocks are memory-free and
+    shrink the sweep depth) without changing the solution."""
+    from dedalus_tpu.models.rbc import build_rbc_problem
+    from dedalus_tpu.utils.config import config
+
+    def run(matsolver, mult):
+        old = {('memory', 'max_dense_stack_gb'): None,
+               ('matrix assembly', 'sampled_min_groups'): None,
+               ('linear algebra', 'banded_block_multiple'): None}
+        for k in old:
+            old[k] = config.get(*k)
+        try:
+            config.set('linear algebra', 'banded_block_multiple', mult)
+            if matsolver == 'banded':
+                config.set('memory', 'max_dense_stack_gb', '0')
+                config.set('matrix assembly', 'sampled_min_groups', '8')
+            problem, ctx = build_rbc_problem(32, 16, Rayleigh=1e5)
+            solver = problem.build_solver(d3.SBDF2, matsolver=matsolver)
+            b = ctx['b']
+            z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
+            Lz = ctx['Lz']
+            b.fill_random('g', seed=42, distribution='normal', scale=1e-3)
+            b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+            solver.run_steps(1e-3, 10)
+            return np.asarray(solver.state_flat())
+        finally:
+            for (sec, key), val in old.items():
+                config.set(sec, key, val)
+
+    ref = run('lu', '1')
+    got = run('banded', '16')
+    err = np.abs(ref - got).max()
+    assert err < 1e-11 * max(1, np.abs(ref).max()), f"rounding mismatch: {err}"
