@@ -176,6 +176,51 @@ def test_distributed_2d_mesh_3d_problem():
     assert err < 1e-13, f"2D-mesh distributed mismatch: {err}"
 
 
+@pytest.mark.parametrize("mode", ["scan", "prefix"])
+def test_distributed_banded_matches_serial(mode):
+    """The banded matsolver's factor arrays (G leading) group-shard over the
+    mesh like every other pencil stack, and both sweep kernels (sequential
+    scan and parallel-prefix) reproduce the serial trajectory — the
+    multi-chip memory-scalable path (factors O(G nb P), ref
+    matsolvers.py:285-321)."""
+    from dedalus_tpu.utils.config import config
+
+    def run(mesh, n_steps=5):
+        old = {('memory', 'max_dense_stack_gb'): None,
+               ('matrix assembly', 'sampled_min_groups'): None,
+               ('linear algebra', 'banded_solve'): None}
+        for k in old:
+            old[k] = config.get(*k)
+        try:
+            config.set('memory', 'max_dense_stack_gb', '0')
+            config.set('matrix assembly', 'sampled_min_groups', '8')
+            config.set('linear algebra', 'banded_solve', mode)
+            problem, ctx = build_rbc_problem(32, 16, Rayleigh=1e5, mesh=mesh)
+            solver = problem.build_solver(d3.SBDF2, matsolver='banded')
+            b = ctx['b']
+            z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
+            Lz = ctx['Lz']
+            b.fill_random('g', seed=42, distribution='normal', scale=1e-3)
+            b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+            solver.run_steps(1e-3, n_steps)
+            assert solver.matsolver == 'banded'
+            return np.asarray(solver.state_flat()), solver
+        finally:
+            for (sec, key), val in old.items():
+                config.set(sec, key, val)
+
+    s, _ = run(None)
+    d, solver = run((8,))
+    err = np.abs(s - d).max()
+    assert err < 1e-12 * max(1, np.abs(s).max()), f"banded mismatch: {err}"
+    # The banded QR factors really are group-sharded over the mesh
+    ts = solver.timestepper
+    fact = ts._get_factorized(*list(ts._factorized)[0])
+    mats = ts._step_mats(fact)
+    Qt = mats['solve']['fac']['Qt']
+    assert Qt.sharding.spec[0] is not None
+
+
 def test_distributed_lbvp_matches_serial():
     """LBVP factorization stacks shard over the mesh and the solution
     matches serial (ref solvers.py:324 runs LBVPs under MPI)."""
