@@ -261,7 +261,10 @@ def main():
     jax = _setup_jax()
     import dedalus_tpu  # noqa: F401 (x64 on)
 
-    config = os.environ.get('BENCH_CONFIG', 'rbc')
+    # Default 'all': the driver invokes plain `python bench.py`, and the
+    # round record should carry the full evidence set (RBC headline + ball
+    # leg + measured ceiling + CPU self-anchor), not just one number.
+    config = os.environ.get('BENCH_CONFIG', 'all')
     try:
         _probe_device()
     except Exception as exc:
