@@ -856,29 +856,31 @@ class BorderedBandedSolver:
         magnitudes land in the f64 Woodbury factors (W1/S), which tolerate
         them."""
         G, Pp = blocks.G, blocks.Pp
-        nb, Nb, nbord, P = blocks.nb, blocks.Nb, blocks.nbord, blocks.P
-        Dr = np.ones((G, Pp))
-        Dc = np.ones((G, Pp))
+        nb, Nb = blocks.nb, blocks.Nb
+        adiag = np.abs(blocks.diag)
+        asub = np.abs(blocks.sub[:, 1:])
+        asup = np.abs(blocks.sup[:, :-1])
+        Dr = np.ones((G, Nb, nb))
+        Dc = np.ones((G, Nb, nb))
         for _ in range(passes):
-            rmax = np.zeros((G, Pp))
-            cmax = np.zeros((G, Pp))
-            for i in range(Nb):
-                r0 = i * nb
-                for arr, coff in (
-                        (blocks.diag[:, i], r0),
-                        (blocks.sub[:, i] if i > 0 else None, r0 - nb),
-                        (blocks.sup[:, i] if i < Nb - 1 else None, r0 + nb)):
-                    if arr is None:
-                        continue
-                    a = np.abs(Dr[:, r0:r0 + nb, None] * arr
-                               * Dc[:, None, coff:coff + nb])
-                    rmax[:, r0:r0 + nb] = np.maximum(
-                        rmax[:, r0:r0 + nb], a.max(axis=2))
-                    cmax[:, coff:coff + nb] = np.maximum(
-                        cmax[:, coff:coff + nb], a.max(axis=1))
+            rmax = np.zeros((G, Nb, nb))
+            cmax = np.zeros((G, Nb, nb))
+            # diag: rows block i, cols block i
+            a = Dr[:, :, :, None] * adiag * Dc[:, :, None, :]
+            rmax = np.maximum(rmax, a.max(axis=3))
+            cmax = np.maximum(cmax, a.max(axis=2))
+            if Nb > 1:
+                # sub: rows block i (i>=1), cols block i-1
+                a = Dr[:, 1:, :, None] * asub * Dc[:, :-1, None, :]
+                rmax[:, 1:] = np.maximum(rmax[:, 1:], a.max(axis=3))
+                cmax[:, :-1] = np.maximum(cmax[:, :-1], a.max(axis=2))
+                # sup: rows block i (i<Nb-1), cols block i+1
+                a = Dr[:, :-1, :, None] * asup * Dc[:, 1:, None, :]
+                rmax[:, :-1] = np.maximum(rmax[:, :-1], a.max(axis=3))
+                cmax[:, 1:] = np.maximum(cmax[:, 1:], a.max(axis=2))
             Dr /= np.sqrt(np.where(rmax > 0, rmax, 1.0))
             Dc /= np.sqrt(np.where(cmax > 0, cmax, 1.0))
-        return Dr, Dc
+        return Dr.reshape(G, Pp), Dc.reshape(G, Pp)
 
     @staticmethod
     def _scaled(blocks, Dr, Dc):
