@@ -51,6 +51,11 @@ def _bmv(A, x):
     return jnp.matmul(A, x[..., None])[..., 0]
 
 
+# Factorizations below this G*Nb*nb^3 work estimate skip the on-disk cache
+# (the cache exists for the single-core host QR cost at scale).
+_FACTOR_CACHE_MIN_WORK = 1e8
+
+
 def measure_bandwidth(A_csr, order):
     """Scalar bandwidth of the permuted INTERIOR block of one group.
     Border rows sit FIRST (their diagonal drift of n_border is included via
@@ -620,6 +625,20 @@ class BorderedBandedSolver:
         G, P, Pp = blocks.G, blocks.P, blocks.Pp
         nbord = blocks.nbord
         bad = dict(bad or {})
+        # On-disk factorization cache (parity with the poly fit cache): the
+        # host QR + Woodbury assembly dominates repeat-run setup at scale.
+        cpath = self._factor_cache_path(blocks, bad, max_cond, max_cond_S,
+                                        factor_dtype)
+        if cpath is not None and cpath.exists():
+            try:
+                self._load_factor_cache(cpath, blocks, factor_dtype)
+                self._set_exact_apply(blocks, exact_apply, exact_arrs)
+                logger.info("banded: loaded cached factorization (%s)",
+                            cpath.name)
+                return
+            except Exception:
+                logger.info("banded: factor cache load failed; refactoring",
+                            exc_info=True)
         # Equilibrate: two passes of row/col inf-norm scaling crush the scale
         # disparity (k^2-stiffness vs mass, mode-magnitude spread) so the f32
         # band sweeps retain enough accuracy for f64 refinement to converge.
@@ -770,13 +789,110 @@ class BorderedBandedSolver:
         self.P = P
         self.nbord = nbord
         self.pad = blocks.pad
-        # Exact apply for refinement (f64): shared operators or own blocks
+        if cpath is not None:
+            try:
+                with _Timer('factor cache save'):
+                    self._save_factor_cache(cpath, qr, W1, Sinv, Vfull, Dr, Dc)
+            except Exception:
+                logger.info("banded: factor cache save failed", exc_info=True)
+        self._set_exact_apply(blocks, exact_apply, exact_arrs)
+
+    def _set_exact_apply(self, blocks, exact_apply, exact_arrs):
+        """Exact apply for refinement (f64): shared operators or own blocks."""
         if exact_apply is None:
             own = BandedOperator(blocks)
             exact_apply = own.apply_fn()
             exact_arrs = own.arrs
         self.exact_apply = exact_apply
         self.exact_arrs = exact_arrs
+
+    @staticmethod
+    def _factor_cache_path(blocks, bad, max_cond, max_cond_S, factor_dtype):
+        """On-disk cache location for a finished factorization, keyed by the
+        full matrix content (band + border reconstruct A_full exactly) and
+        the conditioning gates. Only engaged when the factor work is large
+        enough to matter (the QR sweeps run on a single-core host)."""
+        from ..utils.config import config
+        if not config.getboolean('memory', 'cache_banded_factors',
+                                 fallback=True):
+            return None
+        if blocks.G * blocks.Nb * blocks.nb ** 3 < _FACTOR_CACHE_MIN_WORK:
+            return None
+        import hashlib
+        import os
+        import pathlib
+        base = os.environ.get("JAX_CACHE_DIR", "/root/repo/.jax_cache")
+        try:
+            d = pathlib.Path(base)
+            d.mkdir(parents=True, exist_ok=True)
+        except Exception:
+            return None
+        h = hashlib.sha1()
+        for arr in (blocks.diag, blocks.sub, blocks.sup,
+                    blocks.Ucol, blocks.Vrow):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        h.update(np.ascontiguousarray(blocks.order['row_perm']).tobytes())
+        h.update(np.ascontiguousarray(blocks.order['col_perm']).tobytes())
+        h.update(np.asarray(
+            [blocks.order['n_border'],
+             1 if blocks.order.get('bcol_first') else 0,
+             blocks.nb, blocks.pad], dtype=np.int64).tobytes())
+        h.update(np.asarray([max_cond, max_cond_S],
+                            dtype=np.float64).tobytes())
+        h.update(str(np.dtype(factor_dtype)).encode())
+        for g in sorted(bad):
+            h.update(np.int64(g).tobytes())
+            m = bad[g]
+            if sparse.issparse(m):
+                m = m.tocsr()
+                h.update(m.data.tobytes())
+                h.update(m.indices.tobytes())
+                h.update(m.indptr.tobytes())
+            else:
+                h.update(np.ascontiguousarray(m).tobytes())
+        return d / f"bandedfac_{h.hexdigest()[:20]}.npz"
+
+    def _save_factor_cache(self, cpath, qr, W1, Sinv, Vfull, Dr, Dc):
+        data = {f"qr_{k}": np.asarray(v) for k, v in qr.items()}
+        data.update(
+            W1=np.asarray(W1), Sinv=np.asarray(Sinv),
+            Vfull=np.asarray(Vfull), Dr=np.asarray(Dr), Dc=np.asarray(Dc),
+            bad_idx=np.asarray(self.bad_idx, dtype=np.int64),
+            growth=self.diagnostics['growth'],
+            condS=self.diagnostics['condS'],
+            Abad_inv=(np.asarray(self.Abad_inv)
+                      if self.Abad_inv is not None
+                      else np.zeros((0,), np.float32)))
+        tmp = cpath.with_suffix('.tmp.npz')
+        np.savez(tmp, **data)
+        tmp.replace(cpath)
+
+    def _load_factor_cache(self, cpath, blocks, factor_dtype):
+        z = np.load(cpath)
+        self.fac = {k[3:]: jnp.asarray(z[k], dtype=factor_dtype)
+                    for k in z.files if k.startswith('qr_')}
+        self.fac.update(W1=jnp.asarray(z['W1']),
+                        Sinv=jnp.asarray(z['Sinv']),
+                        Vfull=jnp.asarray(z['Vfull']))
+        self.bad_idx = tuple(int(g) for g in z['bad_idx'])
+        Abad_inv = z['Abad_inv']
+        self.Abad_inv = (jnp.asarray(Abad_inv, dtype=factor_dtype)
+                         if Abad_inv.size else None)
+        self.diagnostics = dict(growth=np.asarray(z['growth']),
+                                condS=np.asarray(z['condS']),
+                                S_finite=np.isfinite(
+                                    np.asarray(z['condS'])))
+        rp = np.asarray(self.order['row_perm'])
+        cp = np.asarray(self.order['col_perm'])
+        self.row_perm = jnp.asarray(rp)
+        cinv = np.empty_like(cp)
+        cinv[cp] = np.arange(cp.size)
+        self.col_unperm = jnp.asarray(cinv)
+        self.Dr = jnp.asarray(z['Dr'])
+        self.Dc = jnp.asarray(z['Dc'])
+        self.P = blocks.P
+        self.nbord = blocks.nbord
+        self.pad = blocks.pad
 
     def _chunked_factor_W1(self, fblocks, Ublocks):
         """f64 factorization + Woodbury RHS solves on device, chunked over

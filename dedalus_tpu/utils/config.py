@@ -56,6 +56,9 @@ DEFAULTS = {
     },
     'memory': {
         'cache_transform_matrices': 'True',
+        # Disk-cache finished banded factorizations (keyed by matrix
+        # content) — the host QR sweeps dominate repeat-run setup at scale
+        'cache_banded_factors': 'True',
         # Dense (G,P,P) pencil stacks are only materialized below this size;
         # larger systems stay in sparse/separable form (sampled assembly +
         # lazy combination), which is required at e.g. 2048^2 RBC scale.

@@ -615,3 +615,42 @@ def test_banded_block_multiple_rounding():
     got = run('banded', '16')
     err = np.abs(ref - got).max()
     assert err < 1e-11 * max(1, np.abs(ref).max()), f"rounding mismatch: {err}"
+
+
+def test_banded_factor_disk_cache_roundtrip(tmp_path, monkeypatch):
+    """A cached banded factorization reloads from disk and solves
+    identically to the freshly-factored one (incl. Woodbury pieces, pivot
+    pins, and dense-override bookkeeping)."""
+    import jax.numpy as jnp
+    import dedalus_tpu.ops.banded as ops_banded
+    from scipy import sparse as ss
+
+    monkeypatch.setenv("JAX_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(ops_banded, "_FACTOR_CACHE_MIN_WORK", 0)
+    rng = np.random.default_rng(11)
+    nb, Nb, nbord = 4, 8, 1
+    P = nb * Nb
+    A = np.zeros((P, P))
+    for i in range(Nb):
+        r0 = i * nb
+        A[r0:r0 + nb, r0:r0 + nb] = rng.normal(size=(nb, nb)) + 3 * np.eye(nb)
+        if i > 0:
+            A[r0:r0 + nb, r0 - nb:r0] = rng.normal(size=(nb, nb))
+        if i < Nb - 1:
+            A[r0:r0 + nb, r0 + nb:r0 + 2 * nb] = rng.normal(size=(nb, nb))
+    A[0, :] = rng.normal(size=P)
+    A[:, P - 1] = rng.normal(size=P)
+    order = dict(col_perm=np.arange(P), row_perm=np.arange(P),
+                 n_border=nbord, n_core=P - nbord, bcol_first=False)
+    blocks = ops_banded.build_banded_blocks(
+        None, None, None, order, nb, exact=[ss.csr_matrix(A)])
+    s1 = ops_banded.BorderedBandedSolver(blocks, refinements=4)
+    files = list(tmp_path.glob("bandedfac_*.npz"))
+    assert len(files) == 1, "factorization was not cached"
+    R = rng.normal(size=(1, P))
+    X1 = np.asarray(s1.solve(jnp.asarray(R)))
+    s2 = ops_banded.BorderedBandedSolver(blocks, refinements=4)
+    X2 = np.asarray(s2.solve(jnp.asarray(R)))
+    assert np.array_equal(X1, X2), "cached factorization solves differently"
+    Xd = np.linalg.solve(A, R[0])
+    assert np.abs(X2[0] - Xd).max() < 1e-9 * max(1, np.abs(Xd).max())
