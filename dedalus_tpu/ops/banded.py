@@ -612,14 +612,17 @@ class BorderedBandedSolver:
     A = a0 M + b0 L + pivots) or built from this stack's own blocks.
     """
 
-    def __init__(self, blocks, refinements=3, factor_dtype=jnp.float32,
+    def __init__(self, blocks, refinements=None, factor_dtype=jnp.float32,
                  bad=None, group_dense=None, max_cond=1e7, max_cond_S=1e12,
                  max_bad=None, exact_apply=None, exact_arrs=None, chunk_G=256):
         self.blocks = blocks
         self.order = blocks.order
         self.nb = blocks.nb
         self.Nb = blocks.Nb
+        # None = adaptive: measure the residual-contraction curve on a seeded
+        # random RHS and take the fewest refinements reaching `solve_target`.
         self.refinements = refinements
+        self.refine_curve = None
         self.factor_dtype = factor_dtype
         self.chunk_G = chunk_G
         G, P, Pp = blocks.G, blocks.P, blocks.Pp
@@ -629,10 +632,12 @@ class BorderedBandedSolver:
         # host QR + Woodbury assembly dominates repeat-run setup at scale.
         cpath = self._factor_cache_path(blocks, bad, max_cond, max_cond_S,
                                         factor_dtype)
+        self._cpath = cpath
         if cpath is not None and cpath.exists():
             try:
                 self._load_factor_cache(cpath, blocks, factor_dtype)
                 self._set_exact_apply(blocks, exact_apply, exact_arrs)
+                self._resolve_refinements()
                 logger.info("banded: loaded cached factorization (%s)",
                             cpath.name)
                 return
@@ -789,13 +794,14 @@ class BorderedBandedSolver:
         self.P = P
         self.nbord = nbord
         self.pad = blocks.pad
+        self._set_exact_apply(blocks, exact_apply, exact_arrs)
+        self._resolve_refinements()
         if cpath is not None:
             try:
                 with _Timer('factor cache save'):
                     self._save_factor_cache(cpath, qr, W1, Sinv, Vfull, Dr, Dc)
             except Exception:
                 logger.info("banded: factor cache save failed", exc_info=True)
-        self._set_exact_apply(blocks, exact_apply, exact_arrs)
 
     def _set_exact_apply(self, blocks, exact_apply, exact_arrs):
         """Exact apply for refinement (f64): shared operators or own blocks."""
@@ -828,6 +834,7 @@ class BorderedBandedSolver:
         except Exception:
             return None
         h = hashlib.sha1()
+        h.update(b'bandedfac-v2')
         for arr in (blocks.diag, blocks.sub, blocks.sup,
                     blocks.Ucol, blocks.Vrow):
             h.update(np.ascontiguousarray(arr).tobytes())
@@ -973,11 +980,13 @@ class BorderedBandedSolver:
         them."""
         G, Pp = blocks.G, blocks.Pp
         nb, Nb = blocks.nb, blocks.Nb
-        adiag = np.abs(blocks.diag)
-        asub = np.abs(blocks.sub[:, 1:])
-        asup = np.abs(blocks.sup[:, :-1])
-        Dr = np.ones((G, Nb, nb))
-        Dc = np.ones((G, Nb, nb))
+        # f32 passes: inf-norm scale factors need no f64 precision, and the
+        # (G,Nb,nb,nb) temporaries dominate single-core host memory traffic.
+        adiag = np.abs(blocks.diag, dtype=np.float32)
+        asub = np.abs(blocks.sub[:, 1:], dtype=np.float32)
+        asup = np.abs(blocks.sup[:, :-1], dtype=np.float32)
+        Dr = np.ones((G, Nb, nb), dtype=np.float32)
+        Dc = np.ones((G, Nb, nb), dtype=np.float32)
         for _ in range(passes):
             rmax = np.zeros((G, Nb, nb))
             cmax = np.zeros((G, Nb, nb))
@@ -1083,14 +1092,113 @@ class BorderedBandedSolver:
             arrs['Abad_inv'] = self.Abad_inv
         return arrs
 
-    def solve_fn(self):
-        """Return a jit-safe function (arrs, R (G,P)) -> X (G,P)."""
+    def _resolve_refinements(self):
+        """Adaptive refinement count: fewest passes whose measured residual
+        curve reaches the configured solve target (probed on a seeded random
+        RHS at factor time). The curve is persisted in a per-PLATFORM sidecar
+        next to the factor cache: the contraction rate depends on the
+        backend's f32 matmul precision (TPU != CPU), so a curve probed on one
+        platform must not be reused on another."""
+        if self.refinements is not None:
+            return
+        import jax
+        from ..utils.config import config
+        target = float(config.get('linear algebra', 'solve_target',
+                                  fallback='1e-15'))
+        platform = jax.default_backend()
+        if self.refine_curve is None:
+            blocks = self.blocks
+            if blocks.G * blocks.Nb * blocks.nb ** 3 < _FACTOR_CACHE_MIN_WORK:
+                # Tiny systems: the probe's compile costs more than the
+                # refinements it could save; use the conservative default.
+                self.refinements = 4
+                return
+            self.refine_curve = self._load_curve_sidecar(platform)
+        if self.refine_curve is None:
+            with _Timer('refinement probe'):
+                self.refine_curve = self._probe_refinement_curve()
+            self._save_curve_sidecar(platform, self.refine_curve)
+        curve = np.asarray(self.refine_curve)
+        # Refinement stagnates at the conditioning-set f64 floor; when the
+        # target sits below that floor, extra passes buy nothing — stop at
+        # the first count within 2x of the floor.
+        thresh = max(target, 2.0 * float(curve.min()))
+        if thresh > target:
+            logger.info("banded: probe floor %.2e misses solve target %.0e",
+                        float(curve.min()), target)
+        refs = int(np.nonzero(curve <= thresh)[0][0])
+        self.refinements = max(1, refs)
+        logger.info("banded: adaptive refinements=%d (residual curve %s)",
+                    self.refinements,
+                    np.array2string(curve, precision=1, separator=','))
+
+    def _curve_sidecar_path(self):
+        if getattr(self, '_cpath', None) is None:
+            return None
+        return self._cpath.with_name(self._cpath.stem + '.curves.npz')
+
+    def _load_curve_sidecar(self, platform):
+        path = self._curve_sidecar_path()
+        if path is None or not path.exists():
+            return None
+        try:
+            z = np.load(path)
+            return z[platform] if platform in z.files else None
+        except Exception:
+            return None
+
+    def _save_curve_sidecar(self, platform, curve):
+        path = self._curve_sidecar_path()
+        if path is None:
+            return
+        data = {}
+        try:
+            if path.exists():
+                with np.load(path) as z:
+                    data = {k: z[k] for k in z.files}
+        except Exception:
+            pass
+        data[platform] = np.asarray(curve)
+        try:
+            tmp = path.with_suffix('.tmp.npz')
+            np.savez(tmp, **data)
+            tmp.replace(path)
+        except Exception:
+            logger.info("banded: curve sidecar save failed", exc_info=True)
+
+    def _probe_refinement_curve(self, cap=8, seed=7):
+        """Worst-group relative residual after the direct mixed-precision
+        solve and after each of `cap` refinement passes (one compiled call)."""
+        once = self._once_fn()
+        exact_apply = self.exact_apply
+
+        def curve_fn(arrs, R):
+            scale = jnp.abs(R).max(axis=1)
+
+            def rel(X):
+                res = R - exact_apply(arrs['ex'], X)
+                return res, (jnp.abs(res).max(axis=1) / scale).max()
+
+            def body(X, _):
+                res, r = rel(X)
+                return X + once(arrs, res), r
+
+            # scan so the solve body lowers once (the probe is setup-time;
+            # per-iteration dispatch latency is irrelevant here)
+            Xf, rels = jax.lax.scan(body, once(arrs, R), None, length=cap)
+            return jnp.concatenate([rels, rel(Xf)[1][None]])
+
+        rng = np.random.default_rng(seed)
+        R = jnp.asarray(rng.standard_normal((self.blocks.G, self.P)))
+        return np.asarray(jax.jit(curve_fn)(self.solve_arrays(), R))
+
+    def _once_fn(self):
+        """Jit-safe single mixed-precision banded+Woodbury solve
+        (arrs, R (G,P) in pencil coords) -> X (G,P)."""
         G = self.blocks.G
         Nb, nb = self.Nb, self.nb
         P, nbord, pad = self.P, self.nbord, self.pad
-        refinements = self.refinements
         bad_idx = self.bad_idx
-        exact_apply = self.exact_apply
         sweeps = _solve_sweeps_fn()
 
         def once(arrs, R):
@@ -1115,6 +1223,14 @@ class BorderedBandedSolver:
                     x = x.at[idx, P:].set(0.0)
             x = x * arrs['Dc']
             return x[:, :P][:, arrs['col_unperm']]
+
+        return once
+
+    def solve_fn(self):
+        """Return a jit-safe function (arrs, R (G,P)) -> X (G,P)."""
+        refinements = self.refinements
+        exact_apply = self.exact_apply
+        once = self._once_fn()
 
         def solve(arrs, R):
             X = once(arrs, R)

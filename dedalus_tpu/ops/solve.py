@@ -558,8 +558,9 @@ class FactorizedStack:
                         g, pivot_pairs=ppairs)
                 else:
                     group_dense = A.group_sparse
-                refs = int(config.get('linear algebra', 'banded_refinements',
-                                      fallback='4'))
+                refs_cfg = config.get('linear algebra', 'banded_refinements',
+                                      fallback='auto')
+                refs = None if refs_cfg == 'auto' else int(refs_cfg)
                 self.banded = ops_banded.BorderedBandedSolver(
                     blocks, refinements=refs, bad=bf['bad'],
                     group_dense=group_dense,

@@ -44,6 +44,10 @@ DEFAULTS = {
         # Residual target for iteratively-refined device solves (poly/banded):
         # sets the refinement count from the measured contraction rate
         'solve_target': '1e-15',
+        # Banded refinement passes per solve: 'auto' (measure the residual
+        # contraction at factor time and take the fewest passes reaching
+        # solve_target) or an integer to pin the count
+        'banded_refinements': 'auto',
         # Banded sweep kernel: 'scan' (sequential lax.scan, minimal flops),
         # 'prefix' (associative-scan affine composition, O(log Nb) depth for
         # dispatch-latency-bound accelerators), or 'auto' (prefix off-CPU)

@@ -654,3 +654,52 @@ def test_banded_factor_disk_cache_roundtrip(tmp_path, monkeypatch):
     assert np.array_equal(X1, X2), "cached factorization solves differently"
     Xd = np.linalg.solve(A, R[0])
     assert np.abs(X2[0] - Xd).max() < 1e-9 * max(1, np.abs(Xd).max())
+
+
+def test_banded_adaptive_refinements(tmp_path, monkeypatch):
+    """Adaptive mode probes the residual-contraction curve, picks the fewest
+    passes reaching the solve target (with floor-stagnation detection), and
+    the curve persists through the factor cache so reloads skip the probe."""
+    import jax.numpy as jnp
+    import dedalus_tpu.ops.banded as ops_banded
+    from scipy import sparse as ss
+
+    monkeypatch.setenv("JAX_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(ops_banded, "_FACTOR_CACHE_MIN_WORK", 0)
+    rng = np.random.default_rng(5)
+    nb, Nb, nbord = 4, 12, 2
+    P = nb * Nb
+    A = np.zeros((P, P))
+    for i in range(Nb):
+        r0 = i * nb
+        A[r0:r0 + nb, r0:r0 + nb] = rng.normal(size=(nb, nb)) + 4 * np.eye(nb)
+        if i > 0:
+            A[r0:r0 + nb, r0 - nb:r0] = rng.normal(size=(nb, nb))
+        if i < Nb - 1:
+            A[r0:r0 + nb, r0 + nb:r0 + 2 * nb] = rng.normal(size=(nb, nb))
+    A[0, :] = rng.normal(size=P)
+    A[:, P - 1] = rng.normal(size=P)
+    order = dict(col_perm=np.arange(P), row_perm=np.arange(P),
+                 n_border=nbord, n_core=P - nbord, bcol_first=False)
+    blocks = ops_banded.build_banded_blocks(
+        None, None, None, order, nb, exact=[ss.csr_matrix(A)])
+    s1 = ops_banded.BorderedBandedSolver(blocks)   # adaptive (refinements=None)
+    assert s1.refine_curve is not None
+    curve = np.asarray(s1.refine_curve)
+    assert curve.shape[0] >= 2 and (np.diff(np.log10(curve[:2])) < -3).all(), \
+        "first refinement should contract the residual by orders of magnitude"
+    assert 1 <= s1.refinements < curve.shape[0] - 1, \
+        "adaptive count should stop before the cap on a well-conditioned band"
+    R = rng.normal(size=(1, P))
+    X1 = np.asarray(s1.solve(jnp.asarray(R)))
+    Xd = np.linalg.solve(A, R[0])
+    assert np.abs(X1[0] - Xd).max() < 1e-11 * max(1, np.abs(Xd).max())
+    # Cache reload: same curve, same chosen count, no fresh probe
+    called = []
+    monkeypatch.setattr(
+        ops_banded.BorderedBandedSolver, "_probe_refinement_curve",
+        lambda self, **kw: called.append(1) or curve)
+    s2 = ops_banded.BorderedBandedSolver(blocks)
+    assert not called, "cache reload should not re-probe"
+    assert s2.refinements == s1.refinements
+    assert np.array_equal(np.asarray(s2.refine_curve), curve)
