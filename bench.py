@@ -269,12 +269,21 @@ def main():
         _probe_device()
     except Exception as exc:
         # Accelerator unavailable: report the measured CPU self-anchor so the
-        # bench still emits its one JSON line.
+        # bench still emits its one JSON line. Carry forward the most recent
+        # accelerator measurements (clearly labeled) so a tunnel outage at
+        # bench time does not erase previously recorded device evidence.
         anchor = measure_cpu_anchor()
         details = {"device": "cpu-fallback",
                    "device_error": f"{type(exc).__name__}: {exc}"[:200],
                    "anchor_ref_estimate": ANCHOR_REF_ESTIMATE,
                    "anchor_cpu_measured": anchor}
+        try:
+            with open('/root/repo/BENCH_DETAILS.json') as f:
+                prev = json.load(f)
+            if prev.get("device") not in (None, "cpu-fallback"):
+                details["previous_accelerator_details"] = prev
+        except Exception:
+            pass
         with open('/root/repo/BENCH_DETAILS.json', 'w') as f:
             json.dump(details, f, indent=1)
         print(json.dumps({
