@@ -385,23 +385,31 @@ def _factor_device(diag, sub, sup, pin_tol=1e-8):
                 pins=pins, sigma=sigma)
 
 
-def _device_f64_factor_ok():
-    """Device-side f64 QR is only usable on the CPU backend: the TPU path
-    (axon remote compile) takes tens of minutes to compile f64 QR and has
-    produced garbage factors (every group flagged ill-conditioned)."""
-    return jax.default_backend() == 'cpu'
+def _f64_factor_device():
+    """Device where the jitted f64 block-QR is sound: the XLA CPU backend.
+    TPU f64 QR is unusable here (the axon remote compile takes tens of
+    minutes and has produced garbage factors), but the IN-PROCESS CPU
+    backend is always available — even when the default backend is an
+    accelerator — and the compiled scan beats the vectorized numpy sweep
+    severalfold at scale (342s -> tens of s at 2048x512). None -> numpy."""
+    try:
+        return jax.local_devices(backend='cpu')[0]
+    except Exception:
+        return None
 
 
 def factor_block_tridiag_qr(blocks, device=None):
     """Block-tridiagonal QR factorization of a BandedBlocks (parity with the
-    reference's BandedQR matsolver, matsolvers.py:210). Runs on device for
-    large batches, on host otherwise."""
+    reference's BandedQR matsolver, matsolvers.py:210). Runs compiled on the
+    CPU backend for large batches, host numpy otherwise."""
     G, Nb, nb = blocks.G, blocks.Nb, blocks.nb
-    if device is None:
-        device = (G * Nb * nb ** 3 > 1e8) and _device_f64_factor_ok()
-    if device:
-        qr = _factor_device(jnp.asarray(blocks.diag), jnp.asarray(blocks.sub),
-                            jnp.asarray(blocks.sup))
+    dev = _f64_factor_device() if (G * Nb * nb ** 3 > 1e8) else None
+    if device is not None:      # explicit override (tests)
+        dev = _f64_factor_device() if device else None
+    if dev is not None:
+        put = lambda x: jax.device_put(jnp.asarray(x), dev)
+        qr = _factor_device(put(blocks.diag), put(blocks.sub),
+                            put(blocks.sup))
         qr = {k: np.asarray(v) for k, v in qr.items()}
     else:
         qr = _factor_host(blocks)
@@ -860,7 +868,11 @@ class BorderedBandedSolver:
         return d / f"bandedfac_{h.hexdigest()[:20]}.npz"
 
     def _save_factor_cache(self, cpath, qr, W1, Sinv, Vfull, Dr, Dc):
-        data = {f"qr_{k}": np.asarray(v) for k, v in qr.items()}
+        # qr factors are consumed at factor_dtype (f32 by default; the cache
+        # path is keyed by it) — saving them f64 doubles disk and save/load
+        # wall for bits the solver never reads. Woodbury pieces stay f64.
+        data = {f"qr_{k}": np.asarray(v, dtype=self.factor_dtype)
+                for k, v in qr.items()}
         data.update(
             W1=np.asarray(W1), Sinv=np.asarray(Sinv),
             Vfull=np.asarray(Vfull), Dr=np.asarray(Dr), Dc=np.asarray(Dc),
@@ -909,15 +921,18 @@ class BorderedBandedSolver:
         chunk = max(1, min(self.chunk_G, G))
         qr_parts, W1_parts, sing_parts = [], [], []
         pin_cols = {}
+        dev = (_f64_factor_device()
+               if G * self.Nb * self.nb ** 3 > 1e8 else None)
         for g0 in range(0, G, chunk):
             sl = slice(g0, min(g0 + chunk, G))
-            if (G * self.Nb * self.nb ** 3 > 1e8) and _device_f64_factor_ok():
-                qr64 = _factor_device(jnp.asarray(fblocks.diag[sl]),
-                                      jnp.asarray(fblocks.sub[sl]),
-                                      jnp.asarray(fblocks.sup[sl]))
+            if dev is not None:
+                put = lambda x: jax.device_put(jnp.asarray(x), dev)
+                qr64 = _factor_device(put(fblocks.diag[sl]),
+                                      put(fblocks.sub[sl]),
+                                      put(fblocks.sup[sl]))
                 W1c = _multi_rhs_solve_device(
                     qr64['Qt'], qr64['QtL'], qr64['Rinv'], qr64['R1'],
-                    qr64['R2'], jnp.asarray(Ublocks[sl]))
+                    qr64['R2'], put(Ublocks[sl]))
                 qr64 = {k: np.asarray(v) for k, v in qr64.items()}
                 pins = qr64.pop('pins')
                 sigma = qr64.pop('sigma')
@@ -980,13 +995,14 @@ class BorderedBandedSolver:
         them."""
         G, Pp = blocks.G, blocks.Pp
         nb, Nb = blocks.nb, blocks.Nb
-        # f32 passes: inf-norm scale factors need no f64 precision, and the
-        # (G,Nb,nb,nb) temporaries dominate single-core host memory traffic.
-        adiag = np.abs(blocks.diag, dtype=np.float32)
-        asub = np.abs(blocks.sub[:, 1:], dtype=np.float32)
-        asup = np.abs(blocks.sup[:, :-1], dtype=np.float32)
-        Dr = np.ones((G, Nb, nb), dtype=np.float32)
-        Dc = np.ones((G, Nb, nb), dtype=np.float32)
+        # f64 throughout: f32 scale factors measurably degrade the f32
+        # factored band's accuracy on ill-conditioned ball-saddle groups
+        # (trajectory error 2e-10 -> 2e-9 at (16, 8, 32)).
+        adiag = np.abs(blocks.diag)
+        asub = np.abs(blocks.sub[:, 1:])
+        asup = np.abs(blocks.sup[:, :-1])
+        Dr = np.ones((G, Nb, nb))
+        Dc = np.ones((G, Nb, nb))
         for _ in range(passes):
             rmax = np.zeros((G, Nb, nb))
             cmax = np.zeros((G, Nb, nb))
@@ -1121,8 +1137,9 @@ class BorderedBandedSolver:
         curve = np.asarray(self.refine_curve)
         # Refinement stagnates at the conditioning-set f64 floor; when the
         # target sits below that floor, extra passes buy nothing — stop at
-        # the first count within 2x of the floor.
-        thresh = max(target, 2.0 * float(curve.min()))
+        # the knee (first count within 10% of the floor; a looser 2x margin
+        # measurably hurt ill-conditioned ball-saddle trajectories).
+        thresh = max(target, 1.1 * float(curve.min()))
         if thresh > target:
             logger.info("banded: probe floor %.2e misses solve target %.0e",
                         float(curve.min()), target)

@@ -544,6 +544,37 @@ def test_banded_prefix_solve_matches_scan(Nb):
     assert np.abs(x_scan - x_pref).max() < 1e-11 * max(1, np.abs(x_scan).max())
 
 
+def test_banded_factor_device_matches_host():
+    """factor_block_tridiag_qr's compiled path (pinned to the in-process
+    XLA CPU backend via _f64_factor_device, usable even when the default
+    backend is an accelerator) produces the same factors as the host numpy
+    sweep."""
+    import dedalus_tpu.ops.banded as ops_banded
+
+    rng = np.random.default_rng(11)
+    G, Nb, nb = 3, 7, 4
+    diag = rng.standard_normal((G, Nb, nb, nb)) + 4 * np.eye(nb)
+    sub = rng.standard_normal((G, Nb, nb, nb))
+    sub[:, 0] = 0
+    sup = rng.standard_normal((G, Nb, nb, nb))
+    sup[:, -1] = 0
+    blocks = type('B', (), dict(G=G, Nb=Nb, nb=nb, diag=diag, sub=sub,
+                                sup=sup))()
+    assert ops_banded._f64_factor_device() is not None
+    qr_dev = ops_banded.factor_block_tridiag_qr(blocks, device=True)
+    qr_host = ops_banded.factor_block_tridiag_qr(blocks, device=False)
+    # QR sign conventions may differ between numpy and XLA; compare through
+    # the solve, which is convention-invariant.
+    import jax.numpy as jnp
+    r = rng.standard_normal((G, Nb, nb))
+    xs = [np.asarray(ops_banded.block_tridiag_qr_solve(
+            jnp.asarray(qr['Qt']), jnp.asarray(qr['QtL']),
+            jnp.asarray(qr['Rinv']), jnp.asarray(qr['R1']),
+            jnp.asarray(qr['R2']), jnp.asarray(r)))
+          for qr in (qr_dev, qr_host)]
+    assert np.abs(xs[0] - xs[1]).max() < 1e-11 * max(1, np.abs(xs[1]).max())
+
+
 def test_banded_prefix_mode_end_to_end():
     """Force banded_solve='prefix' through the full bordered solver and check
     the RBC trajectory still matches dense LU (the refinement passes absorb
