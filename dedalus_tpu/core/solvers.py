@@ -86,16 +86,55 @@ class SolverBase:
             time_field.preset_data(
                 self.dist.grid_layout,
                 jnp.reshape(t, (1,) * self.dist.dim))
-        memo = self._grouped_grid_memo() if self._rhs_grouping_ok() else None
-        roots = [eq['F'].evaluate(memo) for eq in self.problem.equations]
-        if memo is not None:
-            self._grouped_forward(roots)
-        datas = []
-        for F in roots:
-            F.require_coeff_space()
-            F.change_scales(1)
-            datas.append(F.data)
-        return self.pencil.gather_eq_data(datas)
+        # External (non-state) fields in the RHS trees: in-trace layout
+        # motion would store traced data on them, leaking tracers into the
+        # NEXT program build (forced IVPs). Restore their concrete
+        # (layout, scales, data) after every traced evaluation.
+        ext = self._rhs_external_fields()
+        saved = [(f, f.layout, f.scales, f.data) for f in ext]
+        try:
+            memo = (self._grouped_grid_memo()
+                    if self._rhs_grouping_ok() else None)
+            roots = [eq['F'].evaluate(memo) for eq in self.problem.equations]
+            if memo is not None:
+                self._grouped_forward(roots)
+            datas = []
+            for F in roots:
+                F.require_coeff_space()
+                F.change_scales(1)
+                datas.append(F.data)
+            return self.pencil.gather_eq_data(datas)
+        finally:
+            for f, lay, sc, data in saved:
+                f.layout, f.scales, f.data = lay, sc, data
+
+    def _rhs_external_fields(self):
+        """Field leaves of the RHS trees that are not state variables or the
+        time field (e.g. constant forcing fields)."""
+        cached = getattr(self, '_rhs_external', None)
+        if cached is not None:
+            return cached
+        from .field import Field
+        from .future import Future
+        skip = {id(v) for v in self.state}
+        tf = getattr(self.problem, 'time', None)
+        if tf is not None:
+            skip.add(id(tf))
+        ext, seen = [], set(skip)
+        for eq in self.problem.equations:
+            F = eq['F']
+            if isinstance(F, Future):
+                leaves = F.atoms(Field)
+            elif isinstance(F, Field):
+                leaves = [F]
+            else:
+                leaves = []
+            for fld in leaves:
+                if id(fld) not in seen:
+                    seen.add(id(fld))
+                    ext.append(fld)
+        self._rhs_external = ext
+        return ext
 
     # --- grouped RHS transforms (Cartesian separable bases) ---
 

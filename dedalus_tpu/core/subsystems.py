@@ -266,6 +266,17 @@ class Subproblem:
         self.group = tuple(group)                 # int for separable axes, None for coupled
         self.group_wavenumbers = group_wavenumbers  # dict axis -> wavenumber (for conditions)
 
+    @property
+    def group_dict(self):
+        """Equation-condition namespace (reference subsystems.py:257-261):
+        'n' + coordinate name -> this group's integer index along that axis
+        (separable axes only; coupled axes carry no group)."""
+        out = {}
+        for axis, g in enumerate(self.group):
+            if g is not None:
+                out['n' + self.dist.coords[axis].name] = g
+        return out
+
     def axis_width(self, basis, axis):
         if basis is None:
             return 1
@@ -428,8 +439,10 @@ class PencilSystem:
         self.dtype = np.dtype(dtype)
         self._build_layout()
         self.build_matrices(matrix_names)
-        if allow_slot_split and config.get(
+        if allow_slot_split and self.eq_active is None and config.get(
                 'matrix assembly', 'slot_split', fallback='True') == 'True':
+            # Slot splitting assumes disjoint per-equation row blocks;
+            # conditioned (merged) blocks keep the joint pencil layout.
             self._try_slot_split()
         self.G_real = self.G
         self._pad_groups()
@@ -444,12 +457,60 @@ class PencilSystem:
         self.C = int(self.var_offsets[-1])
         # Equation (row) layout
         self.eq_sizes = [self._eq_size(sp0, eq) for eq in self.equations]
-        self.eq_offsets = np.concatenate([[0], np.cumsum(self.eq_sizes)]).astype(int)
-        self.R = int(self.eq_offsets[-1])
+        # Per-(equation, group) activity from the equations' condition
+        # strings (reference subsystems.py:494-503: rows of equations whose
+        # condition fails a group are invalidated). A fixed square pencil
+        # layout instead MERGES conditioned equations with equal size and
+        # disjoint activity into one shared row block, whose rows carry the
+        # active member's matrix and RHS in each group.
+        G = len(self.subproblems)
+        conds = [eq.get('condition') or 'True' for eq in self.equations]
+        if all(c == 'True' for c in conds):
+            self.eq_active = None
+            block_sizes = list(self.eq_sizes)
+            eq_row_offsets = np.concatenate(
+                [[0], np.cumsum(block_sizes)]).astype(int)[:-1]
+        else:
+            active = np.zeros((len(self.equations), G), dtype=bool)
+            for e_i, c in enumerate(conds):
+                code = compile(c, '<equation condition>', 'eval')
+                for g, sp in enumerate(self.subproblems):
+                    active[e_i, g] = bool(eval(code, {}, sp.group_dict))
+            self.eq_active = active
+            block_sizes = []
+            eq_row_offsets = np.zeros(len(self.equations), dtype=int)
+            open_sets = []      # partial blocks awaiting complements
+            offset = 0
+            for e_i, eq in enumerate(self.equations):
+                size = self.eq_sizes[e_i]
+                if active[e_i].all():
+                    eq_row_offsets[e_i] = offset
+                    block_sizes.append(size)
+                    offset += size
+                    continue
+                placed = False
+                for s in open_sets:
+                    if (s['size'] == size
+                            and not (s['covered'] & active[e_i]).any()):
+                        s['covered'] |= active[e_i]
+                        eq_row_offsets[e_i] = s['offset']
+                        placed = True
+                        break
+                if not placed:
+                    eq_row_offsets[e_i] = offset
+                    open_sets.append(dict(size=size, offset=offset,
+                                          covered=active[e_i].copy()))
+                    block_sizes.append(size)
+                    offset += size
+        R = int(sum(block_sizes))
+        # eq_offsets[e_i] = equation e_i's row offset; [-1] = total rows
+        self.eq_offsets = np.concatenate([eq_row_offsets, [R]]).astype(int)
+        self.R = R
         if self.R != self.C:
             raise ValueError(
                 f"Pencil system is not square: {self.R} equation rows vs {self.C} "
-                f"variable columns. Check boundary conditions and gauge conditions.")
+                f"variable columns. Check boundary conditions, gauge conditions, "
+                f"and that conditioned equations come in complementary sets.")
         # Field coefficient flat offsets (for the concatenated state vector)
         self.state_sizes = [int(np.prod(self._coeff_shape(v))) for v in self.variables]
         self.state_offsets = np.concatenate([[0], np.cumsum(self.state_sizes)]).astype(int)
@@ -481,11 +542,12 @@ class PencilSystem:
                 m = sp.valid_mask(var.domain, var.tensorsig)
                 self.col_valid[g, col:col + m.size] = m
                 col += m.size
-            row = 0
-            for eq in self.equations:
+            for e_i, eq in enumerate(self.equations):
+                if self.eq_active is not None and not self.eq_active[e_i, g]:
+                    continue
                 m = sp.valid_mask(eq['domain'], eq['tensorsig'])
-                self.row_valid[g, row:row + m.size] = m
-                row += m.size
+                r0 = self.eq_offsets[e_i]
+                self.row_valid[g, r0:r0 + m.size] = m
         # Squareness of the valid sub-system per group
         nrow = self.row_valid.sum(axis=1)
         ncol = self.col_valid.sum(axis=1)
@@ -497,6 +559,9 @@ class PencilSystem:
         self.var_index_map_dev = jnp.asarray(self.var_index_map)
         self.row_valid_dev = jnp.asarray(self.row_valid)
         self.col_valid_dev = jnp.asarray(self.col_valid)
+        if self.eq_active is not None:
+            self.eq_active_dev = jnp.asarray(
+                self.eq_active.astype(np.float64))
 
     def _coeff_shape(self, field):
         shape = tuple(cs.dim for cs in field.tensorsig)
@@ -551,6 +616,8 @@ class PencilSystem:
         for name in names:
             rows, cols, vals = [], [], []
             for e_i, eq in enumerate(self.equations):
+                if self.eq_active is not None and not self.eq_active[e_i, g]:
+                    continue
                 expr = eq.get(name)
                 if expr is None or (isinstance(expr, (int, float)) and expr == 0):
                     continue
@@ -832,6 +899,13 @@ class PencilSystem:
         self.eq_index_maps = [
             np.concatenate([m, np.zeros((pad, m.shape[1]), dtype=np.int32)])
             for m in self.eq_index_maps]
+        if self.eq_active is not None:
+            self.eq_active = np.concatenate(
+                [self.eq_active,
+                 np.zeros((self.eq_active.shape[0], pad), dtype=bool)],
+                axis=1)
+            self.eq_active_dev = jnp.asarray(
+                self.eq_active.astype(np.float64))
         self.var_index_map_dev = jnp.asarray(self.var_index_map)
         self.row_valid_dev = jnp.asarray(self.row_valid)
         self.col_valid_dev = jnp.asarray(self.col_valid)
@@ -880,6 +954,11 @@ class PencilSystem:
         pat_keys = {}
         for g in range(G):
             key = (self.row_valid[g].tobytes(), self.col_valid[g].tobytes())
+            if self.eq_active is not None:
+                # Condition flips change matrix CONTENT discontinuously even
+                # when validity patterns agree — such groups must be
+                # assembled exactly, not synthesized from the fit
+                key += (self.eq_active[:, g].tobytes(),)
             pat_keys.setdefault(key, []).append(g)
         majority = max(pat_keys.values(), key=len)
         special = sorted(set(range(G)) - set(majority))
@@ -1133,12 +1212,26 @@ class PencilSystem:
             f.preset_data(self.dist.coeff_layout, data)
 
     def gather_eq_data(self, eq_datas):
-        """Per-equation coeff data arrays -> (G, R) RHS pencils."""
-        cols = []
-        for data, idx_map in zip(eq_datas, self.eq_index_maps):
+        """Per-equation coeff data arrays -> (G, R) RHS pencils. Conditioned
+        equations sharing a row block contribute only in groups where their
+        condition holds (activity masks are static, so XLA folds the select
+        into the gather)."""
+        if self.eq_active is None:
+            cols = []
+            for data, idx_map in zip(eq_datas, self.eq_index_maps):
+                flat = data.ravel()
+                cols.append(flat[jnp.asarray(idx_map)])
+            out = jnp.concatenate(cols, axis=1) * self.row_valid_dev
+            return self.dist.constrain_pencils(out)
+        dtype = jnp.result_type(*[d.dtype for d in eq_datas])
+        out = jnp.zeros((self.G, self.R), dtype=dtype)
+        for e_i, (data, idx_map) in enumerate(
+                zip(eq_datas, self.eq_index_maps)):
             flat = data.ravel()
-            cols.append(flat[jnp.asarray(idx_map)])
-        out = jnp.concatenate(cols, axis=1) * self.row_valid_dev
+            col = flat[jnp.asarray(idx_map)] * self.eq_active_dev[e_i, :, None]
+            r0 = int(self.eq_offsets[e_i])
+            out = out.at[:, r0:r0 + idx_map.shape[1]].add(col.astype(dtype))
+        out = out * self.row_valid_dev
         return self.dist.constrain_pencils(out)
 
 
@@ -1158,6 +1251,10 @@ def banded_order(pencil):
     (ref matsolvers.py:285-321, BC_TOP/TAU_LEFT orderings dedalus.cfg:66-90).
     """
     dist = pencil.dist
+    if getattr(pencil, 'eq_active', None) is not None:
+        # Conditioned equations share row blocks; the block ordering below
+        # assumes one equation per block. Dense/poly solvers handle these.
+        return None
     coupled = pencil.subproblems[0].coupled
     coupled_axes = [i for i in range(dist.dim) if coupled[i]]
     if len(coupled_axes) != 1:

@@ -734,3 +734,65 @@ def test_banded_adaptive_refinements(tmp_path, monkeypatch):
     assert not called, "cache reload should not re-probe"
     assert s2.refinements == s1.refinements
     assert np.array_equal(np.asarray(s2.refine_curve), curve)
+
+
+def test_ivp_equation_conditions():
+    """Conditioned equations in an IVP: the mean mode is pinned by an
+    algebraic gauge equation (condition complementary to the dt equation),
+    and the merged row block's RHS selection runs inside the compiled
+    run_steps scan. Matches the analytic heat decay on nonzero modes."""
+    import jax
+    import dedalus_tpu.public as d3
+
+    c = d3.Coordinate('x')
+    dist = d3.Distributor(c, dtype=np.float64)
+    xb = d3.RealFourier(c, size=32, bounds=(0, 2 * np.pi))
+    u = dist.Field(name='u', bases=xb)
+    f = dist.Field(name='f', bases=xb)
+    x = dist.local_grid(xb, scale=1).ravel()
+    f['g'] = np.cos(3 * x)                     # forcing (and a mean the
+    f['g'] = np.asarray(f['g']) + 0.7          # gauge must suppress)
+    dx = lambda A: d3.Differentiate(A, c)
+    problem = d3.IVP([u], namespace=locals())
+    problem.add_equation("dt(u) - dx(dx(u)) = f", condition="nx != 0")
+    problem.add_equation("u = 0", condition="nx == 0")
+    solver = problem.build_solver(d3.SBDF2)
+    u['g'] = np.sin(x) + 2.0                   # mean must be projected out
+    dt, n = 1e-3, 100
+    solver.run_steps(dt, n)
+    t = n * dt
+    # Exact: mean pinned to 0; k=1 decays from 1; k=3 relaxes to forcing
+    expect = (np.exp(-t) * np.sin(x)
+              + (1 - np.exp(-9 * t)) / 9 * np.cos(3 * x))
+    u.change_scales(1)
+    err = np.abs(np.array(u['g']) - expect).max()
+    # SBDF2 startup + O(dt^2) time error dominate
+    assert err < 5e-5, err
+    mean = np.array(u['g']).mean()
+    assert abs(mean) < 1e-13, f"gauge failed to pin the mean: {mean}"
+
+
+def test_ivp_constant_forcing_field():
+    """External (non-state) forcing fields in the RHS must survive repeated
+    program builds: in-trace layout motion used to leak traced data onto
+    them (UnexpectedTracerError on the second trace). Checks the linear
+    forced heat solution."""
+    c = d3.Coordinate('x')
+    dist = d3.Distributor(c, dtype=np.float64)
+    xb = d3.RealFourier(c, size=32, bounds=(0, 2 * np.pi))
+    u = dist.Field(name='u', bases=xb)
+    f = dist.Field(name='f', bases=xb)
+    x = dist.local_grid(xb, scale=1).ravel()
+    f['g'] = np.cos(3 * x)
+    dx = lambda A: d3.Differentiate(A, c)
+    problem = d3.IVP([u], namespace=locals())
+    problem.add_equation("dt(u) - dx(dx(u)) = f")
+    solver = problem.build_solver(d3.SBDF2)
+    u['g'] = np.sin(x)
+    solver.run_steps(1e-3, 50)
+    solver.run_steps(1e-3, 50)     # second call re-enters the run program
+    t = 0.1
+    expect = (np.exp(-t) * np.sin(x)
+              + (1 - np.exp(-9 * t)) / 9 * np.cos(3 * x))
+    u.change_scales(1)
+    assert np.abs(np.array(u['g']) - expect).max() < 1e-5

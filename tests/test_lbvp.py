@@ -114,3 +114,55 @@ def test_ncc_lbvp():
     u.change_scales(1)
     # FD-built RHS limits accuracy to ~h^2 * scale
     assert np.abs(np.array(u['g']) - uex).max() < 1e-8
+
+
+def test_poisson_fourier_conditions():
+    """Equation conditions (reference problems.py:65, subsystems.py:494):
+    the canonical fully-Fourier Poisson pattern, where the singular mean
+    mode gets a complementary gauge equation via condition strings."""
+    c = d3.Coordinate('x')
+    dist = d3.Distributor(c, dtype=np.float64)
+    xb = d3.RealFourier(c, size=32, bounds=(0, 2 * np.pi))
+    u = dist.Field(name='u', bases=xb)
+    f = dist.Field(name='f', bases=xb)
+    x = dist.local_grid(xb, scale=1).ravel()
+    f['g'] = -np.sin(x) - 4 * np.cos(2 * x)
+    dx = lambda A: d3.Differentiate(A, c)
+    problem = d3.LBVP([u], namespace=locals())
+    problem.add_equation("dx(dx(u)) = f", condition="nx != 0")
+    problem.add_equation("u = 0", condition="nx == 0")
+    solver = problem.build_solver()
+    solver.solve()
+    u.change_scales(1)
+    assert np.abs(np.array(u['g']) - (np.sin(x) + np.cos(2 * x))).max() < 1e-12
+
+
+def test_poisson_2d_conditions_mean_bc():
+    """Conditioned boundary rows on a coupled-axis problem: the x-mean group
+    replaces a Dirichlet BC with an integral gauge through complementary
+    conditions. Exercises merged row blocks alongside unconditioned
+    equations and the dense fallback (banded refuses conditioned pencils)."""
+    coords = d3.CartesianCoordinates('x', 'z')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    xb = d3.RealFourier(coords['x'], size=16, bounds=(0, 2 * np.pi))
+    zb = d3.ChebyshevT(coords['z'], size=24, bounds=(0, 1))
+    u = dist.Field(name='u', bases=(xb, zb))
+    tau1 = dist.Field(name='tau1', bases=xb)
+    tau2 = dist.Field(name='tau2', bases=xb)
+    lift = lambda A, n: d3.Lift(A, zb.derivative_basis(2), n)
+    integz = lambda A: d3.Integrate(A, coords['z'])
+    x, z = dist.local_grids(xb, zb, scales=1)
+    F = dist.Field(name='F', bases=(xb, zb))
+    # u_true = sin(2x) z(1-z) + (z^2 - 4z/3 + 1/3): the mean part satisfies
+    # m(1) = 0 and integ_z(m) = 0 (not m(0) = 0)
+    F['g'] = -4 * np.sin(2 * x) * z * (1 - z) - 2 * np.sin(2 * x) + 2
+    problem = d3.LBVP([u, tau1, tau2], namespace=locals())
+    problem.add_equation("lap(u) + lift(tau1,-1) + lift(tau2,-2) = F")
+    problem.add_equation("u(z=0) = 0", condition="nx != 0")
+    problem.add_equation("integz(u) = 0", condition="nx == 0")
+    problem.add_equation("u(z=1) = 0")
+    solver = problem.build_solver()
+    solver.solve()
+    u.change_scales(1)
+    u_true = np.sin(2 * x) * z * (1 - z) + z**2 - 4 * z / 3 + 1 / 3
+    assert np.abs(np.array(u['g']) - u_true).max() < 1e-12
