@@ -260,21 +260,27 @@ def _pivot_key(pair):
 class Subproblem:
     """One mode group: geometry queries used by expression_matrices."""
 
-    def __init__(self, dist, coupled, group, group_wavenumbers):
+    def __init__(self, dist, coupled, group, group_wavenumbers,
+                 group_native=None):
         self.dist = dist
         self.coupled = tuple(coupled)             # per axis
         self.group = tuple(group)                 # int for separable axes, None for coupled
-        self.group_wavenumbers = group_wavenumbers  # dict axis -> wavenumber (for conditions)
+        self.group_wavenumbers = group_wavenumbers  # dict axis -> wavenumber (fit coordinate)
+        # dict axis -> native integer group value (signed wavenumber for
+        # ComplexFourier); falls back to the enumeration index
+        self.group_native = group_native or {}
 
     @property
     def group_dict(self):
-        """Equation-condition namespace (reference subsystems.py:257-261):
-        'n' + coordinate name -> this group's integer index along that axis
-        (separable axes only; coupled axes carry no group)."""
+        """Equation-condition namespace (reference subsystems.py:257-261,
+        basis.py:884-890): 'n' + coordinate name -> this group's NATIVE
+        value along that axis — the signed integer wavenumber for Fourier
+        axes, the group index otherwise (coupled axes carry no group)."""
         out = {}
         for axis, g in enumerate(self.group):
             if g is not None:
-                out['n' + self.dist.coords[axis].name] = g
+                out['n' + self.dist.coords[axis].name] = \
+                    self.group_native.get(axis, g)
         return out
 
     def axis_width(self, basis, axis):
@@ -404,6 +410,7 @@ def enumerate_subproblems(dist, domains, coupling):
         idx = idx[::-1]
         group = []
         wavenumbers = {}
+        native = {}
         for i in range(dim):
             if coupled[i]:
                 group.append(None)
@@ -415,7 +422,12 @@ def enumerate_subproblems(dist, domains, coupling):
                 if hasattr(basis, 'wavenumbers'):
                     gs = basis.group_shape[0]
                     wavenumbers[i] = float(np.asarray(basis.wavenumbers)[idx[i] * gs])
-        subproblems.append(Subproblem(dist, coupled, group, wavenumbers))
+                if hasattr(basis, 'wavenumbers_native'):
+                    gs = basis.group_shape[0]
+                    native[i] = int(
+                        np.asarray(basis.wavenumbers_native)[idx[i] * gs])
+        subproblems.append(Subproblem(dist, coupled, group, wavenumbers,
+                                      native))
     return coupled, subproblems
 
 

@@ -166,3 +166,26 @@ def test_poisson_2d_conditions_mean_bc():
     u.change_scales(1)
     u_true = np.sin(2 * x) * z * (1 - z) + z**2 - 4 * z / 3 + 1 / 3
     assert np.abs(np.array(u['g']) - u_true).max() < 1e-12
+
+
+def test_conditions_complex_fourier_signed_wavenumbers():
+    """Condition namespace values are NATIVE wavenumbers (reference
+    basis.py:884-890): for ComplexFourier, nx is the SIGNED integer
+    wavenumber, not the storage index. The gauge below zeroes nx <= 0;
+    with index semantics the k=-1 mode of f would leak into u."""
+    c = d3.Coordinate('x')
+    dist = d3.Distributor(c, dtype=np.complex128)
+    xb = d3.ComplexFourier(c, size=16, bounds=(0, 2 * np.pi))
+    u = dist.Field(name='u', bases=xb)
+    f = dist.Field(name='f', bases=xb)
+    x = dist.local_grid(xb, scale=1).ravel()
+    f['g'] = 2 * np.cos(x)              # spectrum at k = +1 and k = -1
+    dx = lambda A: d3.Differentiate(A, c)
+    problem = d3.LBVP([u], namespace=locals())
+    problem.add_equation("dx(dx(u)) = f", condition="nx > 0")
+    problem.add_equation("u = 0", condition="nx <= 0")
+    solver = problem.build_solver()
+    solver.solve()
+    u.change_scales(1)
+    expect = -np.exp(1j * x)            # only k = +1 survives, u(+1) = -1
+    assert np.abs(np.array(u['g']) - expect).max() < 1e-13
