@@ -52,6 +52,9 @@ def build(Nx, Nz):
 
 
 def run_fixed(Nx, Nz, n_steps, chunk=10, dt=1e-3):
+    # Note: the adaptive run's initial dt is quantize-snapped (~9.77e-4 for
+    # dt0=1e-3, quantize=2^0.25) so the two runs integrate slightly different
+    # trajectories; immaterial for per-step cost, which is shape-determined.
     import jax
     solver, _ = build(Nx, Nz)
     solver.run_steps(dt, 5)                      # compile + warmup
@@ -77,7 +80,16 @@ def run_adaptive(Nx, Nz, n_steps, cadence=10, dt0=1e-3):
                  threshold=0.05, max_change=1.5, min_change=0.5,
                  max_dt=0.125, quantize=2 ** 0.25)
     CFL.add_velocity(ctx['u'])
-    # Warmup: one CFL update + one chunk (compiles the reduction + step)
+    # Warmup must compile EVERYTHING the timed loop touches: the step program
+    # AND the CFL grid-reduction (max_frequency). compute_timestep() skips the
+    # reduction off-cadence, so trigger the reduction's trace+JIT explicitly
+    # (ADVICE r3: it otherwise first compiles ~iteration 11, inside the timer).
+    dt = CFL.compute_timestep()
+    CFL.max_frequency()                          # blocking host float
+    solver.run_steps(dt, CFL.chunk_steps(max_n=cadence))
+    jax.block_until_ready(solver.timestepper.F)
+    # Run past the first on-cadence update so its one-time poly refit for the
+    # new (a0, b0) is also out of the timed region.
     dt = CFL.compute_timestep()
     solver.run_steps(dt, CFL.chunk_steps(max_n=cadence))
     jax.block_until_ready(solver.timestepper.F)
@@ -105,7 +117,7 @@ def main():
     import dedalus_tpu  # noqa: F401 (x64 on)
     Nx = int(os.environ.get('PERF_NX', 2048))
     Nz = int(os.environ.get('PERF_NZ', 512))
-    n = int(os.environ.get('PERF_STEPS', 40))
+    n = int(os.environ.get('PERF_STEPS', 200))
     cadence = int(os.environ.get('PERF_CADENCE', 10))
     fixed = run_fixed(Nx, Nz, n)
     adaptive = run_adaptive(Nx, Nz, n, cadence=cadence)
