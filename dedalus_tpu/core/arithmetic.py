@@ -354,8 +354,6 @@ def _disk_ncc_pair_blocks(ncc_field, operand, out_domain, subproblem):
     ncc_rbasis = ncc_field.domain.bases[r_axis]
     op_rbasis = operand.domain.bases[r_axis]
     out_rbasis = out_domain.bases[r_axis]
-    if op_rbasis is None:
-        raise NotImplementedError("Disk NCC times constant operand not supported yet")
     n_tens = len(ncc_field.tensorsig)
     az_basis = ncc_field.domain.bases[az_axis]
     gs = az_basis.group_shape[0] if az_basis is not None else 1
@@ -393,6 +391,58 @@ def _disk_ncc_pair_blocks(ncc_field, operand, out_domain, subproblem):
     # through as identity factors
     lead_w = prod(tuple(subproblem.axis_width(operand.domain.bases[ax], ax)
                         for ax in range(az_axis))) or 1
+    if op_rbasis is None:
+        # Operand constant along the disk (a gauge constant, or a field with
+        # bases only on leading axes): out = ncc * const is a column per unit
+        # constant DOF — the NCC's own (m=0, s_ncc) radial profile expressed
+        # in the out basis. Content exists only in the m = 0 subproblem
+        # (constant_column(m != 0) is the zero column), matching the
+        # reference's general NCC/operand pairing (ref arithmetic.py:360-459).
+        if polar_cs is not None and any(
+                polar_cs.spintotal(operand.tensorsig, b_idx)
+                for b_idx in op_idxs if b_idx):
+            raise NotImplementedError(
+                "Disk NCC times a constant operand with polar tensor "
+                "components is not supported (a basis-less spin component "
+                "has no m=0 representation)")
+        synth = out_rbasis.clone_with(k=0)        # hosts the constant operand
+        out_az = out_domain.bases[az_axis]
+        az_w_out = subproblem.axis_width(out_az, az_axis)
+        const_col = synth.constant_column(m)      # zero column when m != 0
+        Nout = out_rbasis.size
+        blocks = {}
+        for a_flat, a_idx in enumerate(ncc_idxs):
+            s_ncc = (polar_cs.spintotal(ncc_field.tensorsig, a_idx)
+                     if (a_idx and polar_cs) else 0)
+            c0, c1 = comp_rows(a_flat)
+            zero_col = sparse.csr_matrix((Nout, 1))
+
+            def col_for(row_c):
+                if row_c is None:
+                    return zero_col
+                S = synth.ncc_comp_matrix(ncc_rbasis, out_rbasis, row_c,
+                                          m, s_ncc, 0)
+                if S is None:
+                    return zero_col
+                return sparse.csr_matrix(S @ const_col)
+
+            for b_idx in op_idxs:
+                if az_w_out == 1:
+                    blk = col_for(c0)
+                else:
+                    # az-major pencil ordering (matches the kron(identity(az),
+                    # radial) layout below): [cos slot; sin slot]. Signed
+                    # pairs store the m=0 constant in the + slot only.
+                    sin_c = None if getattr(out_rbasis, 'signed_pairs',
+                                            False) else c1
+                    blk = sparse.vstack(
+                        [col_for(c0)]
+                        + [col_for(sin_c)] * (az_w_out - 1), format='csr')
+                if lead_w > 1:
+                    blk = sparse.kron(sparse.identity(lead_w), blk)
+                blocks[(a_idx, b_idx)] = sparse.csr_matrix(blk)
+        meta = dict(ncc_idxs=ncc_idxs, op_idxs=op_idxs, az_w=az_w, N=1)
+        return blocks, meta
     N = op_rbasis.size
     blocks = {}
     for a_flat, a_idx in enumerate(ncc_idxs):

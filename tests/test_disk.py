@@ -163,3 +163,29 @@ def test_disk_vector_ncc_lhs(dtype):
     w.change_scales(1)
     w.require_grid_space()
     assert np.abs(np.asarray(w['g']) - np.asarray(vt['g'])).max() < 1e-10
+
+
+def test_disk_ncc_times_constant_operand():
+    """Disk NCC multiplying a constant (basis-less) operand: the LHS matrix
+    column is the NCC's own radial profile (ref arithmetic.py:360-459 handles
+    general NCC/operand pairings)."""
+    coords = d3.PolarCoordinates('phi', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    basis = d3.DiskBasis(coords, shape=(16, 16), radius=1, dealias=(1.5, 1.5))
+    phi, r = basis.global_grids(scales=(1, 1))
+    phi, r = phi.reshape(-1, 1), r.reshape(1, -1)
+    u = dist.Field(name='u', bases=basis)
+    c = dist.Field(name='c')                      # constant field
+    f = dist.Field(name='f', bases=basis)
+    f['g'] = np.broadcast_to(1 + 2 * r**2, (16, 16))
+    ustar = (1 - r**2) * np.cos(phi) + 0.5 * r**2
+    g = dist.Field(name='g', bases=basis)
+    g['g'] = ustar + (1 + 2 * r**2) * 3.0
+    problem = d3.LBVP([u, c], namespace=locals())
+    problem.add_equation("u + f*c = g")
+    problem.add_equation("integ(u) = integ(g) - 3*integ(f)")
+    problem.build_solver().solve()
+    u.change_scales(1)
+    u.require_grid_space()
+    assert float(np.asarray(c['g']).ravel()[0]) == pytest.approx(3.0, abs=1e-10)
+    assert np.abs(np.asarray(u.data) - ustar).max() < 1e-10
