@@ -329,6 +329,154 @@ class H5VirtualFileHandler(H5FileHandler):
         self.current_file = self.current_path
 
 
+class H5ParallelFileHandler(H5FileHandler):
+    """
+    Multi-controller sharded output (parity: reference evaluator.py:653-725
+    H5ParallelFileHandler — collective MPIO hyperslab writes). TPU-native
+    redesign: every host process writes exactly its ADDRESSABLE device
+    shards — hyperslabs taken from the arrays' actual `jax.sharding` index
+    map — into one file per process; process 0 additionally maintains a
+    master file exposing the global arrays as HDF5 virtual datasets over the
+    process files. No MPI-IO build of h5py is required: the collective
+    consistency MPIO provides is inherited from the sharding itself, which
+    is identical on every process by construction, so the shard plan (and
+    hence the master's virtual layout) is computed without communication.
+
+    Layout on disk:
+        {stem}_s{set}/{stem}_s{set}_proc{p}.h5   process files (real data)
+        {stem}_s{set}.h5                         master (virtual + scales)
+    """
+
+    def proc_path(self, pid):
+        stem = f"{self.base_path.stem}_s{self.set_num}"
+        folder = self.base_path / stem
+        folder.mkdir(parents=True, exist_ok=True)
+        return folder / f"{stem}_proc{pid}.h5"
+
+    @staticmethod
+    def _shard_plan(arr):
+        """Deterministic global shard plan [(pid, index, extents), ...]:
+        one entry per DISTINCT hyperslab, owned by the lowest-id device that
+        holds it (replicated shards are written once). Identical on every
+        process — no communication needed."""
+        shape = arr.shape
+        imap = arr.sharding.devices_indices_map(shape)
+        plan = []
+        seen = set()
+        for dev in sorted(imap, key=lambda d: d.id):
+            idx = imap[dev]
+            norm = tuple(s.indices(n) for s, n in zip(idx, shape))
+            if norm in seen:
+                continue
+            seen.add(norm)
+            ext = tuple(stop - start for start, stop, _ in norm)
+            plan.append((dev.process_index, norm, ext))
+        return plan
+
+    def process(self, wall_time=0.0, sim_time=0.0, iteration=0, timestep=0.0, **kw):
+        import h5py
+        import jax
+        import jax.numpy as jnp
+        if self.current_file is None or self.writes_in_set >= self.max_writes:
+            self.set_num += 1
+            self.writes_in_set = 0
+        self.write_num += 1
+        self.writes_in_set += 1
+        my_pid = jax.process_index()
+        entries = []
+        for task in self.tasks:
+            out = task.operand.evaluate() if isinstance(task.operand, Future) else task.operand
+            if task.layout in ('g', 'grid'):
+                out.change_scales(task.scales)
+                out.require_grid_space()
+            else:
+                out.require_coeff_space()
+            arr = jnp.asarray(out.data)
+            # Distribute at-rest (replicated) data onto the mesh's layout
+            # sharding so the shard plan carries the true hyperslabs. In a
+            # real multi-controller run the data already arrives sharded and
+            # this device_put is a no-op relayout.
+            dist = self.evaluator.dist
+            if dist.mesh is not None:
+                from jax.sharding import NamedSharding
+                spec = dist.layout_spec(out.layout, len(out.tensorsig),
+                                        arr.shape)
+                if spec is not None:
+                    arr = jax.device_put(arr, NamedSharding(dist.mesh, spec))
+            entries.append((task, out, arr, self._shard_plan(arr)))
+        # Local writes: this process's hyperslabs only
+        with h5py.File(self.proc_path(my_pid), 'a') as f:
+            tg = f.require_group('tasks')
+            for task, out, arr, plan in entries:
+                by_norm = {}
+                for s in arr.addressable_shards:
+                    norm = tuple(sl.indices(n)
+                                 for sl, n in zip(s.index, arr.shape))
+                    by_norm[norm] = s.data
+                for j, (pid, norm, ext) in enumerate(plan):
+                    if pid != my_pid:
+                        continue
+                    piece = np.asarray(by_norm[norm])
+                    name = f"{task.name}/s{j}"
+                    if name in tg:
+                        d = tg[name]
+                        d.resize(d.shape[0] + 1, axis=0)
+                    else:
+                        d = tg.create_dataset(name, shape=(1,) + piece.shape,
+                                              maxshape=(None,) + piece.shape,
+                                              dtype=piece.dtype)
+                        d.attrs['start'] = [st for st, _, _ in norm]
+                    d[-1] = piece
+        if my_pid != 0:
+            self.current_file = self.current_path
+            return
+        # Master (process 0): virtual datasets over the process files
+        with h5py.File(self.current_path, 'w') as f:
+            f.attrs['set_number'] = self.set_num
+            f.attrs['final_write_num'] = self.write_num
+            f.attrs['handler_name'] = self.base_path.stem
+            f.attrs['virtual'] = True
+            scales = f.require_group('scales')
+            tg = f.require_group('tasks')
+            nw = self.writes_in_set
+            for task, out, arr, plan in entries:
+                gshape = arr.shape
+                layout = h5py.VirtualLayout(shape=(nw,) + gshape,
+                                            dtype=arr.dtype)
+                for j, (pid, norm, ext) in enumerate(plan):
+                    src = h5py.VirtualSource(
+                        self.proc_path(pid).relative_to(self.base_path).as_posix(),
+                        f'tasks/{task.name}/s{j}', shape=(nw,) + ext)
+                    sl = (slice(None),) + tuple(slice(st, sp)
+                                                for st, sp, _ in norm)
+                    layout[sl] = src
+                dset = tg.create_virtual_dataset(task.name, layout)
+                dset.attrs['layout'] = 'g' if task.layout in ('g', 'grid') else 'c'
+                dset.attrs['scales'] = task.scales
+                nt = len(out.tensorsig)
+                for i, basis in enumerate(out.domain.bases):
+                    if basis is None:
+                        continue
+                    scale_name = f"{basis.coord.name}_{task.scales}"
+                    if scale_name not in scales:
+                        grid = np.asarray(basis.global_grid(
+                            task.scales if np.isscalar(task.scales) else task.scales[i]))
+                        scales.create_dataset(scale_name, data=grid)
+                    dset.dims[1 + nt + i].attach_scale(scales[scale_name])
+                    dset.dims[1 + nt + i].label = basis.coord.name
+            hist = getattr(self, '_scale_hist', None)
+            if hist is None or self.writes_in_set == 1:
+                hist = self._scale_hist = {n: [] for n in
+                                           ('sim_time', 'wall_time', 'iteration',
+                                            'timestep', 'write_number')}
+            for name, val in [('sim_time', sim_time), ('wall_time', wall_time),
+                              ('iteration', iteration), ('timestep', timestep),
+                              ('write_number', self.write_num)]:
+                hist[name].append(val)
+                scales.create_dataset(name, data=np.asarray(hist[name], dtype=np.float64))
+        self.current_file = self.current_path
+
+
 class Evaluator:
     """Coordinates handler scheduling (parity: evaluator.py:31-205)."""
 
@@ -345,16 +493,18 @@ class Evaluator:
     def add_file_handler(self, base_path, parallel='gather', **kw):
         """File output handler. `parallel` selects the write strategy
         (parity: evaluator.py:120-135): 'gather' (global arrays, one file),
-        'virtual' (per-shard files + virtual-dataset master), or 'mpio'
-        (unsupported here: single-process runtime writes via 'gather')."""
+        'virtual' (slab-sharded files + virtual-dataset master), or 'mpio'
+        (multi-controller collective analog: each process writes its
+        addressable sharding hyperslabs; see H5ParallelFileHandler)."""
         if parallel == 'virtual':
             handler = H5VirtualFileHandler(self, base_path, **kw)
         elif parallel in ('gather', None):
             handler = H5FileHandler(self, base_path, **kw)
         elif parallel == 'mpio':
-            raise ValueError(
-                "parallel='mpio' requires an MPI build of h5py; the TPU "
-                "runtime is single-process per host — use 'gather' or 'virtual'.")
+            # Collective multi-controller analog of the reference's MPIO
+            # handler: per-process shard files + virtual master (no MPI-IO
+            # h5py build needed).
+            handler = H5ParallelFileHandler(self, base_path, **kw)
         else:
             raise ValueError(f"Unknown parallel mode: {parallel!r}")
         self.handlers.append(handler)

@@ -309,10 +309,44 @@ def test_virtual_file_handler(tmp_path, n_shards):
         np.testing.assert_array_equal(np.asarray(f['tasks/u']), dg)
 
 
-def test_mpio_mode_rejected(tmp_path):
-    solver, u, dist, x = _simple_solver(tmp_path)
-    with pytest.raises(ValueError, match='mpio'):
-        solver.evaluator.add_file_handler(str(tmp_path / 'out'), parallel='mpio')
+def test_parallel_mpio_handler_distributed(tmp_path):
+    """Collective multi-controller output analog (parity: reference
+    evaluator.py:653-725 H5ParallelFileHandler): on a distributed mesh run,
+    each process writes its addressable sharding hyperslabs to a process
+    file and the master virtual file reads back identical to the serial
+    gather output."""
+    from dedalus_tpu.models.rbc import build_rbc_problem
+
+    def run(mesh, outdir, parallel):
+        problem, ctx = build_rbc_problem(32, 16, Rayleigh=1e5, mesh=mesh)
+        solver = problem.build_solver(d3.SBDF2)
+        b = ctx['b']
+        z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
+        Lz = ctx['Lz']
+        b.fill_random('g', seed=11, distribution='normal', scale=1e-3)
+        b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+        h = solver.evaluator.add_file_handler(str(outdir), iter=3,
+                                              max_writes=10, parallel=parallel)
+        h.add_task(b, name='b')
+        h.add_task(ctx['u'], name='u')
+        for _ in range(9):
+            solver.step(1e-3)
+        return solver
+
+    run(None, tmp_path / 'serial', 'gather')
+    run((4,), tmp_path / 'dist', 'mpio')
+    for name in ('b', 'u'):
+        ts, ds = post.load_task(tmp_path / 'serial', name)
+        tp, dp = post.load_task(tmp_path / 'dist', name)
+        np.testing.assert_array_equal(ts, tp)
+        np.testing.assert_allclose(dp, ds, rtol=0, atol=1e-13)
+    # per-process shard files exist with hyperslab shard datasets
+    procs = list((tmp_path / 'dist').glob('dist_s*/*_proc*.h5'))
+    assert procs, "no process shard files written"
+    import h5py
+    with h5py.File(procs[0]) as f:
+        names = list(f['tasks/b'])
+        assert len(names) >= 4  # one dataset per distinct hyperslab
 
 
 def test_load_tasks_coords(tmp_path):

@@ -16,10 +16,14 @@ import jax
 
 import dedalus_tpu.public as d3
 from dedalus_tpu.models.rbc import build_rbc_problem
-from dedalus_tpu.parallel.transpose import localize_axis
 
 
 def test_all_to_all_transpose_roundtrip():
+    """Semantics check of the collective the production transposes lower to:
+    `distributor.constrain` sharding constraints make GSPMD insert exactly
+    this all_to_all (HLO-verified in test_distributed_step_has_collectives);
+    here the equivalent explicit collective round-trips data over the mesh
+    (ref parity: transposes.pyx:22-445 FFTWTranspose/AlltoallvTranspose)."""
     from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
     devs = np.array(jax.devices()[:8])
@@ -28,8 +32,9 @@ def test_all_to_all_transpose_roundtrip():
     A = rng.standard_normal((16, 24))
 
     def body(a):
-        b = localize_axis(a, 'x', gather_axis=0, scatter_axis=1)  # (16, 24/8)
-        c = localize_axis(b, 'x', gather_axis=1, scatter_axis=0)  # back
+        # localize axis 0 by scattering axis 1, then invert
+        b = jax.lax.all_to_all(a, 'x', split_axis=1, concat_axis=0, tiled=True)
+        c = jax.lax.all_to_all(b, 'x', split_axis=0, concat_axis=1, tiled=True)
         return c
 
     f = shard_map(body, mesh=mesh, in_specs=P('x', None), out_specs=P('x', None))
