@@ -494,17 +494,47 @@ def _affine_prefix(A, b, reverse=False):
 
     A: (n, ..., d, d), b: (n, ..., d). Returns (Acum, bcum) with the same
     shapes; apply as x_i = Acum_i @ x_anchor + bcum_i.
+
+    Memory layout: the scan's live buffers store the matrices FLATTENED to
+    (..., d*d). TPU (8, 128)-tile padding of a (..., d, d)-laid-out buffer
+    wastes up to 3.5x HBM for the small odd d here (e.g. d=38 pads each
+    (38, 38) block to (40, 128)); the flat vector pads d*d up to the next
+    lane multiple only (1444 -> 1536, 1.06x). The (cheap, bandwidth-bound)
+    reshapes to 2D happen only inside each combine's matmul. This is what
+    makes the prefix solve COMPILE at 2048x512 and ball sizes on a single
+    chip (round-3 OOM: f32[1024,216,38,38] temps at 3.5x expansion).
     """
+    d = A.shape[-1]
+    Af = A.reshape(A.shape[:-2] + (d * d,))
+
     def combine(x, y):
         # x = the operand nearer the scan's starting end (lower indices
         # forward, HIGHER indices under reverse=True — associative_scan
         # implements reverse as flip/scan/flip): compose as y o x, which in
         # both directions applies the anchor-adjacent maps first.
-        Ax, bx = x
-        Ay, by = y
-        return Ay @ Ax, _bmv(Ay, bx) + by
+        Axf, bx = x
+        Ayf, by = y
+        Ax = Axf.reshape(Axf.shape[:-1] + (d, d))
+        Ay = Ayf.reshape(Ayf.shape[:-1] + (d, d))
+        return ((Ay @ Ax).reshape(Axf.shape), _bmv(Ay, bx) + by)
 
-    return jax.lax.associative_scan(combine, (A, b), reverse=reverse)
+    Acum, bcum = jax.lax.associative_scan(combine, (Af, b), reverse=reverse)
+    return Acum.reshape(A.shape), bcum
+
+
+def _affine_prefix_apply(A, b, x_anchor, reverse=False):
+    """All iterates of the affine recurrence applied to one anchor vector:
+    forward: x_{i+1} = A_i x_i + b_i from x_0 = x_anchor, returning
+    [x_1..x_n]; reverse: x_i = A_i x_{i+1} + b_i from x_n, returning
+    [x_0..x_{n-1}]. The anchor is absorbed into the anchor-adjacent map
+    (matrix zeroed, offset set to its image), so the cumulative MATRIX
+    output of the prefix scan is dead code — XLA DCEs it and only the
+    (n, ..., d) vector stack ever materializes at full length."""
+    idx = -1 if reverse else 0
+    b = b.at[idx].set(_bmv(A[idx], x_anchor) + b[idx])
+    A = A.at[idx].set(jnp.zeros_like(A[idx]))
+    _, bcum = _affine_prefix(A, b, reverse=reverse)
+    return bcum
 
 
 def block_tridiag_qr_solve_prefix(Qt, QtL, Rinv, R1, R2, r):
@@ -531,8 +561,8 @@ def block_tridiag_qr_solve_prefix(Qt, QtL, Rinv, R1, R2, r):
     # Forward sweep: c_{i+1} = Qt_i[nb:, :nb] c_i + Qt_i[nb:, nb:] r_{i+1}
     A = QtT[:, :, nb:, :nb]
     b = _bmv(QtT[:, :, nb:, nb:], rT[1:])
-    Acum, bcum = _affine_prefix(A, b)
-    carries = jnp.concatenate([rT[:1], _bmv(Acum, rT[0]) + bcum])  # c_0..c_{Nb-1}
+    carries = jnp.concatenate(
+        [rT[:1], _affine_prefix_apply(A, b, rT[0])])   # c_0..c_{Nb-1}
     y = jnp.concatenate([
         _bmv(QtT[:, :, :nb, :nb], carries[:-1])
         + _bmv(QtT[:, :, :nb, nb:], rT[1:]),
@@ -550,9 +580,8 @@ def block_tridiag_qr_solve_prefix(Qt, QtL, Rinv, R1, R2, r):
     n_vec = jnp.concatenate(
         [_bmv(RinvT[:-1], y[:-1]), jnp.zeros((Nb - 1, G, nb), r.dtype)],
         axis=-1)
-    Mcum, ncum = _affine_prefix(M, n_vec, reverse=True)
     sN = jnp.concatenate([xN, jnp.zeros_like(xN)], axis=-1)  # s_{Nb-1}
-    s = _bmv(Mcum, sN) + ncum                   # s_0..s_{Nb-2}
+    s = _affine_prefix_apply(M, n_vec, sN, reverse=True)     # s_0..s_{Nb-2}
     x = jnp.concatenate([s[:, :, :nb], xN[None]])
     return x.swapaxes(0, 1)                     # (G, Nb, nb)
 
