@@ -522,19 +522,68 @@ def _affine_prefix(A, b, reverse=False):
     return Acum.reshape(A.shape), bcum
 
 
-def _affine_prefix_apply(A, b, x_anchor, reverse=False):
+def _affine_prefix_apply(A, b, x_anchor, reverse=False, chunk=None):
     """All iterates of the affine recurrence applied to one anchor vector:
     forward: x_{i+1} = A_i x_i + b_i from x_0 = x_anchor, returning
     [x_1..x_n]; reverse: x_i = A_i x_{i+1} + b_i from x_n, returning
     [x_0..x_{n-1}]. The anchor is absorbed into the anchor-adjacent map
     (matrix zeroed, offset set to its image), so the cumulative MATRIX
     output of the prefix scan is dead code — XLA DCEs it and only the
-    (n, ..., d) vector stack ever materializes at full length."""
-    idx = -1 if reverse else 0
-    b = b.at[idx].set(_bmv(A[idx], x_anchor) + b[idx])
-    A = A.at[idx].set(jnp.zeros_like(A[idx]))
-    _, bcum = _affine_prefix(A, b, reverse=reverse)
-    return bcum
+    (n, ..., d) vector stack ever materializes at full length.
+
+    chunk=K engages the TWO-LEVEL form: a sequential lax.scan over ceil(n/K)
+    chunks, each running the log-depth prefix internally and handing the
+    chunk-final iterate to the next chunk. Live prefix buffers then scale
+    with K instead of n — the large-Nb memory story (2048^2 RBC, big balls)
+    at C x log2(K) sequential matmul levels instead of log2(n)."""
+    n = A.shape[0]
+    if not chunk or n <= 2 * chunk:
+        idx = -1 if reverse else 0
+        b = b.at[idx].set(_bmv(A[idx], x_anchor) + b[idx])
+        A = A.at[idx].set(jnp.zeros_like(A[idx]))
+        _, bcum = _affine_prefix(A, b, reverse=reverse)
+        return bcum
+    K = int(chunk)
+    C = -(-n // K)
+    pad = C * K - n
+    if pad:
+        # Identity maps appended at the high end: forward, the padded
+        # iterates trail past n and are sliced off; reverse, they forward
+        # the anchor unchanged down to position n.
+        eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype),
+                               (pad,) + A.shape[1:])
+        A = jnp.concatenate([A, eye])
+        b = jnp.concatenate([b, jnp.zeros((pad,) + b.shape[1:], b.dtype)])
+    Ac = A.reshape((C, K) + A.shape[1:])
+    bc = b.reshape((C, K) + b.shape[1:])
+
+    def body(x_in, ab):
+        Ai, bi = ab
+        ys = _affine_prefix_apply(Ai, bi, x_in, reverse=reverse)
+        return (ys[0] if reverse else ys[-1]), ys
+
+    _, ys = jax.lax.scan(body, x_anchor, (Ac, bc), reverse=reverse)
+    ys = ys.reshape((C * K,) + ys.shape[2:])
+    return ys[:n]
+
+
+def _prefix_chunk(n, G, d, dtype_bytes=4):
+    """Chunk size for the two-level prefix, or None for the single-level
+    log-depth form. 'auto': chunk once the prefix's live flat buffers
+    (measured ~7x the (n, G, d^2) base at 2048x512) would exceed the
+    configured temp budget."""
+    from ..utils.config import config
+    raw = config.get('linear algebra', 'banded_prefix_chunk', fallback='auto')
+    if raw != 'auto':
+        val = int(raw)
+        return val if val > 0 else None
+    budget_gb = float(config.get('memory', 'banded_prefix_temp_gb',
+                                 fallback='7'))
+    base = n * G * d * d * dtype_bytes
+    if 7 * base <= budget_gb * 1e9:
+        return None
+    K = int(budget_gb * 1e9 / (7 * G * d * d * dtype_bytes))
+    return max(16, min(K, 128))
 
 
 def block_tridiag_qr_solve_prefix(Qt, QtL, Rinv, R1, R2, r):
@@ -562,7 +611,8 @@ def block_tridiag_qr_solve_prefix(Qt, QtL, Rinv, R1, R2, r):
     A = QtT[:, :, nb:, :nb]
     b = _bmv(QtT[:, :, nb:, nb:], rT[1:])
     carries = jnp.concatenate(
-        [rT[:1], _affine_prefix_apply(A, b, rT[0])])   # c_0..c_{Nb-1}
+        [rT[:1], _affine_prefix_apply(A, b, rT[0],
+                                      chunk=_prefix_chunk(Nb - 1, G, nb))])
     y = jnp.concatenate([
         _bmv(QtT[:, :, :nb, :nb], carries[:-1])
         + _bmv(QtT[:, :, :nb, nb:], rT[1:]),
@@ -581,7 +631,8 @@ def block_tridiag_qr_solve_prefix(Qt, QtL, Rinv, R1, R2, r):
         [_bmv(RinvT[:-1], y[:-1]), jnp.zeros((Nb - 1, G, nb), r.dtype)],
         axis=-1)
     sN = jnp.concatenate([xN, jnp.zeros_like(xN)], axis=-1)  # s_{Nb-1}
-    s = _affine_prefix_apply(M, n_vec, sN, reverse=True)     # s_0..s_{Nb-2}
+    s = _affine_prefix_apply(M, n_vec, sN, reverse=True,
+                             chunk=_prefix_chunk(Nb - 1, G, 2 * nb))
     x = jnp.concatenate([s[:, :, :nb], xN[None]])
     return x.swapaxes(0, 1)                     # (G, Nb, nb)
 

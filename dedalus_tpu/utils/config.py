@@ -57,9 +57,16 @@ DEFAULTS = {
         # is flat in nb up to 64 — larger blocks cost nothing and shrink the
         # sweep/prefix depth. 1 = exact bandwidth (CPU default).
         'banded_block_multiple': '1',
+        # Two-level prefix chunk size: 'auto' (chunk once the prefix's live
+        # buffers would exceed [memory] banded_prefix_temp_gb), an integer
+        # chunk length, or 0 to force the single-level log-depth prefix.
+        'banded_prefix_chunk': 'auto',
     },
     'memory': {
         'cache_transform_matrices': 'True',
+        # Temp-memory budget (GB) for the single-level banded prefix solve;
+        # larger problems switch to the two-level chunked prefix.
+        'banded_prefix_temp_gb': '7',
         # Disk-cache finished banded factorizations (keyed by matrix
         # content) — the host QR sweeps dominate repeat-run setup at scale
         'cache_banded_factors': 'True',

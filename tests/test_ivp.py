@@ -542,6 +542,18 @@ def test_banded_prefix_solve_matches_scan(Nb):
     x_scan = np.asarray(ops_banded.block_tridiag_qr_solve(*args))
     x_pref = np.asarray(ops_banded.block_tridiag_qr_solve_prefix(*args))
     assert np.abs(x_scan - x_pref).max() < 1e-11 * max(1, np.abs(x_scan).max())
+    if Nb >= 5:
+        # Two-level chunked prefix (the large-Nb memory-bounded form):
+        # force a small chunk so every Nb here exercises chunk padding,
+        # inter-chunk carries, and the reverse-direction chunk order.
+        from dedalus_tpu.utils.config import config
+        old = config.get('linear algebra', 'banded_prefix_chunk')
+        try:
+            config.set('linear algebra', 'banded_prefix_chunk', '2')
+            x_chunk = np.asarray(ops_banded.block_tridiag_qr_solve_prefix(*args))
+        finally:
+            config.set('linear algebra', 'banded_prefix_chunk', old)
+        assert np.abs(x_scan - x_chunk).max() < 1e-11 * max(1, np.abs(x_scan).max())
 
 
 def test_banded_factor_device_matches_host():
