@@ -583,7 +583,9 @@ def _prefix_chunk(n, G, d, dtype_bytes=4):
     if 7 * base <= budget_gb * 1e9:
         return None
     K = int(budget_gb * 1e9 / (7 * G * d * d * dtype_bytes))
-    return max(16, min(K, 128))
+    # Over budget: the chunked form MUST engage, so keep K below the
+    # caller's n <= 2*chunk single-level guard.
+    return max(16, min(K, 128, n // 2))
 
 
 def block_tridiag_qr_solve_prefix(Qt, QtL, Rinv, R1, R2, r):
@@ -883,13 +885,16 @@ class BorderedBandedSolver:
         self.nbord = nbord
         self.pad = blocks.pad
         self._set_exact_apply(blocks, exact_apply, exact_arrs)
-        self._resolve_refinements()
+        # Persist the finished factors BEFORE the refinement probe: the probe
+        # compiles a full solve program and can fail (e.g. HBM pressure on a
+        # new config), and that must not discard minutes of host factor work.
         if cpath is not None:
             try:
                 with _Timer('factor cache save'):
                     self._save_factor_cache(cpath, qr, W1, Sinv, Vfull, Dr, Dc)
             except Exception:
                 logger.info("banded: factor cache save failed", exc_info=True)
+        self._resolve_refinements()
 
     def _set_exact_apply(self, blocks, exact_apply, exact_arrs):
         """Exact apply for refinement (f64): shared operators or own blocks."""
@@ -1265,29 +1270,39 @@ class BorderedBandedSolver:
 
     def _probe_refinement_curve(self, cap=8, seed=7):
         """Worst-group relative residual after the direct mixed-precision
-        solve and after each of `cap` refinement passes (one compiled call)."""
+        solve and after each of `cap` refinement passes. One jitted
+        refinement step re-executed eagerly cap times: a lax.scan(length=cap)
+        version stacked (cap, G, Pp, nbord) Woodbury temps across iterations
+        (3.3 GB x remat copies at 2048x512 — an HBM OOM at compile); the
+        eager loop reuses one iteration's buffers and still lowers the solve
+        body once."""
+        import jax
         once = self._once_fn()
         exact_apply = self.exact_apply
 
-        def curve_fn(arrs, R):
+        @jax.jit
+        def direct_fn(arrs, R):
             scale = jnp.abs(R).max(axis=1)
+            X = once(arrs, R)
+            res = R - exact_apply(arrs['ex'], X)
+            return X, res, (jnp.abs(res).max(axis=1) / scale).max()
 
-            def rel(X):
-                res = R - exact_apply(arrs['ex'], X)
-                return res, (jnp.abs(res).max(axis=1) / scale).max()
-
-            def body(X, _):
-                res, r = rel(X)
-                return X + once(arrs, res), r
-
-            # scan so the solve body lowers once (the probe is setup-time;
-            # per-iteration dispatch latency is irrelevant here)
-            Xf, rels = jax.lax.scan(body, once(arrs, R), None, length=cap)
-            return jnp.concatenate([rels, rel(Xf)[1][None]])
+        @jax.jit
+        def refine_fn(arrs, R, X, res):
+            scale = jnp.abs(R).max(axis=1)
+            X = X + once(arrs, res)
+            res = R - exact_apply(arrs['ex'], X)
+            return X, res, (jnp.abs(res).max(axis=1) / scale).max()
 
         rng = np.random.default_rng(seed)
         R = jnp.asarray(rng.standard_normal((self.blocks.G, self.P)))
-        return np.asarray(jax.jit(curve_fn)(self.solve_arrays(), R))
+        arrs = self.solve_arrays()
+        X, res, rel = direct_fn(arrs, R)
+        rels = [rel]
+        for _ in range(cap):
+            X, res, rel = refine_fn(arrs, R, X, res)
+            rels.append(rel)
+        return np.asarray(jnp.stack(rels))
 
     def _once_fn(self):
         """Jit-safe single mixed-precision banded+Woodbury solve
