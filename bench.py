@@ -213,14 +213,38 @@ def measure_ceiling(n=1024, batch=64):
     return 2 * n**3 * batch / dt / 1e12
 
 
-def _program_flops(solver):
-    """XLA's own flop count for the compiled run program. The trip count is
-    a dynamic while-loop bound, so XLA's model counts the loop body ONCE —
-    i.e. this is (approximately) flops per STEP."""
+def measure_hbm(mb=1024):
+    """Measured HBM streaming bandwidth (GB/s): elementwise scale of a large
+    f32 array (reads + writes it once). The speed-of-light anchor for the
+    transform/solve GB/s roofline fractions (BASELINE metric 2)."""
+    import jax
+    import jax.numpy as jnp
+    n = mb * 1024 * 1024 // 4
+    x = jnp.arange(n, dtype=jnp.float32)
+
+    @jax.jit
+    def scale(x, a):
+        return x * a
+
+    times = []
+    for i in range(4):
+        a = jnp.float32(1.0 + 1e-6 * i)   # distinct inputs: defeat memoization
+        t0 = time.perf_counter()
+        scale(x, a).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times[1:]))
+    return 2 * n * 4 / dt / 1e9
+
+
+def _program_cost(solver):
+    """XLA's own (flops, bytes accessed) for the compiled run program. The
+    trip count is a dynamic while-loop bound, so XLA's model counts the loop
+    body ONCE — i.e. these are (approximately) per-STEP figures."""
     cost = solver.timestepper.run_program_cost()
     if not cost:
-        return None
-    return float(cost.get('flops', 0.0)) or None
+        return None, None
+    return (float(cost.get('flops', 0.0)) or None,
+            float(cost.get('bytes accessed', 0.0)) or None)
 
 
 def run_rbc(Nx, Nz, n_steps, matsolver, n_warm=5):
@@ -264,6 +288,7 @@ def run_rbc(Nx, Nz, n_steps, matsolver, n_warm=5):
         done += m
     t3 = time.perf_counter()
     dof = Nx * Nz * 4  # p, b, u(2)
+    flops, bytes_acc = _program_cost(solver)
     return dict(config=f"RBC {Nx}x{Nz} f64 ({solver.matsolver})",
                 dof=dof, steps=n_steps,
                 setup_s=round(t1 - t0, 1),
@@ -271,7 +296,7 @@ def run_rbc(Nx, Nz, n_steps, matsolver, n_warm=5):
                 run_s=round(t3 - t2, 3),
                 ms_per_step=round((t3 - t2) / n_steps * 1e3, 2),
                 throughput=round(dof * n_steps / (t3 - t2), 1),
-                flops_per_step=_program_flops(solver))
+                flops_per_step=flops, bytes_per_step=bytes_acc)
 
 
 def run_ball(Nphi, Ntheta, Nr, n_steps, matsolver=None, n_warm=3):
@@ -495,10 +520,12 @@ def main():
         try:
             r = _run_leg(
                 'ceiling',
-                _LEG_PRELUDE + "print('CEIL_RESULT', json.dumps("
-                               "{'tfs': bench.measure_ceiling()}))\n",
+                _LEG_PRELUDE + "print('CEIL_RESULT ' + json.dumps("
+                               "{'tfs': bench.measure_ceiling(),"
+                               " 'hbm_gbs': bench.measure_hbm()}))\n",
                 '{}', 420, 'CEIL_RESULT')
             details["ceiling_tfs_bf16"] = round(r['tfs'], 3)
+            details["hbm_gbs_measured"] = round(r['hbm_gbs'], 1)
         except Exception as exc:
             details["ceiling_tfs_bf16"] = f"{type(exc).__name__}: {exc}"[:200]
         if prev and isinstance(details.get("ceiling_tfs_bf16"), str) \
@@ -524,7 +551,13 @@ def main():
             if isinstance(ceil, (int, float)) and head.get("flops_per_step"):
                 eff = (head["flops_per_step"]
                        / (head["run_s"] / head["steps"]) / (ceil * 1e12))
-                head["roofline_frac"] = round(eff, 3)
+                head["roofline_frac_flops"] = round(eff, 3)
+            hbm = details.get("hbm_gbs_measured",
+                              (prev or {}).get("hbm_gbs_measured"))
+            if isinstance(hbm, (int, float)) and head.get("bytes_per_step"):
+                eff = (head["bytes_per_step"]
+                       / (head["run_s"] / head["steps"]) / (hbm * 1e9))
+                head["roofline_frac_bandwidth"] = round(eff, 3)
             _STATE["head"] = head
         except Exception as exc:
             details["rbc"] = {"config": f"RBC {Nx}x{Nz} ({matsolver})",
@@ -542,6 +575,12 @@ def main():
         try:
             details["transforms"] = _run_leg('transforms', code, payload,
                                              600, 'TRANS_RESULT')
+            hbm = details.get("hbm_gbs_measured",
+                              (prev or {}).get("hbm_gbs_measured"))
+            if isinstance(hbm, (int, float)):
+                for rec in details["transforms"].values():
+                    if isinstance(rec, dict) and "gbs" in rec:
+                        rec["frac_of_hbm"] = round(rec["gbs"] / hbm, 3)
         except Exception as exc:
             details["transforms"] = {
                 "error": f"{type(exc).__name__}: {exc}"[:300]}
