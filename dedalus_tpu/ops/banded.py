@@ -511,7 +511,12 @@ def _affine_prefix(A, b, reverse=False):
     """
     d = A.shape[-1]
     Af = A.reshape(A.shape[:-2] + (d * d,))
+    Acum, bcum = _affine_prefix_flat(Af, b, d, reverse=reverse)
+    return Acum.reshape(A.shape), bcum
 
+
+def _affine_prefix_flat(Af, b, d, reverse=False):
+    """_affine_prefix on FLAT-packed matrices Af (n, ..., d*d)."""
     def combine(x, y):
         # x = the operand nearer the scan's starting end (lower indices
         # forward, HIGHER indices under reverse=True — associative_scan
@@ -523,8 +528,7 @@ def _affine_prefix(A, b, reverse=False):
         Ay = Ayf.reshape(Ayf.shape[:-1] + (d, d))
         return ((Ay @ Ax).reshape(Axf.shape), _bmv(Ay, bx) + by)
 
-    Acum, bcum = jax.lax.associative_scan(combine, (Af, b), reverse=reverse)
-    return Acum.reshape(A.shape), bcum
+    return jax.lax.associative_scan(combine, (Af, b), reverse=reverse)
 
 
 def _affine_prefix_apply(A, b, x_anchor, reverse=False, chunk=None):
@@ -541,12 +545,24 @@ def _affine_prefix_apply(A, b, x_anchor, reverse=False, chunk=None):
     chunk-final iterate to the next chunk. Live prefix buffers then scale
     with K instead of n — the large-Nb memory story (2048^2 RBC, big balls)
     at C x log2(K) sequential matmul levels instead of log2(n)."""
-    n = A.shape[0]
+    d = A.shape[-1]
+    return _affine_prefix_apply_flat(
+        A.reshape(A.shape[:-2] + (d * d,)), b, x_anchor, d,
+        reverse=reverse, chunk=chunk)
+
+
+def _affine_prefix_apply_flat(Af, b, x_anchor, d, reverse=False, chunk=None):
+    """_affine_prefix_apply on FLAT-packed matrices Af (n, ..., d*d)."""
+    n = Af.shape[0]
+
+    def bmv_at(idx):
+        return _bmv(Af[idx].reshape(Af.shape[1:-1] + (d, d)), x_anchor)
+
     if not chunk or n <= 2 * chunk:
         idx = -1 if reverse else 0
-        b = b.at[idx].set(_bmv(A[idx], x_anchor) + b[idx])
-        A = A.at[idx].set(jnp.zeros_like(A[idx]))
-        _, bcum = _affine_prefix(A, b, reverse=reverse)
+        b = b.at[idx].set(bmv_at(idx) + b[idx])
+        Af = Af.at[idx].set(jnp.zeros_like(Af[idx]))
+        _, bcum = _affine_prefix_flat(Af, b, d, reverse=reverse)
         return bcum
     K = int(chunk)
     C = -(-n // K)
@@ -555,16 +571,16 @@ def _affine_prefix_apply(A, b, x_anchor, reverse=False, chunk=None):
         # Identity maps appended at the high end: forward, the padded
         # iterates trail past n and are sliced off; reverse, they forward
         # the anchor unchanged down to position n.
-        eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype),
-                               (pad,) + A.shape[1:])
-        A = jnp.concatenate([A, eye])
+        eye = jnp.broadcast_to(jnp.eye(d, dtype=Af.dtype).reshape(d * d),
+                               (pad,) + Af.shape[1:])
+        Af = jnp.concatenate([Af, eye])
         b = jnp.concatenate([b, jnp.zeros((pad,) + b.shape[1:], b.dtype)])
-    Ac = A.reshape((C, K) + A.shape[1:])
+    Ac = Af.reshape((C, K) + Af.shape[1:])
     bc = b.reshape((C, K) + b.shape[1:])
 
     def body(x_in, ab):
         Ai, bi = ab
-        ys = _affine_prefix_apply(Ai, bi, x_in, reverse=reverse)
+        ys = _affine_prefix_apply_flat(Ai, bi, x_in, d, reverse=reverse)
         return (ys[0] if reverse else ys[-1]), ys
 
     _, ys = jax.lax.scan(body, x_anchor, (Ac, bc), reverse=reverse)
@@ -593,12 +609,47 @@ def _prefix_chunk(n, G, d, dtype_bytes=4):
     return max(16, min(K, 128, n // 2))
 
 
-def block_tridiag_qr_solve_prefix(Qt, QtL, Rinv, R1, R2, r):
+def prefix_fac_profile(qr, dtype=None):
+    """Flat-packed device profile of the QR factors for the prefix sweeps.
+
+    TPU (8, 128) tiling pads (..., nb, nb)-minor factor buffers up to ~8x
+    (measured: f32[1024,217,19,19] Rinv stored/copied at 2.54 GB vs 321 MB
+    unpadded), so the prefix path ships FLAT (..., nb*nb) panels instead:
+      Af/Bf/C1/C2  the four nb x nb panels of Qt (forward sweep + y),
+      RinvF        flat Rinv,
+      Mf           flat backward companion [[-Rinv R1, -Rinv R2], [I, 0]],
+                   precomputed here because it is solve-invariant — forming
+                   it per solve materialized a padded (Nb, G, 2nb, 2nb) temp.
+    R1/R2 never ship to the device in this profile."""
+    Qt = np.asarray(qr['Qt'])
+    Rinv = np.asarray(qr['Rinv'])
+    R1 = np.asarray(qr['R1'])
+    R2 = np.asarray(qr['R2'])
+    nb = Qt.shape[-1] // 2
+
+    def flat(a):
+        return a.reshape(a.shape[:-2] + (a.shape[-2] * a.shape[-1],))
+
+    E = -np.matmul(Rinv[:, :-1], R1[:, :-1])
+    F = -np.matmul(Rinv[:, :-1], R2[:, :-1])
+    eye = np.broadcast_to(np.eye(nb, dtype=E.dtype), E.shape)
+    M = np.concatenate([
+        np.concatenate([E, F], axis=-1),
+        np.concatenate([eye, np.zeros_like(eye)], axis=-1)], axis=-2)
+    prof = dict(Af=flat(Qt[:, :, nb:, :nb]), Bf=flat(Qt[:, :, nb:, nb:]),
+                C1=flat(Qt[:, :, :nb, :nb]), C2=flat(Qt[:, :, :nb, nb:]),
+                QtL=np.asarray(qr['QtL']), RinvF=flat(Rinv), Mf=flat(M))
+    if dtype is None:
+        return prof
+    return {k: jnp.asarray(v, dtype=dtype) for k, v in prof.items()}
+
+
+def block_tridiag_qr_solve_prefix_fac(fac, r):
     """
-    Parallel-prefix variant of `block_tridiag_qr_solve`: both sweeps are
-    first-order affine recurrences, so cumulative affine composition
-    (associative_scan) replaces the Nb sequential scan iterations with
-    ~2 log2(Nb) levels of batched (2nb, 2nb) GEMMs on the MXU. On
+    Parallel-prefix solve from a flat fac profile (see prefix_fac_profile):
+    both sweeps are first-order affine recurrences, so cumulative affine
+    composition (associative_scan) replaces the Nb sequential scan
+    iterations with ~2 log2(Nb) levels of batched GEMMs on the MXU. On
     dispatch-latency-bound devices (~ms per scan iteration) this turns an
     O(Nb)-latency solve into an O(log Nb) one at ~2nb x the flops — flops
     the MXU has to spare.
@@ -610,41 +661,58 @@ def block_tridiag_qr_solve_prefix(Qt, QtL, Rinv, R1, R2, r):
     the caller's f64 iterative refinement (BorderedBandedSolver).
     """
     G, Nb, nb = r.shape
-    if Nb < 3:
-        return block_tridiag_qr_solve(Qt, QtL, Rinv, R1, R2, r)
+
+    def resh(a):
+        return a.reshape(a.shape[:-1] + (nb, nb))
+
     rT = r.swapaxes(0, 1)                       # (Nb, G, nb)
-    QtT = Qt.swapaxes(0, 1)                     # (Nb-1, G, 2nb, 2nb)
-    # Forward sweep: c_{i+1} = Qt_i[nb:, :nb] c_i + Qt_i[nb:, nb:] r_{i+1}
-    A = QtT[:, :, nb:, :nb]
-    b = _bmv(QtT[:, :, nb:, nb:], rT[1:])
+    # Forward sweep: c_{i+1} = Af_i c_i + Bf_i r_{i+1}
+    b = _bmv(resh(fac['Bf']).swapaxes(0, 1), rT[1:])
     carries = jnp.concatenate(
-        [rT[:1], _affine_prefix_apply(A, b, rT[0],
-                                      chunk=_prefix_chunk(Nb - 1, G, nb))])
+        [rT[:1], _affine_prefix_apply_flat(
+            fac['Af'].swapaxes(0, 1), b, rT[0], nb,
+            chunk=_prefix_chunk(Nb - 1, G, nb))])
     y = jnp.concatenate([
-        _bmv(QtT[:, :, :nb, :nb], carries[:-1])
-        + _bmv(QtT[:, :, :nb, nb:], rT[1:]),
-        _bmv(QtL, carries[-1])[None]])          # (Nb, G, nb)
-    # Backward sweep on s_i = [x_i; x_{i+1}]:
-    #   s_i = M_i s_{i+1} + n_i,  M_i = [[-Rinv R1, -Rinv R2], [I, 0]]
-    RinvT = Rinv.swapaxes(0, 1)
+        _bmv(resh(fac['C1']).swapaxes(0, 1), carries[:-1])
+        + _bmv(resh(fac['C2']).swapaxes(0, 1), rT[1:]),
+        _bmv(fac['QtL'], carries[-1])[None]])   # (Nb, G, nb)
+    # Backward sweep on s_i = [x_i; x_{i+1}]: s_i = M_i s_{i+1} + n_i
+    RinvT = resh(fac['RinvF']).swapaxes(0, 1)
     xN = _bmv(RinvT[-1], y[-1])
-    E = -(RinvT[:-1] @ R1.swapaxes(0, 1)[:-1])
-    F = -(RinvT[:-1] @ R2.swapaxes(0, 1)[:-1])
-    eye = jnp.broadcast_to(jnp.eye(nb, dtype=r.dtype), E.shape)
-    M = jnp.concatenate([
-        jnp.concatenate([E, F], axis=-1),
-        jnp.concatenate([eye, jnp.zeros_like(eye)], axis=-1)], axis=-2)
     n_vec = jnp.concatenate(
         [_bmv(RinvT[:-1], y[:-1]), jnp.zeros((Nb - 1, G, nb), r.dtype)],
         axis=-1)
     sN = jnp.concatenate([xN, jnp.zeros_like(xN)], axis=-1)  # s_{Nb-1}
-    s = _affine_prefix_apply(M, n_vec, sN, reverse=True,
-                             chunk=_prefix_chunk(Nb - 1, G, 2 * nb))
+    s = _affine_prefix_apply_flat(
+        fac['Mf'].swapaxes(0, 1), n_vec, sN, 2 * nb, reverse=True,
+        chunk=_prefix_chunk(Nb - 1, G, 2 * nb))
     x = jnp.concatenate([s[:, :, :nb], xN[None]])
     return x.swapaxes(0, 1)                     # (G, Nb, nb)
 
 
-def _solve_sweeps_fn():
+def block_tridiag_qr_solve_prefix(Qt, QtL, Rinv, R1, R2, r):
+    """Prefix solve from raw 2D factors (tests / compatibility): builds the
+    flat profile in-trace and defers to block_tridiag_qr_solve_prefix_fac."""
+    G, Nb, nb = r.shape
+    if Nb < 3:
+        return block_tridiag_qr_solve(Qt, QtL, Rinv, R1, R2, r)
+
+    def flat(a):
+        return a.reshape(a.shape[:-2] + (a.shape[-2] * a.shape[-1],))
+
+    E = -jnp.matmul(Rinv[:, :-1], R1[:, :-1])
+    F = -jnp.matmul(Rinv[:, :-1], R2[:, :-1])
+    eye = jnp.broadcast_to(jnp.eye(nb, dtype=r.dtype), E.shape)
+    M = jnp.concatenate([
+        jnp.concatenate([E, F], axis=-1),
+        jnp.concatenate([eye, jnp.zeros_like(eye)], axis=-1)], axis=-2)
+    fac = dict(Af=flat(Qt[:, :, nb:, :nb]), Bf=flat(Qt[:, :, nb:, nb:]),
+               C1=flat(Qt[:, :, :nb, :nb]), C2=flat(Qt[:, :, :nb, nb:]),
+               QtL=QtL, RinvF=flat(Rinv), Mf=flat(M))
+    return block_tridiag_qr_solve_prefix_fac(fac, r)
+
+
+def _sweeps_mode():
     """Sweep implementation per config/backend: sequential scans on CPU
     (cheap dispatch, minimal flops), parallel-prefix on accelerators
     (dispatch-latency-bound)."""
@@ -652,7 +720,11 @@ def _solve_sweeps_fn():
     mode = config.get('linear algebra', 'banded_solve', fallback='auto')
     if mode == 'auto':
         mode = 'scan' if jax.default_backend() == 'cpu' else 'prefix'
-    return block_tridiag_qr_solve_prefix if mode == 'prefix' \
+    return mode
+
+
+def _solve_sweeps_fn():
+    return block_tridiag_qr_solve_prefix if _sweeps_mode() == 'prefix' \
         else block_tridiag_qr_solve
 
 
@@ -873,7 +945,7 @@ class BorderedBandedSolver:
                                             dtype=factor_dtype)
         else:
             self.Abad_inv = None
-        self.fac = {k: jnp.asarray(v, dtype=factor_dtype) for k, v in qr.items()}
+        self.fac = self._ship_fac(qr, factor_dtype)
         # Woodbury pieces stay f64: S inherits the border ill-conditioning
         self.fac.update(W1=jnp.asarray(W1),
                         Sinv=jnp.asarray(Sinv),
@@ -976,10 +1048,19 @@ class BorderedBandedSolver:
         np.savez(tmp, **data)
         tmp.replace(cpath)
 
+    def _ship_fac(self, qr, factor_dtype):
+        """Device fac dict for the selected sweep mode: prefix ships the
+        flat-packed profile (R1/R2 never reach the device; see
+        prefix_fac_profile), scan ships the raw 2D factors."""
+        if _sweeps_mode() == 'prefix' and self.Nb >= 3:
+            return prefix_fac_profile(qr, dtype=factor_dtype)
+        return {k: jnp.asarray(v, dtype=factor_dtype) for k, v in qr.items()}
+
     def _load_factor_cache(self, cpath, blocks, factor_dtype):
         z = np.load(cpath)
-        self.fac = {k[3:]: jnp.asarray(z[k], dtype=factor_dtype)
-                    for k in z.files if k.startswith('qr_')}
+        self.fac = self._ship_fac(
+            {k[3:]: z[k] for k in z.files if k.startswith('qr_')},
+            factor_dtype)
         self.fac.update(W1=jnp.asarray(z['W1']),
                         Sinv=jnp.asarray(z['Sinv']),
                         Vfull=jnp.asarray(z['Vfull']))
@@ -1321,13 +1402,16 @@ class BorderedBandedSolver:
         def once(arrs, R):
             """One mixed-precision banded+Woodbury solve in pencil coords."""
             fac = arrs['fac']
-            f32 = fac['Rinv'].dtype
+            f32 = fac['RinvF' if 'RinvF' in fac else 'Rinv'].dtype
             # Scaled system: (Dr A Dc) (Dc^-1 x) = Dr r
             rflat = jnp.pad(R[:, arrs['row_perm']], ((0, 0), (0, pad)))
             rflat = rflat * arrs['Dr']
             rc = rflat.astype(f32).reshape(G, Nb, nb)
-            y = sweeps(fac['Qt'], fac['QtL'], fac['Rinv'],
-                       fac['R1'], fac['R2'], rc)
+            if 'Af' in fac:
+                y = block_tridiag_qr_solve_prefix_fac(fac, rc)
+            else:
+                y = sweeps(fac['Qt'], fac['QtL'], fac['Rinv'],
+                           fac['R1'], fac['R2'], rc)
             yflat = y.reshape(G, Nb * nb).astype(rflat.dtype)
             t = _bmv(fac['Sinv'], _bmv(fac['Vfull'], yflat))
             x = yflat - _bmv(fac['W1'], t)
