@@ -121,11 +121,26 @@ class BandedBlocks:
         self.bcol0 = 0 if order.get('bcol_first') else self.P - self.nbord
 
     def device_arrays(self, dtype=jnp.float64):
-        return dict(diag=jnp.asarray(self.diag, dtype=dtype),
-                    sub=jnp.asarray(self.sub, dtype=dtype),
-                    sup=jnp.asarray(self.sup, dtype=dtype),
-                    Ucol=jnp.asarray(self.Ucol, dtype=dtype),
-                    Vrow=jnp.asarray(self.Vrow, dtype=dtype))
+        """Flat-packed device form: (.., nb, nb) blocks stored (.., nb*nb)
+        and Ucol transposed to (G, nbord, Pp) — TPU (8,128) tiling pads
+        small-minor layouts up to ~8x (see prefix_fac_profile); the flat
+        forms pad to the next lane multiple only. ALL-ZERO panels are
+        omitted (key absent): mass matrices typically carry no border
+        content and little off-diagonal coupling, and pruning them halves
+        the resident f64 operator footprint at 2048x512."""
+        def flat(a):
+            return a.reshape(a.shape[:-2] + (a.shape[-2] * a.shape[-1],))
+        out = dict(diag=jnp.asarray(flat(self.diag), dtype=dtype))
+        if np.any(self.sub):
+            out['sub'] = jnp.asarray(flat(self.sub), dtype=dtype)
+        if np.any(self.sup):
+            out['sup'] = jnp.asarray(flat(self.sup), dtype=dtype)
+        if np.any(self.Ucol):
+            out['UcolT'] = jnp.asarray(np.swapaxes(self.Ucol, -1, -2),
+                                       dtype=dtype)
+        if np.any(self.Vrow):
+            out['Vrow'] = jnp.asarray(self.Vrow, dtype=dtype)
+        return out
 
 
 def _split_pattern_single(A_perm, P, nb, Nb, nbord, bcol0):
@@ -730,10 +745,17 @@ def _solve_sweeps_fn():
 
 def apply_band(mats, x):
     """In-pattern block-tridiagonal application (jit-safe).
-    mats: device dict (diag/sub/sup); x: (G, Nb, nb) -> (G, Nb, nb)."""
-    y = _bmv(mats['diag'], x)
-    y = y.at[:, 1:].add(_bmv(mats['sub'][:, 1:], x[:, :-1]))
-    y = y.at[:, :-1].add(_bmv(mats['sup'][:, :-1], x[:, 1:]))
+    mats: device dict (flat-packed diag/sub/sup); x: (G, Nb, nb) -> same."""
+    nb = x.shape[-1]
+
+    def resh(a):
+        return a.reshape(a.shape[:-1] + (nb, nb))
+
+    y = _bmv(resh(mats['diag']), x)
+    if 'sub' in mats:
+        y = y.at[:, 1:].add(_bmv(resh(mats['sub'])[:, 1:], x[:, :-1]))
+    if 'sup' in mats:
+        y = y.at[:, :-1].add(_bmv(resh(mats['sup'])[:, :-1], x[:, 1:]))
     return y
 
 
@@ -742,14 +764,16 @@ def apply_full(mats, xflat, P, nbord, bcol0=None):
     xflat: (G, Pp) padded flat vector -> (G, Pp). Border rows first; border
     columns start at bcol0 (default: last nbord of P)."""
     G, Pp = xflat.shape
-    nb = mats['diag'].shape[-1]
+    nb = int(round(mats['diag'].shape[-1] ** 0.5))
     Nb = Pp // nb
     y = apply_band(mats, xflat.reshape(G, Nb, nb)).reshape(G, Pp)
     b0 = P - nbord if bcol0 is None else bcol0
-    xb = xflat[:, b0:b0 + nbord]
-    y = y + _bmv(mats['Ucol'], xb)
-    vb = _bmv(mats['Vrow'], xflat)
-    y = y.at[:, :nbord].add(vb)
+    if 'UcolT' in mats:
+        xb = xflat[:, b0:b0 + nbord]
+        y = y + jnp.einsum('gbp,gb->gp', mats['UcolT'], xb)
+    if 'Vrow' in mats:
+        vb = _bmv(mats['Vrow'], xflat)
+        y = y.at[:, :nbord].add(vb)
     return y
 
 
@@ -946,10 +970,7 @@ class BorderedBandedSolver:
         else:
             self.Abad_inv = None
         self.fac = self._ship_fac(qr, factor_dtype)
-        # Woodbury pieces stay f64: S inherits the border ill-conditioning
-        self.fac.update(W1=jnp.asarray(W1),
-                        Sinv=jnp.asarray(Sinv),
-                        Vfull=jnp.asarray(Vfull))
+        self.fac.update(self._ship_woodbury(W1, Sinv, Vfull, factor_dtype))
         rp = np.asarray(self.order['row_perm'])
         cp = np.asarray(self.order['col_perm'])
         self.row_perm = jnp.asarray(rp)
@@ -1036,8 +1057,12 @@ class BorderedBandedSolver:
         data = {f"qr_{k}": np.asarray(v, dtype=self.factor_dtype)
                 for k, v in qr.items()}
         data.update(
-            W1=np.asarray(W1), Sinv=np.asarray(Sinv),
-            Vfull=np.asarray(Vfull), Dr=np.asarray(Dr), Dc=np.asarray(Dc),
+            # W1/Vfull ship at factor_dtype (see _ship_woodbury); saving the
+            # f64 originals would double their disk + load wall for nothing
+            W1=np.asarray(W1, dtype=self.factor_dtype),
+            Sinv=np.asarray(Sinv),
+            Vfull=np.asarray(Vfull, dtype=self.factor_dtype),
+            Dr=np.asarray(Dr), Dc=np.asarray(Dc),
             bad_idx=np.asarray(self.bad_idx, dtype=np.int64),
             growth=self.diagnostics['growth'],
             condS=self.diagnostics['condS'],
@@ -1056,14 +1081,28 @@ class BorderedBandedSolver:
             return prefix_fac_profile(qr, dtype=factor_dtype)
         return {k: jnp.asarray(v, dtype=factor_dtype) for k, v in qr.items()}
 
+    @staticmethod
+    def _ship_woodbury(W1, Sinv, Vfull, factor_dtype):
+        """Woodbury device pieces. The column/row factors ship at
+        factor_dtype (their apply noise is direct-solve noise, which the f64
+        refinement against the exact operator absorbs — the adaptive probe
+        measures the resulting contraction); only the small (B, B) Sinv,
+        which inherits the border ill-conditioning, stays f64. W1 is stored
+        TRANSPOSED (G, B, Pp): the (G, Pp, B) layout tile-pads B -> 128
+        lanes (~5x HBM at 2048x512)."""
+        return dict(
+            W1T=jnp.asarray(np.swapaxes(np.asarray(W1), 1, 2),
+                            dtype=factor_dtype),
+            Sinv=jnp.asarray(Sinv),
+            Vfull=jnp.asarray(Vfull, dtype=factor_dtype))
+
     def _load_factor_cache(self, cpath, blocks, factor_dtype):
         z = np.load(cpath)
         self.fac = self._ship_fac(
             {k[3:]: z[k] for k in z.files if k.startswith('qr_')},
             factor_dtype)
-        self.fac.update(W1=jnp.asarray(z['W1']),
-                        Sinv=jnp.asarray(z['Sinv']),
-                        Vfull=jnp.asarray(z['Vfull']))
+        self.fac.update(self._ship_woodbury(z['W1'], z['Sinv'], z['Vfull'],
+                                            factor_dtype))
         self.bad_idx = tuple(int(g) for g in z['bad_idx'])
         Abad_inv = z['Abad_inv']
         self.Abad_inv = (jnp.asarray(Abad_inv, dtype=factor_dtype)
@@ -1412,9 +1451,13 @@ class BorderedBandedSolver:
             else:
                 y = sweeps(fac['Qt'], fac['QtL'], fac['Rinv'],
                            fac['R1'], fac['R2'], rc)
-            yflat = y.reshape(G, Nb * nb).astype(rflat.dtype)
-            t = _bmv(fac['Sinv'], _bmv(fac['Vfull'], yflat))
-            x = yflat - _bmv(fac['W1'], t)
+            # Woodbury correction: factor_dtype column/row applies around the
+            # f64 ill-conditioned core Sinv (see _ship_woodbury)
+            y32 = y.reshape(G, Nb * nb)
+            t = _bmv(fac['Sinv'],
+                     _bmv(fac['Vfull'], y32).astype(jnp.float64))
+            corr = jnp.einsum('gbp,gb->gp', fac['W1T'], t.astype(f32))
+            x = y32.astype(rflat.dtype) - corr.astype(rflat.dtype)
             if bad_idx:
                 idx = jnp.asarray(bad_idx)
                 xb = _bmv(arrs['Abad_inv'], rflat[idx, :P].astype(f32)

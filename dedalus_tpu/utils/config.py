@@ -65,8 +65,10 @@ DEFAULTS = {
     'memory': {
         'cache_transform_matrices': 'True',
         # Temp-memory budget (GB) for the single-level banded prefix solve;
-        # larger problems switch to the two-level chunked prefix.
-        'banded_prefix_temp_gb': '7',
+        # larger problems switch to the two-level chunked prefix. Sized so
+        # solve temps coexist with the resident factor profile + f64 M/L
+        # operators + transforms at BASELINE scale on a 16 GB chip.
+        'banded_prefix_temp_gb': '4',
         # Disk-cache finished banded factorizations (keyed by matrix
         # content) — the host QR sweeps dominate repeat-run setup at scale
         'cache_banded_factors': 'True',

@@ -222,7 +222,8 @@ def test_distributed_banded_matches_serial(mode):
     ts = solver.timestepper
     fact = ts._get_factorized(*list(ts._factorized)[0])
     mats = ts._step_mats(fact)
-    Qt = mats['solve']['fac']['Qt']
+    fac_arrs = mats['solve']['fac']
+    Qt = fac_arrs['Af' if 'Af' in fac_arrs else 'Qt']  # prefix ships flat panels
     assert Qt.sharding.spec[0] is not None
 
 
