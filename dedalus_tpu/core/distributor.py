@@ -175,10 +175,19 @@ class Distributor:
             return tree
 
         def put(x):
-            if hasattr(x, 'shape') and x.ndim > g_dim and x.shape[g_dim] == G:
-                sharding = self.pencil_sharding(G, x.ndim - 1 - g_dim, g_dim)
-                if sharding is not None:
-                    return jax.device_put(x, sharding)
+            if not hasattr(x, 'shape'):
+                return x
+            gd = g_dim
+            if not (x.ndim > gd and x.shape[gd] == G):
+                # Group axis elsewhere (e.g. the blocked banded profile's
+                # (K, C, G, flat) chunk panels): shard it when unambiguous.
+                cand = [d for d in range(x.ndim) if x.shape[d] == G]
+                if len(cand) != 1:
+                    return x
+                gd = cand[0]
+            sharding = self.pencil_sharding(G, x.ndim - 1 - gd, gd)
+            if sharding is not None:
+                return jax.device_put(x, sharding)
             return x
         return jax.tree.map(put, tree)
 

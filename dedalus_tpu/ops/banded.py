@@ -705,6 +705,197 @@ def block_tridiag_qr_solve_prefix_fac(fac, r):
     return x.swapaxes(0, 1)                     # (G, Nb, nb)
 
 
+def _blocked_K(n):
+    """Within-block length for the blocked recurrence solve: K ~ sqrt(n)
+    balances the K sequential phase-1 iterations against the C = n/K
+    sequential anchor updates (total latency ~ K + C ~ 2 sqrt(n))."""
+    return max(4, min(int(round(n ** 0.5)), 64))
+
+
+def _chunk_host(a, K, C, fill=0.0):
+    """(G, n, ...) host array -> (K, C, G, flat) chunk layout, padded to C*K
+    along n with `fill` (scalar) or identity blocks (fill='eye')."""
+    G, n = a.shape[:2]
+    rest = a.shape[2:]
+    pad = C * K - n
+    if pad:
+        if fill == 'eye':
+            tail = np.broadcast_to(np.eye(rest[0], dtype=a.dtype),
+                                   (G, pad) + rest)
+        else:
+            tail = np.full((G, pad) + rest, fill, dtype=a.dtype)
+        a = np.concatenate([a, tail], axis=1)
+    a = a.reshape((G, C, K) + rest)
+    a = np.moveaxis(a, (2, 1, 0), (0, 1, 2))          # (K, C, G) + rest
+    flat = int(np.prod(rest)) if rest else 1
+    return np.ascontiguousarray(a.reshape((K, C, G, flat)))
+
+
+def _chunk_vec(v, K, C):
+    """(n, G, d) traced vector stack -> (K, C, G, d), zero-padded."""
+    n, G, d = v.shape
+    pad = C * K - n
+    if pad:
+        v = jnp.concatenate([v, jnp.zeros((pad, G, d), v.dtype)])
+    return v.reshape(C, K, G, d).swapaxes(0, 1)
+
+
+def _unchunk_vec(v, n):
+    """(K, C, G, d) -> (n, G, d): inverse of _chunk_vec (drop padding)."""
+    K, C, G, d = v.shape
+    return v.swapaxes(0, 1).reshape(C * K, G, d)[:n]
+
+
+def blocked_fac_profile(qr, dtype=None):
+    """Blocked-recurrence device profile: every solve-invariant matrix
+    product is precomputed HERE (factor time), so each solve reads each
+    factor panel exactly ONCE and performs only batched matvecs — no
+    per-solve matrix-matrix work. vs the associative-scan prefix (which
+    recomposes (nb,nb) cumulative products every solve, ~3x the HBM traffic
+    and ~nb x the flops), this is the bandwidth-minimal sweep form.
+
+    Forward carry recurrence c_{t+1} = Af_t c_t + Bf_t r_{t+1} (t=0..n-1,
+    n=Nb-1) splits into C blocks of K~sqrt(n):
+      Mf[j,c]  = Af_{cK+j} ... Af_{cK}      within-block cumulative maps
+      Afcum[c] = Mf[K-1,c]                   block-end maps
+    Backward second-order recurrence x_i = E_i x_{i+1} + F_i x_{i+2} + d_i
+    (reversed to forward form on pairs s_i = [x_i; x_{i+1}]):
+      Tb[j,c]  = top nb rows of the companion cumulative products
+      Bcum[c]  = full (2nb, 2nb) block-end companion maps (C only — small)
+    All panels ship FLAT in the trailing dims ((8,128)-tile padding of
+    (nb, nb)-minor buffers wastes up to ~8x HBM; see prefix_fac_profile)."""
+    Qt = np.asarray(qr['Qt'], np.float64)       # (G, n, 2nb, 2nb)
+    Rinv = np.asarray(qr['Rinv'], np.float64)   # (G, Nb, nb, nb)
+    R1 = np.asarray(qr['R1'], np.float64)
+    R2 = np.asarray(qr['R2'], np.float64)
+    G, n = Qt.shape[:2]
+    nb = Qt.shape[-1] // 2
+    K = _blocked_K(n)
+    C = -(-n // K)
+    # Forward: within-block cumprods of Af (identity-padded past n)
+    Af = _chunk_host(Qt[:, :, nb:, :nb], K, C, fill='eye')
+    Mf = np.empty_like(Af)
+    acc = Af[0].reshape(C, G, nb, nb)
+    Mf[0] = acc.reshape(C, G, nb * nb)
+    for j in range(1, K):
+        acc = Af[j].reshape(C, G, nb, nb) @ acc
+        Mf[j] = acc.reshape(C, G, nb * nb)
+    # Backward: companion cumprods in REVERSED order k = (n-1) - i
+    E = -np.matmul(Rinv[:, :-1], R1[:, :-1])    # (G, n, nb, nb), i-order
+    F = -np.matmul(Rinv[:, :-1], R2[:, :-1])
+    Eb = _chunk_host(E[:, ::-1], K, C)
+    Fb = _chunk_host(F[:, ::-1], K, C)
+    eye2 = np.eye(2 * nb)
+    Tb = np.empty((K, C, G, nb * 2 * nb))
+    acc2 = np.broadcast_to(eye2, (C, G, 2 * nb, 2 * nb)).copy()
+    for j in range(K):
+        comp = np.zeros((C, G, 2 * nb, 2 * nb))
+        comp[:, :, :nb, :nb] = Eb[j].reshape(C, G, nb, nb)
+        comp[:, :, :nb, nb:] = Fb[j].reshape(C, G, nb, nb)
+        comp[:, :, nb:, :nb] = np.eye(nb)
+        acc2 = comp @ acc2
+        Tb[j] = acc2[:, :, :nb, :].reshape(C, G, nb * 2 * nb)
+    Bcum = acc2.reshape(C, G, 4 * nb * nb)
+
+    def flat(a):
+        return a.reshape(a.shape[:-2] + (a.shape[-2] * a.shape[-1],))
+
+    prof = dict(Af_blk=Af, Bf_blk=_chunk_host(Qt[:, :, nb:, nb:], K, C),
+                Mf_blk=Mf, Afcum=np.ascontiguousarray(Mf[-1]),
+                C1=flat(Qt[:, :, :nb, :nb]), C2=flat(Qt[:, :, :nb, nb:]),
+                QtL=np.asarray(qr['QtL']), RinvF=flat(Rinv),
+                Eb_blk=Eb, Fb_blk=Fb, Tb_blk=Tb, Bcum=Bcum)
+    if dtype is None:
+        return prof
+    return {k: jnp.asarray(v, dtype=dtype) for k, v in prof.items()}
+
+
+def block_tridiag_qr_solve_blocked_fac(fac, r):
+    """Blocked-recurrence solve from a blocked_fac_profile. Per sweep:
+      phase 1  K-iteration lax.scan of batched matvecs, all C blocks at
+               once with zero anchors (reads each recurrence panel ONCE);
+      phase 2  C-iteration anchor scan through the precomputed block-end
+               maps (C ~ sqrt(Nb) tiny matvecs);
+      phase 3  one batched matvec against the precomputed within-block
+               cumulative maps, adding each block's anchor contribution.
+    Total per solve: one read of each factor panel + O(Nb G nb) vector
+    traffic, at 2 sqrt(Nb) sequential latency. Stability matches the prefix
+    form (forward maps are products of orthogonal-Q subblocks, norm <= 1;
+    backward products bounded by the pivot-pinned triangular conditioning;
+    f32 noise absorbed by the caller's f64 refinement)."""
+    G, Nb, nb = r.shape
+    n = Nb - 1
+    K, C = fac['Af_blk'].shape[0], fac['Af_blk'].shape[1]
+
+    def sq(a):      # (..., d*d) -> (..., d, d)
+        d = int(round(a.shape[-1] ** 0.5))
+        return a.reshape(a.shape[:-1] + (d, d))
+
+    rT = r.swapaxes(0, 1)                       # (Nb, G, nb)
+    # ---- forward sweep ----
+    rch = _chunk_vec(rT[1:], K, C)              # (K, C, G, nb)
+    bch = _bmv(sq(fac['Bf_blk']), rch)
+
+    def fwd_local(v, xs):
+        Afj, bj = xs
+        vn = _bmv(sq(Afj), v) + bj
+        return vn, vn
+
+    vK, V = jax.lax.scan(fwd_local, jnp.zeros((C, G, nb), r.dtype),
+                         (fac['Af_blk'], bch))
+
+    def fwd_anchor(a, xs):
+        Ac, vc = xs
+        return _bmv(sq(Ac), a) + vc, a
+
+    _, anchors = jax.lax.scan(fwd_anchor, rT[0], (fac['Afcum'], vK))
+    carr = V + _bmv(sq(fac['Mf_blk']), anchors[None])
+    carries = jnp.concatenate([rT[:1], _unchunk_vec(carr, n)])
+    # y from the C1/C2 panels of Qt + the last-block QtL row
+    y = jnp.concatenate([
+        _bmv(sq(fac['C1']).swapaxes(0, 1), carries[:-1])
+        + _bmv(sq(fac['C2']).swapaxes(0, 1), rT[1:]),
+        _bmv(fac['QtL'], carries[-1])[None]])   # (Nb, G, nb)
+    # ---- backward sweep ----
+    d = _bmv(sq(fac['RinvF']).swapaxes(0, 1), y)     # d_i = Rinv_i y_i
+    xN = d[-1]
+    dch = _chunk_vec(jnp.flip(d[:-1], axis=0), K, C)
+
+    def bwd_local(pq, xs):
+        Ej, Fj, dj = xs
+        p, q = pq                                # x_{i+1}, x_{i+2} locals
+        xl = _bmv(sq(Ej), p) + _bmv(sq(Fj), q) + dj
+        return (xl, p), xl
+
+    zero = jnp.zeros((C, G, nb), r.dtype)
+    (pK, qK), Xloc = jax.lax.scan(bwd_local, (zero, zero),
+                                  (fac['Eb_blk'], fac['Fb_blk'], dch))
+    uK = jnp.concatenate([pK, qK], axis=-1)      # per-block final local pair
+
+    def bwd_anchor(a, xs):
+        Bc, uc = xs
+        return _bmv(sq(Bc), a) + uc, a
+
+    a0 = jnp.concatenate([xN, jnp.zeros_like(xN)], axis=-1)
+    _, banchors = jax.lax.scan(bwd_anchor, a0, (fac['Bcum'], uK))
+    Tb = fac['Tb_blk'].reshape(K, C, G, nb, 2 * nb)
+    xrev = Xloc + _bmv(Tb, banchors[None])
+    x = jnp.concatenate([jnp.flip(_unchunk_vec(xrev, n), axis=0), xN[None]])
+    return x.swapaxes(0, 1)                      # (G, Nb, nb)
+
+
+def block_tridiag_qr_solve_blocked(Qt, QtL, Rinv, R1, R2, r):
+    """Blocked solve from raw 2D factors (tests / compatibility): builds the
+    precomputed profile on the host and defers to the _fac kernel."""
+    G, Nb, nb = r.shape
+    if Nb < 8:
+        return block_tridiag_qr_solve(Qt, QtL, Rinv, R1, R2, r)
+    qr = dict(Qt=np.asarray(Qt), QtL=np.asarray(QtL), Rinv=np.asarray(Rinv),
+              R1=np.asarray(R1), R2=np.asarray(R2))
+    fac = blocked_fac_profile(qr, dtype=r.dtype)
+    return block_tridiag_qr_solve_blocked_fac(fac, r)
+
+
 def block_tridiag_qr_solve_prefix(Qt, QtL, Rinv, R1, R2, r):
     """Prefix solve from raw 2D factors (tests / compatibility): builds the
     flat profile in-trace and defers to block_tridiag_qr_solve_prefix_fac."""
@@ -729,12 +920,14 @@ def block_tridiag_qr_solve_prefix(Qt, QtL, Rinv, R1, R2, r):
 
 def _sweeps_mode():
     """Sweep implementation per config/backend: sequential scans on CPU
-    (cheap dispatch, minimal flops), parallel-prefix on accelerators
-    (dispatch-latency-bound)."""
+    (cheap dispatch, minimal flops), blocked recurrence on accelerators
+    (bandwidth-minimal: factor-time-precomputed cumulative maps, each
+    panel read once per solve). 'prefix' (associative scan) remains
+    selectable for comparison."""
     from ..utils.config import config
     mode = config.get('linear algebra', 'banded_solve', fallback='auto')
     if mode == 'auto':
-        mode = 'scan' if jax.default_backend() == 'cpu' else 'prefix'
+        mode = 'scan' if jax.default_backend() == 'cpu' else 'blocked'
     return mode
 
 
@@ -970,7 +1163,18 @@ class BorderedBandedSolver:
         else:
             self.Abad_inv = None
         self.fac = self._ship_fac(qr, factor_dtype)
-        self.fac.update(self._ship_woodbury(W1, Sinv, Vfull, factor_dtype))
+        # Pinned-pivot repair columns and ill-conditioned capacitance need
+        # f64 Woodbury factors: their apply noise is amplified by the border
+        # conditioning (~eps * cond), and at f32 that puts a ~1e-9 FLOOR
+        # under the refinement (measured: ball saddle trajectories stall at
+        # 3.5e-9 vs 2e-10 with f64). Well-conditioned borders (e.g. RBC tau
+        # columns) keep the f32 memory win.
+        condS = self.diagnostics['condS']
+        wb_dtype = np.float64 if (pin_cols or np.nanmax(
+            np.where(np.isfinite(condS), condS, np.inf)) > 1e7) \
+            else factor_dtype
+        self._wb_dtype = wb_dtype
+        self.fac.update(self._ship_woodbury(W1, Sinv, Vfull, wb_dtype))
         rp = np.asarray(self.order['row_perm'])
         cp = np.asarray(self.order['col_perm'])
         self.row_perm = jnp.asarray(rp)
@@ -1057,11 +1261,12 @@ class BorderedBandedSolver:
         data = {f"qr_{k}": np.asarray(v, dtype=self.factor_dtype)
                 for k, v in qr.items()}
         data.update(
-            # W1/Vfull ship at factor_dtype (see _ship_woodbury); saving the
-            # f64 originals would double their disk + load wall for nothing
-            W1=np.asarray(W1, dtype=self.factor_dtype),
+            # W1/Vfull ship at the shipping dtype (see _ship_woodbury: f64
+            # when pins / ill-conditioned borders set the refinement floor,
+            # factor_dtype otherwise); the load path infers from the dtype
+            W1=np.asarray(W1, dtype=self._wb_dtype),
             Sinv=np.asarray(Sinv),
-            Vfull=np.asarray(Vfull, dtype=self.factor_dtype),
+            Vfull=np.asarray(Vfull, dtype=self._wb_dtype),
             Dr=np.asarray(Dr), Dc=np.asarray(Dc),
             bad_idx=np.asarray(self.bad_idx, dtype=np.int64),
             growth=self.diagnostics['growth'],
@@ -1074,35 +1279,52 @@ class BorderedBandedSolver:
         tmp.replace(cpath)
 
     def _ship_fac(self, qr, factor_dtype):
-        """Device fac dict for the selected sweep mode: prefix ships the
-        flat-packed profile (R1/R2 never reach the device; see
-        prefix_fac_profile), scan ships the raw 2D factors."""
-        if _sweeps_mode() == 'prefix' and self.Nb >= 3:
+        """Device fac dict for the selected sweep mode: blocked ships the
+        precomputed-cumulative-map chunk panels (blocked_fac_profile),
+        prefix ships the flat-packed profile (R1/R2 never reach the device;
+        see prefix_fac_profile), scan ships the raw 2D factors."""
+        mode = _sweeps_mode()
+        if mode == 'blocked' and self.Nb >= 8:
+            return blocked_fac_profile(qr, dtype=factor_dtype)
+        if mode in ('prefix', 'blocked') and self.Nb >= 3:
             return prefix_fac_profile(qr, dtype=factor_dtype)
         return {k: jnp.asarray(v, dtype=factor_dtype) for k, v in qr.items()}
 
     @staticmethod
-    def _ship_woodbury(W1, Sinv, Vfull, factor_dtype):
-        """Woodbury device pieces. The column/row factors ship at
-        factor_dtype (their apply noise is direct-solve noise, which the f64
-        refinement against the exact operator absorbs — the adaptive probe
-        measures the resulting contraction); only the small (B, B) Sinv,
-        which inherits the border ill-conditioning, stays f64. W1 is stored
-        TRANSPOSED (G, B, Pp): the (G, Pp, B) layout tile-pads B -> 128
-        lanes (~5x HBM at 2048x512)."""
+    def _ship_woodbury(W1, Sinv, Vfull, wb_dtype):
+        """Woodbury device pieces, by conditioning (wb_dtype was decided at
+        factor time):
+
+        * factor_dtype (well-conditioned borders, e.g. RBC tau columns):
+          W1 ships TRANSPOSED (G, B, Pp) — the (G, Pp, B) layout tile-pads
+          B -> 128 lanes (~5x HBM at 2048x512) — and the apply noise is
+          direct-solve noise the f64 refinement absorbs.
+        * f64 (pinned pivots / ill-conditioned capacitance): W1 ships
+          UNTRANSPOSED f64 and the apply runs all-f64 (_once_fn) — pinned
+          ball-saddle trajectories are sensitive at the refinement floor
+          even to the f64 contraction ORDER of the correction (measured:
+          3.5e-9 vs 2e-10 against LU with the transposed einsum), so the
+          layout optimization is reserved for the tolerant case."""
+        if np.dtype(wb_dtype) == np.float64:
+            return dict(W1=jnp.asarray(np.asarray(W1), dtype=jnp.float64),
+                        Sinv=jnp.asarray(Sinv),
+                        Vfull=jnp.asarray(Vfull, dtype=jnp.float64))
         return dict(
             W1T=jnp.asarray(np.swapaxes(np.asarray(W1), 1, 2),
-                            dtype=factor_dtype),
+                            dtype=wb_dtype),
             Sinv=jnp.asarray(Sinv),
-            Vfull=jnp.asarray(Vfull, dtype=factor_dtype))
+            Vfull=jnp.asarray(Vfull, dtype=wb_dtype))
 
     def _load_factor_cache(self, cpath, blocks, factor_dtype):
         z = np.load(cpath)
         self.fac = self._ship_fac(
             {k[3:]: z[k] for k in z.files if k.startswith('qr_')},
             factor_dtype)
+        # Woodbury dtype was decided at factor time (f64 for pinned /
+        # ill-conditioned borders) and is recorded in the saved arrays
+        self._wb_dtype = z['W1'].dtype
         self.fac.update(self._ship_woodbury(z['W1'], z['Sinv'], z['Vfull'],
-                                            factor_dtype))
+                                            z['W1'].dtype))
         self.bad_idx = tuple(int(g) for g in z['bad_idx'])
         Abad_inv = z['Abad_inv']
         self.Abad_inv = (jnp.asarray(Abad_inv, dtype=factor_dtype)
@@ -1446,18 +1668,25 @@ class BorderedBandedSolver:
             rflat = jnp.pad(R[:, arrs['row_perm']], ((0, 0), (0, pad)))
             rflat = rflat * arrs['Dr']
             rc = rflat.astype(f32).reshape(G, Nb, nb)
-            if 'Af' in fac:
+            if 'Mf_blk' in fac:
+                y = block_tridiag_qr_solve_blocked_fac(fac, rc)
+            elif 'Af' in fac:
                 y = block_tridiag_qr_solve_prefix_fac(fac, rc)
             else:
                 y = sweeps(fac['Qt'], fac['QtL'], fac['Rinv'],
                            fac['R1'], fac['R2'], rc)
             # Woodbury correction: factor_dtype column/row applies around the
             # f64 ill-conditioned core Sinv (see _ship_woodbury)
-            y32 = y.reshape(G, Nb * nb)
-            t = _bmv(fac['Sinv'],
-                     _bmv(fac['Vfull'], y32).astype(jnp.float64))
-            corr = jnp.einsum('gbp,gb->gp', fac['W1T'], t.astype(f32))
-            x = y32.astype(rflat.dtype) - corr.astype(rflat.dtype)
+            if 'W1' in fac:     # all-f64 path (see _ship_woodbury)
+                yflat = y.reshape(G, Nb * nb).astype(rflat.dtype)
+                t = _bmv(fac['Sinv'], _bmv(fac['Vfull'], yflat))
+                x = yflat - _bmv(fac['W1'], t)
+            else:
+                y32 = y.reshape(G, Nb * nb)
+                t = _bmv(fac['Sinv'],
+                         _bmv(fac['Vfull'], y32).astype(jnp.float64))
+                corr = jnp.einsum('gbp,gb->gp', fac['W1T'], t.astype(f32))
+                x = y32.astype(rflat.dtype) - corr.astype(rflat.dtype)
             if bad_idx:
                 idx = jnp.asarray(bad_idx)
                 xb = _bmv(arrs['Abad_inv'], rflat[idx, :P].astype(f32)

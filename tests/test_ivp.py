@@ -542,6 +542,10 @@ def test_banded_prefix_solve_matches_scan(Nb):
     x_scan = np.asarray(ops_banded.block_tridiag_qr_solve(*args))
     x_pref = np.asarray(ops_banded.block_tridiag_qr_solve_prefix(*args))
     assert np.abs(x_scan - x_pref).max() < 1e-11 * max(1, np.abs(x_scan).max())
+    # Blocked recurrence (factor-time-precomputed cumulative maps) agrees
+    # too, including its Nb<8 short-circuit
+    x_blk = np.asarray(ops_banded.block_tridiag_qr_solve_blocked(*args))
+    assert np.abs(x_scan - x_blk).max() < 1e-11 * max(1, np.abs(x_scan).max())
     if Nb >= 5:
         # Two-level chunked prefix (the large-Nb memory-bounded form):
         # force a small chunk so every Nb here exercises chunk padding,
@@ -587,10 +591,11 @@ def test_banded_factor_device_matches_host():
     assert np.abs(xs[0] - xs[1]).max() < 1e-11 * max(1, np.abs(xs[1]).max())
 
 
-def test_banded_prefix_mode_end_to_end():
-    """Force banded_solve='prefix' through the full bordered solver and check
-    the RBC trajectory still matches dense LU (the refinement passes absorb
-    any prefix-composition noise)."""
+@pytest.mark.parametrize('sweep_mode', ['prefix', 'blocked'])
+def test_banded_accelerator_modes_end_to_end(sweep_mode):
+    """Force each accelerator sweep mode through the full bordered solver and
+    check the RBC trajectory still matches dense LU (the refinement passes
+    absorb any f32 composition noise)."""
     from dedalus_tpu.models.rbc import build_rbc_problem
     from dedalus_tpu.utils.config import config
 
@@ -618,9 +623,10 @@ def test_banded_prefix_mode_end_to_end():
             config.set('linear algebra', 'banded_solve', old_mode)
 
     ref = run('lu', 'scan')
-    got = run('banded', 'prefix')
+    got = run('banded', sweep_mode)
     err = np.abs(ref - got).max()
-    assert err < 1e-11 * max(1, np.abs(ref).max()), f"prefix mismatch: {err}"
+    assert err < 1e-11 * max(1, np.abs(ref).max()), \
+        f"{sweep_mode} mismatch: {err}"
 
 
 def test_banded_block_multiple_rounding():

@@ -181,7 +181,7 @@ def test_distributed_2d_mesh_3d_problem():
     assert err < 1e-13, f"2D-mesh distributed mismatch: {err}"
 
 
-@pytest.mark.parametrize("mode", ["scan", "prefix"])
+@pytest.mark.parametrize("mode", ["scan", "prefix", "blocked"])
 def test_distributed_banded_matches_serial(mode):
     """The banded matsolver's factor arrays (G leading) group-shard over the
     mesh like every other pencil stack, and both sweep kernels (sequential
@@ -223,8 +223,12 @@ def test_distributed_banded_matches_serial(mode):
     fact = ts._get_factorized(*list(ts._factorized)[0])
     mats = ts._step_mats(fact)
     fac_arrs = mats['solve']['fac']
-    Qt = fac_arrs['Af' if 'Af' in fac_arrs else 'Qt']  # prefix ships flat panels
-    assert Qt.sharding.spec[0] is not None
+    if 'Mf_blk' in fac_arrs:      # blocked ships (K, C, G, flat) chunk panels
+        arr = fac_arrs['Mf_blk']
+        assert arr.sharding.spec[2] is not None
+    else:
+        arr = fac_arrs['Af' if 'Af' in fac_arrs else 'Qt']
+        assert arr.sharding.spec[0] is not None
 
 
 def test_distributed_lbvp_matches_serial():
