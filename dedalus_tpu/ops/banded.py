@@ -47,8 +47,16 @@ class _Timer:
 
 
 def _bmv(A, x):
-    """Batched matvec over arbitrary leading dims: (..., a, b) @ (..., b)."""
-    return jnp.matmul(A, x[..., None])[..., 0]
+    """Batched matvec over arbitrary leading dims: (..., a, b) @ (..., b).
+
+    Lowered as broadcast-multiply + lane reduction, NOT dot_general: on TPU
+    a batched tiny-matrix matvec pads each (nb, nb) operand onto (8, 128)
+    MXU tiles (measured 84 ms vs 1.8 ms per banded A-apply at 512x128, a
+    46x runtime penalty) and each such dot_general costs 20-100 s of remote
+    compile — the round-3 cold-compile wall. The VPU form is exact f64 and
+    XLA fuses the product into the reduction (no materialized intermediate).
+    """
+    return (A * x[..., None, :]).sum(axis=-1)
 
 
 # Factorizations below this G*Nb*nb^3 work estimate skip the on-disk cache
@@ -963,7 +971,8 @@ def apply_full(mats, xflat, P, nbord, bcol0=None):
     b0 = P - nbord if bcol0 is None else bcol0
     if 'UcolT' in mats:
         xb = xflat[:, b0:b0 + nbord]
-        y = y + jnp.einsum('gbp,gb->gp', mats['UcolT'], xb)
+        # (G, B, Pp) * (G, B, 1) summed over B: VPU form (see _bmv)
+        y = y + (mats['UcolT'] * xb[..., None]).sum(axis=1)
     if 'Vrow' in mats:
         vb = _bmv(mats['Vrow'], xflat)
         y = y.at[:, :nbord].add(vb)
@@ -1568,14 +1577,21 @@ class BorderedBandedSolver:
             self._save_curve_sidecar(platform, self.refine_curve)
         curve = np.asarray(self.refine_curve)
         # Refinement stagnates at the conditioning-set f64 floor; when the
-        # target sits below that floor, extra passes buy nothing — stop at
-        # the knee (first count within 10% of the floor; a looser 2x margin
-        # measurably hurt ill-conditioned ball-saddle trajectories).
-        thresh = max(target, 1.1 * float(curve.min()))
-        if thresh > target:
+        # target sits below that floor, extra passes buy nothing. The plateau
+        # is NOISY (rounding jitter of a few x between passes), so "within
+        # 10% of the min" can land only on the argmin — the cap. Instead:
+        # enter the plateau at 2x the floor, then keep refining only while a
+        # pass still contracts the residual by >1.3x (protects the
+        # ill-conditioned ball-saddle curves where an extra pass past the 2x
+        # mark buys a real order of magnitude).
+        floor = float(curve.min())
+        thresh = max(target, 2.0 * floor)
+        if floor > target:
             logger.info("banded: probe floor %.2e misses solve target %.0e",
-                        float(curve.min()), target)
+                        floor, target)
         refs = int(np.nonzero(curve <= thresh)[0][0])
+        while refs + 1 < curve.shape[0] and curve[refs + 1] < curve[refs] / 1.3:
+            refs += 1
         self.refinements = max(1, refs)
         logger.info("banded: adaptive refinements=%d (residual curve %s)",
                     self.refinements,
@@ -1679,13 +1695,18 @@ class BorderedBandedSolver:
             # f64 ill-conditioned core Sinv (see _ship_woodbury)
             if 'W1' in fac:     # all-f64 path (see _ship_woodbury)
                 yflat = y.reshape(G, Nb * nb).astype(rflat.dtype)
-                t = _bmv(fac['Sinv'], _bmv(fac['Vfull'], yflat))
-                x = yflat - _bmv(fac['W1'], t)
+                # Pinned-saddle trajectories are sensitive to the f64
+                # contraction ORDER here (see _ship_woodbury); keep the
+                # sequential-MAC matmul ordering for this branch only.
+                mv = lambda A, v: jnp.matmul(A, v[..., None])[..., 0]
+                t = mv(fac['Sinv'], mv(fac['Vfull'], yflat))
+                x = yflat - mv(fac['W1'], t)
             else:
                 y32 = y.reshape(G, Nb * nb)
                 t = _bmv(fac['Sinv'],
                          _bmv(fac['Vfull'], y32).astype(jnp.float64))
-                corr = jnp.einsum('gbp,gb->gp', fac['W1T'], t.astype(f32))
+                # (G, B, Pp) * (G, B, 1) summed over B: VPU form (see _bmv)
+                corr = (fac['W1T'] * t.astype(f32)[..., None]).sum(axis=1)
                 x = y32.astype(rflat.dtype) - corr.astype(rflat.dtype)
             if bad_idx:
                 idx = jnp.asarray(bad_idx)
