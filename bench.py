@@ -300,15 +300,64 @@ def run_rbc(Nx, Nz, n_steps, matsolver, n_warm=5):
         done += m
     t3 = time.perf_counter()
     dof = Nx * Nz * 4  # p, b, u(2)
+    solve_kernel = None
+    if solver.matsolver == 'banded':
+        try:
+            solve_kernel = _measure_banded_kernel(solver)
+        except Exception as exc:
+            solve_kernel = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     flops, bytes_acc = _program_cost(solver)
-    return dict(config=f"RBC {Nx}x{Nz} f64 ({solver.matsolver})",
-                dof=dof, steps=n_steps,
-                setup_s=round(t1 - t0, 1),
-                compile_warmup_s=round(t2 - t1, 1),
-                run_s=round(t3 - t2, 3),
-                ms_per_step=round((t3 - t2) / n_steps * 1e3, 2),
-                throughput=round(dof * n_steps / (t3 - t2), 1),
-                flops_per_step=flops, bytes_per_step=bytes_acc)
+    rec = dict(config=f"RBC {Nx}x{Nz} f64 ({solver.matsolver})",
+               dof=dof, steps=n_steps,
+               setup_s=round(t1 - t0, 1),
+               compile_warmup_s=round(t2 - t1, 1),
+               run_s=round(t3 - t2, 3),
+               ms_per_step=round((t3 - t2) / n_steps * 1e3, 2),
+               throughput=round(dof * n_steps / (t3 - t2), 1),
+               flops_per_step=flops, bytes_per_step=bytes_acc)
+    if solve_kernel:
+        rec["solve_kernel"] = solve_kernel
+    return rec
+
+
+def _measure_banded_kernel(solver, reps=5):
+    """Banded-solve KERNEL roofline (BASELINE metric 2): time the isolated
+    implicit solve (f32 QR sweeps + Woodbury + f64 refinement) on device and
+    compare its exact HBM traffic — computed from the factor/operator array
+    shapes, not XLA's unfused cost model — against the measured streaming
+    bandwidth. Traffic per solve with k refinements: (k+1) reads of the
+    factor arrays + k reads of the exact-apply operator + O(k) vectors."""
+    import jax
+    import jax.numpy as jnp
+    bb = None
+    for fact in solver.timestepper._factorized.values():
+        bb = getattr(fact, 'banded', None)
+        if bb is not None:
+            break
+    if bb is None:
+        return None
+    arrs = bb.solve_arrays()
+    fn = jax.jit(bb.solve_fn())
+    G, P = bb.blocks.G, bb.P
+    rng = np.random.default_rng(3)
+    R = jnp.asarray(rng.standard_normal((G, P)))
+    jax.block_until_ready(fn(arrs, R))          # compile
+    ts = []
+    for i in range(reps):
+        Ri = R * (1.0 + 1e-9 * (i + 1))         # defeat memoization
+        jax.block_until_ready(Ri)
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(arrs, Ri))
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
+    k = bb.refinements
+    nb = lambda t: sum(x.nbytes for x in jax.tree.leaves(t))
+    fac_b, ex_b = nb(arrs['fac']), nb(arrs['ex'])
+    vec_b = R.nbytes
+    traffic = (k + 1) * fac_b + k * ex_b + (3 * k + 2) * vec_b
+    return dict(ms=round(dt * 1e3, 3), refinements=k,
+                G=G, P=P, traffic_gb=round(traffic / 1e9, 3),
+                gbs=round(traffic / dt / 1e9, 1))
 
 
 def run_ball(Nphi, Ntheta, Nr, n_steps, matsolver=None, n_warm=3):
@@ -370,9 +419,13 @@ def run_transforms(Nx, Nz):
         out = jax.block_until_ready(fn(*args))      # compile
         reps = 3
         ts = []
-        for _ in range(reps):
+        for i in range(reps):
+            # Distinct first operand per rep: the serving layer memoizes
+            # byte-identical executions, which would fake the timing.
+            a0 = args[0] * (1.0 + 1e-9 * (i + 1))
+            jax.block_until_ready(a0)
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
+            jax.block_until_ready(fn(a0, *args[1:]))
             ts.append(time.perf_counter() - t0)
         del out
         return float(np.median(ts))
@@ -570,6 +623,10 @@ def main():
                 eff = (head["bytes_per_step"]
                        / (head["run_s"] / head["steps"]) / (hbm * 1e9))
                 head["roofline_frac_bandwidth"] = round(eff, 3)
+            sk = head.get("solve_kernel")
+            if isinstance(hbm, (int, float)) and isinstance(sk, dict) \
+                    and sk.get("gbs"):
+                sk["frac_of_hbm"] = round(sk["gbs"] / hbm, 3)
             _STATE["head"] = head
         except Exception as exc:
             details["rbc"] = {"config": f"RBC {Nx}x{Nz} ({matsolver})",

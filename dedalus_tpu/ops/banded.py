@@ -56,6 +56,10 @@ def _bmv(A, x):
     compile — the round-3 cold-compile wall. The VPU form is exact f64 and
     XLA fuses the product into the reduction (no materialized intermediate).
     """
+    if jax.default_backend() == 'cpu':
+        # CPU BLAS matvec is fast AND keeps the sequential-MAC reduction
+        # order the CPU-gated trajectory tolerances were calibrated against.
+        return jnp.matmul(A, x[..., None])[..., 0]
     return (A * x[..., None, :]).sum(axis=-1)
 
 
@@ -972,7 +976,10 @@ def apply_full(mats, xflat, P, nbord, bcol0=None):
     if 'UcolT' in mats:
         xb = xflat[:, b0:b0 + nbord]
         # (G, B, Pp) * (G, B, 1) summed over B: VPU form (see _bmv)
-        y = y + (mats['UcolT'] * xb[..., None]).sum(axis=1)
+        if jax.default_backend() == 'cpu':
+            y = y + jnp.einsum('gbp,gb->gp', mats['UcolT'], xb)
+        else:
+            y = y + (mats['UcolT'] * xb[..., None]).sum(axis=1)
     if 'Vrow' in mats:
         vb = _bmv(mats['Vrow'], xflat)
         y = y.at[:, :nbord].add(vb)
@@ -1706,7 +1713,11 @@ class BorderedBandedSolver:
                 t = _bmv(fac['Sinv'],
                          _bmv(fac['Vfull'], y32).astype(jnp.float64))
                 # (G, B, Pp) * (G, B, 1) summed over B: VPU form (see _bmv)
-                corr = (fac['W1T'] * t.astype(f32)[..., None]).sum(axis=1)
+                if jax.default_backend() == 'cpu':
+                    corr = jnp.einsum('gbp,gb->gp', fac['W1T'],
+                                      t.astype(f32))
+                else:
+                    corr = (fac['W1T'] * t.astype(f32)[..., None]).sum(axis=1)
                 x = y32.astype(rflat.dtype) - corr.astype(rflat.dtype)
             if bad_idx:
                 idx = jnp.asarray(bad_idx)

@@ -45,7 +45,8 @@ def build(Nx, Nz):
         b.fill_random('g', seed=42, distribution='normal', scale=1e-3)
         b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
         b.require_coeff_space()
-    solver = problem.build_solver(d3.SBDF2, matsolver='poly')
+    solver = problem.build_solver(
+        d3.SBDF2, matsolver=os.environ.get('PERF_SOLVER', 'banded'))
     for f in solver.state:
         f.data = jax.device_put(np.asarray(f.data), device)
     return solver, ctx
@@ -121,7 +122,9 @@ def main():
     cadence = int(os.environ.get('PERF_CADENCE', 10))
     fixed = run_fixed(Nx, Nz, n)
     adaptive = run_adaptive(Nx, Nz, n, cadence=cadence)
-    out = dict(config=f"RBC {Nx}x{Nz} f64 (poly)", fixed=fixed,
+    out = dict(config=f"RBC {Nx}x{Nz} f64 "
+                      f"({os.environ.get('PERF_SOLVER', 'banded')})",
+               fixed=fixed,
                adaptive=adaptive,
                ratio=round(adaptive['ms_per_step'] / fixed['ms_per_step'], 3))
     print(json.dumps(out))
