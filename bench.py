@@ -152,7 +152,10 @@ def _run_leg(name, code, payload, timeout_s, tag):
     actual error, not filter boilerplate)."""
     timeout_s = min(timeout_s, max(30.0, _remaining() - _RESERVE))
     env = dict(os.environ, JAX_TRACEBACK_FILTERING='off',
-               PYTHONHASHSEED='0')
+               PYTHONHASHSEED='0',
+               # Fixed-dt legs never revisit the startup (a0, b0); keeping
+               # its factor stack resident costs GBs of HBM at 2048x512+
+               DEDALUS_TPU_LINEAR_ALGEBRA__MAX_CACHED_FACTORIZATIONS='1')
     try:
         out = subprocess.run([sys.executable, '-c', code, payload],
                              cwd='/root/repo', capture_output=True,

@@ -58,9 +58,24 @@ class TimestepperBase:
         self._factorized = {}
 
     def _get_factorized(self, a0, b0):
+        from ..utils.config import config
+        # Floor 1 (not 2): fixed-dt runs never revisit the startup scheme's
+        # (a0, b0), and its factor stack pins GBs of HBM at BASELINE scale.
+        limit = max(1, int(config.get('linear algebra',
+                                      'max_cached_factorizations',
+                                      fallback='3')))
         key = (float(a0), float(b0))
         fact = self._factorized.pop(key, None)
         if fact is None:
+            # Evict down to limit-1 BEFORE building: a new factorization's
+            # device arrays (and its factor-time refinement probe) must not
+            # coexist with a stack that is about to be evicted anyway —
+            # that transient doubles HBM residency at 2048x512+. Poly keeps
+            # its newest sibling: it seeds the device-GEMM refit below.
+            keep_floor = 1 if self.solver.matsolver == 'poly' else 0
+            while len(self._factorized) >= max(limit, keep_floor + 1):
+                oldest = next(iter(self._factorized))
+                del self._factorized[oldest]
             if self.solver.matsolver == 'banded':
                 # The banded path always works from the sparse per-group
                 # representation (never materializes dense stacks)
@@ -90,10 +105,6 @@ class TimestepperBase:
         # production sizes — unbounded growth OOMs the chip (ref parity:
         # dedalus/core/timesteppers.py:135 stores only the CURRENT LHS).
         self._factorized[key] = fact
-        from ..utils.config import config
-        limit = max(2, int(config.get('linear algebra',
-                                      'max_cached_factorizations',
-                                      fallback='3')))
         while len(self._factorized) > limit:
             oldest = next(k for k in self._factorized if k != key)
             del self._factorized[oldest]

@@ -1190,7 +1190,16 @@ class BorderedBandedSolver:
             np.where(np.isfinite(condS), condS, np.inf)) > 1e7) \
             else factor_dtype
         self._wb_dtype = wb_dtype
-        self.fac.update(self._ship_woodbury(W1, Sinv, Vfull, wb_dtype))
+        # Groups that actually NEED the f64 correction (pins / ill
+        # capacitance, 1e6 for margin below the 1e7 dtype gate); the
+        # conditioning is k-local, so this is a handful of groups at scale
+        # and accelerators ship f32 + an f64 fix-up for just these.
+        illc = ~np.isfinite(condS) | (condS > 1e6)
+        self._illg = sorted(
+            ({int(g) for g in np.nonzero(illc)[0]}
+             | {int(g) for g in (pin_cols or ())}) - set(self.bad_idx))
+        self.fac.update(
+            self._ship_woodbury(W1, Sinv, Vfull, wb_dtype, self._illg))
         rp = np.asarray(self.order['row_perm'])
         cp = np.asarray(self.order['col_perm'])
         self.row_perm = jnp.asarray(rp)
@@ -1285,6 +1294,7 @@ class BorderedBandedSolver:
             Vfull=np.asarray(Vfull, dtype=self._wb_dtype),
             Dr=np.asarray(Dr), Dc=np.asarray(Dc),
             bad_idx=np.asarray(self.bad_idx, dtype=np.int64),
+            illg=np.asarray(getattr(self, '_illg', []), dtype=np.int64),
             growth=self.diagnostics['growth'],
             condS=self.diagnostics['condS'],
             Abad_inv=(np.asarray(self.Abad_inv)
@@ -1307,7 +1317,7 @@ class BorderedBandedSolver:
         return {k: jnp.asarray(v, dtype=factor_dtype) for k, v in qr.items()}
 
     @staticmethod
-    def _ship_woodbury(W1, Sinv, Vfull, wb_dtype):
+    def _ship_woodbury(W1, Sinv, Vfull, wb_dtype, ill_groups=()):
         """Woodbury device pieces, by conditioning (wb_dtype was decided at
         factor time):
 
@@ -1315,13 +1325,40 @@ class BorderedBandedSolver:
           W1 ships TRANSPOSED (G, B, Pp) — the (G, Pp, B) layout tile-pads
           B -> 128 lanes (~5x HBM at 2048x512) — and the apply noise is
           direct-solve noise the f64 refinement absorbs.
-        * f64 (pinned pivots / ill-conditioned capacitance): W1 ships
+        * f64 (pinned pivots / ill-conditioned capacitance): on CPU W1 ships
           UNTRANSPOSED f64 and the apply runs all-f64 (_once_fn) — pinned
           ball-saddle trajectories are sensitive at the refinement floor
           even to the f64 contraction ORDER of the correction (measured:
-          3.5e-9 vs 2e-10 against LU with the transposed einsum), so the
-          layout optimization is reserved for the tolerant case."""
+          3.5e-9 vs 2e-10 against LU with the transposed einsum).
+          Accelerators instead ship the f32 layout for ALL groups plus an
+          f64 fix-up restricted to `ill_groups` (the k-local pins /
+          ill-capacitance set): the f64 need is per-GROUP, and shipping
+          (G, Pp, B) f64 twice costs ~1.8 GB at 2048x512 while the ill
+          subset is a few MB."""
+        from ..utils.config import config
+        mode = config.get('linear algebra', 'woodbury_two_tier',
+                          fallback='auto')
         if np.dtype(wb_dtype) == np.float64:
+            G = np.asarray(W1).shape[0]
+            two_tier = (mode == 'force'
+                        or (mode == 'auto'
+                            and jax.default_backend() != 'cpu'))
+            ill_cap = G if mode == 'force' else max(1, G // 8)
+            if two_tier and len(ill_groups) <= ill_cap:
+                d = dict(
+                    W1T=jnp.asarray(np.swapaxes(np.asarray(W1), 1, 2),
+                                    dtype=jnp.float32),
+                    Sinv=jnp.asarray(Sinv),
+                    Vfull=jnp.asarray(Vfull, dtype=jnp.float32))
+                if len(ill_groups):
+                    ig = np.asarray(sorted(ill_groups), dtype=np.int32)
+                    d.update(
+                        illg=jnp.asarray(ig),
+                        W1ill=jnp.asarray(np.asarray(W1)[ig],
+                                          dtype=jnp.float64),
+                        Vill=jnp.asarray(np.asarray(Vfull)[ig],
+                                         dtype=jnp.float64))
+                return d
             return dict(W1=jnp.asarray(np.asarray(W1), dtype=jnp.float64),
                         Sinv=jnp.asarray(Sinv),
                         Vfull=jnp.asarray(Vfull, dtype=jnp.float64))
@@ -1339,9 +1376,21 @@ class BorderedBandedSolver:
         # Woodbury dtype was decided at factor time (f64 for pinned /
         # ill-conditioned borders) and is recorded in the saved arrays
         self._wb_dtype = z['W1'].dtype
-        self.fac.update(self._ship_woodbury(z['W1'], z['Sinv'], z['Vfull'],
-                                            z['W1'].dtype))
         self.bad_idx = tuple(int(g) for g in z['bad_idx'])
+        if 'illg' in z.files:
+            self._illg = [int(g) for g in z['illg']]
+        else:
+            # Pre-illg cache: recover the f64-need set from the saved
+            # diagnostics (ill capacitance) plus pin detection — pin
+            # extension rows of Vfull are one-hot unit rows.
+            condS = np.asarray(z['condS'])
+            ill = set(np.nonzero(~np.isfinite(condS) | (condS > 1e6))[0])
+            V = np.asarray(z['Vfull'])
+            onehot = ((V != 0).sum(axis=2) == 1) & (V.max(axis=2) == 1.0)
+            ill |= set(np.nonzero(onehot.any(axis=1))[0])
+            self._illg = sorted(int(g) for g in ill - set(self.bad_idx))
+        self.fac.update(self._ship_woodbury(z['W1'], z['Sinv'], z['Vfull'],
+                                            z['W1'].dtype, self._illg))
         Abad_inv = z['Abad_inv']
         self.Abad_inv = (jnp.asarray(Abad_inv, dtype=factor_dtype)
                          if Abad_inv.size else None)
@@ -1557,6 +1606,18 @@ class BorderedBandedSolver:
         return arrs
 
     def _resolve_refinements(self):
+        """Never-fatal wrapper: a probe failure (compile OOM on a new
+        config, serving hiccup) must not discard finished factors — fall
+        back to the conservative default count."""
+        try:
+            self._resolve_refinements_inner()
+        except Exception:
+            if self.refinements is None:
+                self.refinements = 4
+            logger.info("banded: refinement probe failed; using %d passes",
+                        self.refinements, exc_info=True)
+
+    def _resolve_refinements_inner(self):
         """Adaptive refinement count: fewest passes whose measured residual
         curve reaches the configured solve target (probed on a seeded random
         RHS at factor time). The curve is persisted in a per-PLATFORM sidecar
@@ -1719,6 +1780,15 @@ class BorderedBandedSolver:
                 else:
                     corr = (fac['W1T'] * t.astype(f32)[..., None]).sum(axis=1)
                 x = y32.astype(rflat.dtype) - corr.astype(rflat.dtype)
+                if 'illg' in fac:
+                    # f64 fix-up for the k-local pinned / ill-capacitance
+                    # groups (see _ship_woodbury): redo their correction
+                    # with the f64 factor slices and overwrite those rows.
+                    ig = fac['illg']
+                    yi = y32[ig].astype(jnp.float64)
+                    ti = _bmv(fac['Sinv'][ig], _bmv(fac['Vill'], yi))
+                    ci = _bmv(fac['W1ill'], ti)
+                    x = x.at[ig].set((yi - ci).astype(x.dtype))
             if bad_idx:
                 idx = jnp.asarray(bad_idx)
                 xb = _bmv(arrs['Abad_inv'], rflat[idx, :P].astype(f32)

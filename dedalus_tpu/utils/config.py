@@ -61,6 +61,11 @@ DEFAULTS = {
         # buffers would exceed [memory] banded_prefix_temp_gb), an integer
         # chunk length, or 0 to force the single-level log-depth prefix.
         'banded_prefix_chunk': 'auto',
+        # f64-Woodbury shipping when pins / ill capacitance demand f64:
+        # 'auto' (CPU ships all-f64; accelerators ship f32 + an f64 fix-up
+        # for just the ill groups), 'force' (two-tier everywhere),
+        # 'off' (all-f64 everywhere).
+        'woodbury_two_tier': 'auto',
     },
     'memory': {
         'cache_transform_matrices': 'True',

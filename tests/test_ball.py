@@ -612,3 +612,34 @@ def test_ball_ivp_banded_matsolver_matches_lu():
     assert len(banded.bad_idx) == 0, "expected zero dense overrides"
     err = np.abs(ref - got).max()
     assert err < 1e-9, f"ball banded trajectory mismatch: {err}"
+
+
+def test_ball_ivp_banded_two_tier_woodbury_matches_lu():
+    """Accelerator-style two-tier Woodbury shipping (f32 factors + f64
+    fix-up restricted to the pinned/ill groups; see banded._ship_woodbury)
+    forced on CPU: the pinned ball-saddle trajectory must still track dense
+    LU. Guards the 2048x512-scale memory path (all-f64 border factors cost
+    ~1.8 GB there)."""
+    import dedalus_tpu.public as d3
+    from dedalus_tpu.models.ball import build_ball_problem, set_conductive_ic
+    from dedalus_tpu.utils.config import config
+
+    def run(matsolver, n=3):
+        problem, ctx = build_ball_problem(8, 4, 32, Rayleigh=1e4)
+        solver = problem.build_solver(d3.SBDF2, matsolver=matsolver)
+        set_conductive_ic(ctx)
+        solver.run_steps(1e-4, n)
+        return np.asarray(solver.state_flat()), solver
+
+    ref, _ = run('lu')
+    old = config.get('linear algebra', 'woodbury_two_tier', fallback='auto')
+    config.set('linear algebra', 'woodbury_two_tier', 'force')
+    try:
+        got, solver = run('banded')
+    finally:
+        config.set('linear algebra', 'woodbury_two_tier', old)
+    banded = solver.timestepper._current_fact.banded
+    assert 'illg' in banded.fac, "expected an f64 fix-up group set"
+    assert len(banded._illg) > 0
+    err = np.abs(ref - got).max()
+    assert err < 5e-9, f"two-tier ball banded trajectory mismatch: {err}"
