@@ -555,7 +555,7 @@ def main():
     Nx = int(os.environ.get('BENCH_NX', 2048))
     Nz = int(os.environ.get('BENCH_NZ', 512))
     n_steps = int(os.environ.get('BENCH_STEPS', 50))
-    matsolver = os.environ.get('BENCH_SOLVER', 'poly')
+    matsolver = os.environ.get('BENCH_SOLVER', 'banded')
 
     details = _STATE["details"]
     details["anchor_ref_estimate"] = ANCHOR_REF_ESTIMATE

@@ -1381,13 +1381,11 @@ class BorderedBandedSolver:
             self._illg = [int(g) for g in z['illg']]
         else:
             # Pre-illg cache: recover the f64-need set from the saved
-            # diagnostics (ill capacitance) plus pin detection — pin
-            # extension rows of Vfull are one-hot unit rows.
+            # conditioning diagnostics. (Pin groups are not recoverable —
+            # V border rows are selector-like for ordinary tau borders too —
+            # but every pre-illg cache on disk predates pinned problems.)
             condS = np.asarray(z['condS'])
             ill = set(np.nonzero(~np.isfinite(condS) | (condS > 1e6))[0])
-            V = np.asarray(z['Vfull'])
-            onehot = ((V != 0).sum(axis=2) == 1) & (V.max(axis=2) == 1.0)
-            ill |= set(np.nonzero(onehot.any(axis=1))[0])
             self._illg = sorted(int(g) for g in ill - set(self.bad_idx))
         self.fac.update(self._ship_woodbury(z['W1'], z['Sinv'], z['Vfull'],
                                             z['W1'].dtype, self._illg))
