@@ -1164,15 +1164,36 @@ class PencilSystem:
             exact=list(self.matrices_scipy[name]))
 
     def banded_operator(self, name):
-        """Cached device BandedOperator for a named stack (shared between
-        the compiled step's M/L applies and the banded solver's exact
-        refinement applies — one f64 copy on the device)."""
+        """Cached device operator for a named stack (shared between the
+        compiled step's M/L applies and the banded solver's exact refinement
+        applies — one f64 copy on the device). Separable pencils get the
+        SeparableBandedOperator: d+1 G-independent split parts + per-group
+        weights instead of weight-expanded (G, ...) stacks (the 2048^2-scale
+        memory/bandwidth path); slot-split spherical pencils keep the exact
+        per-group form."""
         from ..ops import banded as ops_banded
         if not hasattr(self, '_banded_ops'):
             self._banded_ops = {}
         if name not in self._banded_ops:
-            self._banded_ops[name] = ops_banded.BandedOperator(
-                self.banded_stack(name))
+            plan = self.banded_plan()
+            sep = self.separable[name] if self.separable is not None else None
+            if sep is not None:
+                parts = [ops_banded.build_banded_blocks(
+                             None, None, None, plan['order'], plan['nb'],
+                             exact=[Bp])
+                         for Bp in sep.B]
+                bad = None
+                if sep.bad:
+                    bad_idx = tuple(sorted(sep.bad))
+                    bad_blocks = ops_banded.build_banded_blocks(
+                        None, None, None, plan['order'], plan['nb'],
+                        exact=[sep.bad[g] for g in bad_idx])
+                    bad = (bad_idx, bad_blocks)
+                self._banded_ops[name] = ops_banded.SeparableBandedOperator(
+                    parts, sep.weights(), plan['order'], plan['nb'], bad=bad)
+            else:
+                self._banded_ops[name] = ops_banded.BandedOperator(
+                    self.banded_stack(name))
         return self._banded_ops[name]
 
     def generic_pivots(self):

@@ -976,7 +976,8 @@ def apply_full(mats, xflat, P, nbord, bcol0=None):
     if 'UcolT' in mats:
         xb = xflat[:, b0:b0 + nbord]
         # (G, B, Pp) * (G, B, 1) summed over B: VPU form (see _bmv)
-        if jax.default_backend() == 'cpu':
+        if (jax.default_backend() == 'cpu'
+                and mats['UcolT'].shape[0] == xflat.shape[0]):
             y = y + jnp.einsum('gbp,gb->gp', mats['UcolT'], xb)
         else:
             y = y + (mats['UcolT'] * xb[..., None]).sum(axis=1)
@@ -1818,6 +1819,79 @@ class BorderedBandedSolver:
         if not hasattr(self, '_jit_solve'):
             self._jit_solve = jax.jit(self.solve_fn())
         return self._jit_solve(self.solve_arrays(), R)
+
+
+class SeparableBandedOperator:
+    """Exact f64 banded apply straight from the separable form
+    A(g) = sum_p ghat[g]^p B_p (ref parity: the per-group expanded stacks of
+    dedalus/core/subsystems.py:568-600, collapsed): ships the d+1
+    G-INDEPENDENT split parts plus per-group weights instead of the
+    weight-expanded (G, ...) stacks — O(Nb nb^2) matrix bytes instead of
+    O(G Nb nb^2). At 2048x512 RBC that turns each exact f64 M/L apply from
+    a ~2 GB block-stack read into a vector-traffic pass (~2.5 MB of shared
+    blocks broadcast over groups), and it is the memory enabler for
+    2048^2-scale refinement applies. Exceptional groups (per-stack `bad`)
+    are overwritten from their exact banded stacks."""
+
+    def __init__(self, parts, weights, order, nb, bad=None):
+        # parts: list of BandedBlocks with G=1 (one per polynomial degree)
+        self.parts = parts
+        self.nparts = len(parts)
+        b0 = parts[0]
+        rp = np.asarray(order['row_perm'])
+        cp = np.asarray(order['col_perm'])
+        rinv = np.empty_like(rp)
+        rinv[rp] = np.arange(rp.size)
+        self.arrs = dict(w=jnp.asarray(np.asarray(weights)),
+                         col_perm=jnp.asarray(cp),
+                         row_unperm=jnp.asarray(rinv))
+        self._part_keys = []
+        for p, bb in enumerate(parts):
+            d = bb.device_arrays(jnp.float64)
+            self._part_keys.append(tuple(sorted(d)))
+            for k, v in d.items():
+                self.arrs[f'p{p}_{k}'] = v
+        self._bad_keys = ()
+        if bad:
+            # bad: (bad_idx tuple, BandedBlocks over those groups)
+            self.bad_idx, bad_blocks = bad
+            self.arrs['badg'] = jnp.asarray(
+                np.asarray(self.bad_idx, dtype=np.int32))
+            dbad = bad_blocks.device_arrays(jnp.float64)
+            self._bad_keys = tuple(sorted(dbad))
+            for k, v in dbad.items():
+                self.arrs[f'bad_{k}'] = v
+        else:
+            self.bad_idx = ()
+        self.P = b0.P
+        self.pad = b0.pad
+        self.nbord = b0.nbord
+        self.bcol0 = b0.bcol0
+        self.G = np.asarray(weights).shape[0]
+
+    def apply_fn(self):
+        """Jit-safe (arrs, X (G,P)) -> (G,P)."""
+        P, pad, nbord = self.P, self.pad, self.nbord
+        bcol0 = self.bcol0
+        nparts, part_keys = self.nparts, self._part_keys
+        has_bad, bad_keys = bool(self.bad_idx), self._bad_keys
+
+        def apply(arrs, X):
+            xp = jnp.pad(X[:, arrs['col_perm']], ((0, 0), (0, pad)))
+            y = None
+            for p in range(nparts):
+                mats = {k: arrs[f'p{p}_{k}'] for k in part_keys[p]}
+                yp = arrs['w'][:, p, None] * apply_full(mats, xp, P, nbord,
+                                                        bcol0)
+                y = yp if y is None else y + yp
+            if has_bad:
+                bg = arrs['badg']
+                mats = {k: arrs[f'bad_{k}'] for k in bad_keys}
+                yb = apply_full(mats, xp[bg], P, nbord, bcol0)
+                y = y.at[bg].set(yb)
+            return y[:, :P][:, arrs['row_unperm']]
+
+        return apply
 
 
 class BandedOperator:
