@@ -403,8 +403,14 @@ def _disk_ncc_pair_blocks(ncc_field, operand, out_domain, subproblem):
                 for b_idx in op_idxs if b_idx):
             raise NotImplementedError(
                 "Disk NCC times a constant operand with polar tensor "
-                "components is not supported (a basis-less spin component "
-                "has no m=0 representation)")
+                "components is not supported (a basis-less spin-s component "
+                "has no regular m=0 disk representation: regularity |s| "
+                "forces r^|s| behavior at the origin). Reference parity: "
+                "the reference rejects this pairing too — every disk "
+                "NCC x constant product routes the constant through "
+                "ConvertConstantDisk, whose constructor raises for polar "
+                "tensor components (ref basis.py:2619-2626, 'Tensors not "
+                "yet supported').")
         synth = out_rbasis.clone_with(k=0)        # hosts the constant operand
         out_az = out_domain.bases[az_axis]
         az_w_out = subproblem.axis_width(out_az, az_axis)

@@ -75,7 +75,13 @@ class TimestepperBase:
             keep_floor = 1 if self.solver.matsolver == 'poly' else 0
             while len(self._factorized) >= max(limit, keep_floor + 1):
                 oldest = next(iter(self._factorized))
-                del self._factorized[oldest]
+                evicted = self._factorized.pop(oldest)
+                # Drop the lingering reference too, or the evicted stack's
+                # device arrays stay pinned through the whole rebuild
+                # (transiently doubling HBM residency at 2048x512+);
+                # _prepare reassigns _current_fact right after this returns.
+                if getattr(self, '_current_fact', None) is evicted:
+                    self._current_fact = None
             if self.solver.matsolver == 'banded':
                 # The banded path always works from the sparse per-group
                 # representation (never materializes dense stacks)
@@ -486,9 +492,15 @@ class MultistepIMEX(TimestepperBase):
         args = (state_flat, t0, self.MX, self.LX, self.F, rhs0, a, b, c,
                 jnp.asarray(dt), jnp.asarray(n_steps, dtype=jnp.int32), mats)
         # The banded solve function carries per-factorization structure
-        # (border ranks, demotion slots) in its closure; those programs are
-        # keyed by factorization. All other matsolvers share ONE program.
-        key = ('run', id(fact)) if solver.matsolver == 'banded' else 'run'
+        # (refinement count, bad groups, sweep mode) in its closure; programs
+        # are keyed by that STRUCTURE (program_key), so factorizations that
+        # lower to identical HLO — e.g. the startup and main (a0, b0) keys of
+        # a fixed-dt run — share one compiled program instead of paying a
+        # large remote compile each. All other matsolvers share ONE program.
+        if solver.matsolver == 'banded':
+            key = ('run', fact.banded.program_key())
+        else:
+            key = 'run'
         if key not in self._scan_cache:
             step_impl = self._build_compiled(derive_lx=derive)
 

@@ -1255,7 +1255,11 @@ class BorderedBandedSolver:
         except Exception:
             return None
         h = hashlib.sha1()
-        h.update(b'bandedfac-v2')
+        # v3: caches persist the full ill-group set (pins + ill capacitance)
+        # in `illg`; v2 caches from before pin support could be loaded with
+        # an incomplete f64 fix-up set on accelerators, so they are retired
+        # by the version bump and re-factored instead.
+        h.update(b'bandedfac-v3')
         for arr in (blocks.diag, blocks.sub, blocks.sup,
                     blocks.Ucol, blocks.Vrow):
             h.update(np.ascontiguousarray(arr).tobytes())
@@ -1378,16 +1382,10 @@ class BorderedBandedSolver:
         # ill-conditioned borders) and is recorded in the saved arrays
         self._wb_dtype = z['W1'].dtype
         self.bad_idx = tuple(int(g) for g in z['bad_idx'])
-        if 'illg' in z.files:
-            self._illg = [int(g) for g in z['illg']]
-        else:
-            # Pre-illg cache: recover the f64-need set from the saved
-            # conditioning diagnostics. (Pin groups are not recoverable —
-            # V border rows are selector-like for ordinary tau borders too —
-            # but every pre-illg cache on disk predates pinned problems.)
-            condS = np.asarray(z['condS'])
-            ill = set(np.nonzero(~np.isfinite(condS) | (condS > 1e6))[0])
-            self._illg = sorted(int(g) for g in ill - set(self.bad_idx))
+        # v3 caches always persist the full ill-group set (pins + ill
+        # capacitance); the version bump retired v2 caches whose set could
+        # be incomplete for pinned problems.
+        self._illg = [int(g) for g in z['illg']]
         self.fac.update(self._ship_woodbury(z['W1'], z['Sinv'], z['Vfull'],
                                             z['W1'].dtype, self._illg))
         Abad_inv = z['Abad_inv']
@@ -1604,6 +1602,21 @@ class BorderedBandedSolver:
             arrs['Abad_inv'] = self.Abad_inv
         return arrs
 
+    def program_key(self):
+        """Structural signature of the compiled solve program. Every array
+        VALUE reaches the solve as a runtime argument (solve_arrays), so two
+        factorizations with equal keys lower to identical HLO: the key covers
+        exactly the statics baked into the solve closure (refinement count,
+        bad-group indices, sweep/shipping mode via the fac dict keys) plus
+        the argument pytree structure. Compiled run programs can then be
+        shared across (a0, b0) factorization keys — e.g. a scheme's startup
+        and main factorizations — instead of paying one large remote compile
+        each."""
+        leaves, struct = jax.tree_util.tree_flatten(self.solve_arrays())
+        sig = tuple((tuple(x.shape), str(x.dtype)) for x in leaves)
+        return (self.refinements, tuple(self.bad_idx), _sweeps_mode(),
+                str(struct), sig)
+
     def _resolve_refinements(self):
         """Never-fatal wrapper: a probe failure (compile OOM on a new
         config, serving hiccup) must not discard finished factors — fall
@@ -1629,7 +1642,13 @@ class BorderedBandedSolver:
         from ..utils.config import config
         target = float(config.get('linear algebra', 'solve_target',
                                   fallback='1e-15'))
-        platform = jax.default_backend()
+        # Curves depend on the backend's f32 matmul precision AND on the
+        # Woodbury shipping mode (all-f64 vs two-tier f32+fix-up): a curve
+        # probed under one shipping must not select the pass count for the
+        # other, so the sidecar key carries both.
+        ship = ('f64' if 'W1' in self.fac
+                else 'tt' if 'illg' in self.fac else 'f32')
+        platform = f"{jax.default_backend()}-{ship}"
         if self.refine_curve is None:
             blocks = self.blocks
             if blocks.G * blocks.Nb * blocks.nb ** 3 < _FACTOR_CACHE_MIN_WORK:
@@ -1657,7 +1676,11 @@ class BorderedBandedSolver:
             logger.info("banded: probe floor %.2e misses solve target %.0e",
                         floor, target)
         refs = int(np.nonzero(curve <= thresh)[0][0])
-        while refs + 1 < curve.shape[0] and curve[refs + 1] < curve[refs] / 1.3:
+        # Extend only while the target is still unmet: once curve[refs]
+        # <= target, additional contracting passes buy nothing the solve
+        # asked for (tolerant targets would otherwise pay them every step).
+        while (refs + 1 < curve.shape[0] and curve[refs] > target
+               and curve[refs + 1] < curve[refs] / 1.3):
             refs += 1
         self.refinements = max(1, refs)
         logger.info("banded: adaptive refinements=%d (residual curve %s)",
@@ -1783,10 +1806,16 @@ class BorderedBandedSolver:
                     # f64 fix-up for the k-local pinned / ill-capacitance
                     # groups (see _ship_woodbury): redo their correction
                     # with the f64 factor slices and overwrite those rows.
+                    # Matmul (sequential-MAC) form, NOT _bmv: pinned-saddle
+                    # trajectories are sensitive to the f64 contraction
+                    # ORDER of this correction (same reason the all-f64
+                    # branch above keeps matmul), and the ill-group slice
+                    # is tiny so MXU padding cost is negligible.
                     ig = fac['illg']
                     yi = y32[ig].astype(jnp.float64)
-                    ti = _bmv(fac['Sinv'][ig], _bmv(fac['Vill'], yi))
-                    ci = _bmv(fac['W1ill'], ti)
+                    mv64 = lambda A, v: jnp.matmul(A, v[..., None])[..., 0]
+                    ti = mv64(fac['Sinv'][ig], mv64(fac['Vill'], yi))
+                    ci = mv64(fac['W1ill'], ti)
                     x = x.at[ig].set((yi - ci).astype(x.dtype))
             if bad_idx:
                 idx = jnp.asarray(bad_idx)

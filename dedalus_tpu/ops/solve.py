@@ -541,18 +541,33 @@ class FactorizedStack:
                         gs.extend([g] * len(ir))
                         rs.extend(ir.tolist())
                         cs.extend(ic.tolist())
-                    gidx = jnp.asarray(gs, dtype=jnp.int32)
-                    ridx = jnp.asarray(rs, dtype=jnp.int32)
-                    cidx = jnp.asarray(cs, dtype=jnp.int32)
                     npiv = len(gs)
 
+                    # Everything per-factorization ships as runtime ARRAYS,
+                    # never as Python scalars or closure constants: baked
+                    # literals would poison program sharing, because
+                    # factorizations at different (a0, b0) share one
+                    # compiled run program when their structural
+                    # program_key matches. (npiv only gates the branch; a
+                    # differing pivot COUNT changes the arg shapes and
+                    # therefore the key.)
                     def exact_apply(arrs, X):
-                        Y = a0 * applyM(arrs['M'], X) + b0 * applyL(arrs['L'], X)
+                        w = arrs['w_ml']
+                        Y = (w[0] * applyM(arrs['M'], X)
+                             + w[1] * applyL(arrs['L'], X))
                         if npiv:
-                            Y = Y.at[gidx, ridx].add(X[gidx, cidx])
+                            g, r, c = arrs['piv_g'], arrs['piv_r'], arrs['piv_c']
+                            Y = Y.at[g, r].add(X[g, c])
                         return Y
 
-                    exact_arrs = {'M': bM.arrs, 'L': bL.arrs}
+                    exact_arrs = {'M': bM.arrs, 'L': bL.arrs,
+                                  'w_ml': jnp.asarray([a0, b0],
+                                                      dtype=jnp.float64)}
+                    if npiv:
+                        exact_arrs.update(
+                            piv_g=jnp.asarray(gs, dtype=jnp.int32),
+                            piv_r=jnp.asarray(rs, dtype=jnp.int32),
+                            piv_c=jnp.asarray(cs, dtype=jnp.int32))
                 if bf.get('exact') is not None and pencil is not None:
                     group_dense = lambda g: A.group_sparse(
                         g, pivot_pairs=ppairs)

@@ -189,3 +189,27 @@ def test_disk_ncc_times_constant_operand():
     u.require_grid_space()
     assert float(np.asarray(c['g']).ravel()[0]) == pytest.approx(3.0, abs=1e-10)
     assert np.abs(np.asarray(u.data) - ustar).max() < 1e-10
+
+
+def test_disk_ncc_times_tensor_constant_rejected():
+    """Disk NCC multiplying a constant operand WITH polar tensor components:
+    rejected, matching the reference. A constant spin-s component has no
+    regular m=0 disk representation (regularity |s| forces r^|s| behavior at
+    the origin, which a radially-constant profile violates), and the
+    reference rejects the pairing the same way — ConvertConstantDisk raises
+    ValueError("Tensors not yet supported.") for any polar tensor component
+    on a constant operand (ref basis.py:2619-2626), which is the conversion
+    every disk NCC x constant product routes through there."""
+    coords = d3.PolarCoordinates('phi', 'r')
+    dist = d3.Distributor(coords, dtype=np.float64)
+    basis = d3.DiskBasis(coords, shape=(8, 8), radius=1)
+    f = dist.Field(name='f', bases=basis)
+    f['g'] = 1.0
+    u = dist.VectorField(coords, name='u', bases=basis)
+    cvec = dist.VectorField(coords, name='cvec')   # constant polar vector
+    rhs = dist.VectorField(coords, name='rhs', bases=basis)
+    problem = d3.LBVP([u, cvec], namespace=locals())
+    problem.add_equation("u + f*cvec = rhs")
+    problem.add_equation("integ(u) = 0")
+    with pytest.raises(NotImplementedError, match="polar tensor"):
+        problem.build_solver()
