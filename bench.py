@@ -132,8 +132,10 @@ def _emergency(signum, frame):
 def _extract_error(text):
     """The actual exception from subprocess output: JAX's traceback filter
     hides frames but the final `SomeError: message` line survives; grab the
-    last such line plus any XLA/RESOURCE_EXHAUSTED diagnostics."""
-    lines = [ln.strip() for ln in (text or '').strip().splitlines()]
+    last such lines plus the verbatim output tail (truncated from the FRONT,
+    so the message always ENDS in the complete final diagnostic)."""
+    lines = [ln.strip() for ln in (text or '').strip().splitlines()
+             if ln.strip()]
     picks = []
     for ln in lines:
         if (any(k in ln for k in ('Error', 'Exception', 'EXHAUSTED',
@@ -141,41 +143,66 @@ def _extract_error(text):
                 and not ln.startswith(('WARNING', 'INFO', 'DEBUG'))
                 and 'Traceback' not in ln):
             picks.append(ln)
-    if picks:
-        return ' | '.join(picks[-3:])[:500]
-    return ' | '.join(lines[-4:])[:500]
+    parts = picks[-3:]
+    for t in lines[-2:]:              # verbatim tail: never lose the end
+        if t not in parts:
+            parts.append(t)
+    msg = ' | '.join(parts)
+    return ('...' + msg[-600:]) if len(msg) > 600 else msg
 
 
-def _run_leg(name, code, payload, timeout_s, tag):
-    """Run a leg subprocess; return its tagged JSON result or raise with the
-    REAL exception text (JAX_TRACEBACK_FILTERING=off so tracebacks carry the
-    actual error, not filter boilerplate)."""
+def _run_leg(name, code, payload, timeout_s, tag, extra_tags=()):
+    """Run a leg subprocess; return (result, extras) where result is the
+    `tag` JSON line and extras maps any extra_tags lines found. On timeout,
+    PARTIAL stdout is parsed first — a leg that printed its primary result
+    before running optional extras still counts. Raises with the REAL
+    exception text otherwise (JAX_TRACEBACK_FILTERING=off so tracebacks
+    carry the actual error, not filter boilerplate)."""
     timeout_s = min(timeout_s, max(30.0, _remaining() - _RESERVE))
     env = dict(os.environ, JAX_TRACEBACK_FILTERING='off',
                PYTHONHASHSEED='0',
                # Fixed-dt legs never revisit the startup (a0, b0); keeping
                # its factor stack resident costs GBs of HBM at 2048x512+
                DEDALUS_TPU_LINEAR_ALGEBRA__MAX_CACHED_FACTORIZATIONS='1')
+    timed_out = False
     try:
         out = subprocess.run([sys.executable, '-c', code, payload],
                              cwd='/root/repo', capture_output=True,
                              text=True, timeout=timeout_s, env=env)
+        stdout, stderr, rc = out.stdout or '', out.stderr or '', out.returncode
     except subprocess.TimeoutExpired as exc:
-        text = ''
-        for s in (exc.stdout, exc.stderr):
+        timed_out = True
+        rc = 'timeout'
+        stdout, stderr = '', ''
+        for attr, s in (('stdout', exc.stdout), ('stderr', exc.stderr)):
             if s:
-                text += s if isinstance(s, str) else s.decode(errors='replace')
-        raise RuntimeError(
-            f"{name} leg timed out after {int(timeout_s)}s; last output: "
-            + _extract_error(text))
-    for ln in (out.stderr or '').splitlines():
+                s = s if isinstance(s, str) else s.decode(errors='replace')
+                if attr == 'stdout':
+                    stdout = s
+                else:
+                    stderr = s
+    for ln in stderr.splitlines():
         if ln.startswith('# '):
             print(f"# [{name}]{ln[1:]}", file=sys.stderr, flush=True)
-    for line in out.stdout.splitlines():
-        if line.startswith(tag + ' '):
-            return json.loads(line[len(tag) + 1:])
-    raise RuntimeError(f"{name} leg failed (rc={out.returncode}): "
-                       + _extract_error(out.stderr or out.stdout))
+    found = {}
+    for line in stdout.splitlines():
+        for t in (tag,) + tuple(extra_tags):
+            if line.startswith(t + ' '):
+                try:
+                    found[t] = json.loads(line[len(t) + 1:])
+                except Exception:
+                    pass
+    if tag in found:
+        res = found.pop(tag)
+        if timed_out and isinstance(res, dict):
+            res['leg_timed_out_after_s'] = int(timeout_s)
+        return res, found
+    if timed_out:
+        raise RuntimeError(
+            f"{name} leg timed out after {int(timeout_s)}s; last output: "
+            + _extract_error(stdout + '\n' + stderr))
+    raise RuntimeError(f"{name} leg failed (rc={rc}): "
+                       + _extract_error(stderr or stdout))
 
 
 _LEG_PRELUDE = (
@@ -188,55 +215,168 @@ _LEG_PRELUDE = (
 
 
 # --------------------------------------------------------------------------
-# Measurement bodies (run inside leg subprocesses)
+# Honest device timing under the axon serving layer.
+#
+# Measured behavior of the tunnel (round 5): `block_until_ready` on a LARGE
+# array output returns in ~30 us WITHOUT waiting for execution (the buffer
+# stays remote); only fetching a SCALAR to the host reliably blocks until
+# the producing program finished. Dispatch never blocks and many executions
+# queue freely. Roundtrip (dispatch + scalar fetch) latency is ~32 ms.
+#
+# Rules applied to every measurement below:
+#   1. The timed jitted function returns a SCALAR (a reduction of the real
+#      output, so nothing can be dead-code-eliminated), fetched via float().
+#   2. Work is amortized over a long dependent chain (lax.scan) so the
+#      ~32 ms roundtrip is small, AND the measured roundtrip latency is
+#      subtracted.
+#   3. Inputs are jittered per rep (the serving layer memoizes
+#      byte-identical executions) and synced with a scalar fetch BEFORE
+#      the timed region so their cost cannot land inside it.
+#   4. Results are cross-checked against public chip specs (sanity clamp).
 # --------------------------------------------------------------------------
 
-def measure_ceiling(n=1024, batch=64):
-    """Measured device matmul ceiling (TF/s): one compiled call of `batch`
-    INDEPENDENT bf16 (n,n)@(n,n) matmuls. Independence matters — a chain of
-    dependent matmuls measures latency, not throughput. Median of 3 calls on
-    distinct inputs (the serving layer memoizes byte-identical executions)."""
+# Public per-chip spec anchors (bf16 TF/s, HBM GB/s) for sanity checks.
+_CHIP_SPECS = {
+    'TPU v5 lite': (197.0, 819.0),    # v5e
+    'TPU v5p': (459.0, 2765.0),
+    'TPU v5': (459.0, 2765.0),
+    'TPU v4': (275.0, 1228.0),
+    'TPU v6': (918.0, 1640.0),        # v6e (Trillium)
+}
+
+_LATENCY = None
+
+
+def _fetch(x):
+    """Host readback of a scalar jax value — the only reliable execution
+    barrier under the axon serving layer (see module notes above)."""
+    return float(x)
+
+
+def measure_latency(reps=5):
+    """Median dispatch + scalar-fetch roundtrip latency (seconds)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def triv(a):
+        return a + 1.0
+
+    _fetch(triv(jnp.float32(0.0)))    # compile
+    ts = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        _fetch(triv(jnp.float32(i + 1.0)))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def _get_latency():
+    global _LATENCY
+    if _LATENCY is None:
+        _LATENCY = measure_latency()
+    return _LATENCY
+
+
+def _time_scalar(fn, make_args, reps=3, sync=()):
+    """Median latency-adjusted wall seconds of fn(*make_args(i)) -> scalar.
+    make_args(i) returns fresh (jittered) argument tuples; indices in `sync`
+    name array arguments to scalar-sync before the timed region."""
+    lat = _get_latency()
+    _fetch(fn(*make_args(0)))         # compile + first execution
+    ts = []
+    for i in range(1, reps + 1):
+        args = make_args(i)
+        for j in sync:
+            _fetch(args[j].ravel()[0])
+        t0 = time.perf_counter()
+        _fetch(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return max(float(np.median(ts)) - lat, 1e-9)
+
+
+def _chip_spec():
+    import jax
+    kind = jax.devices()[0].device_kind
+    for prefix, spec in _CHIP_SPECS.items():
+        if kind.startswith(prefix):
+            return kind, spec
+    return kind, None
+
+
+def measure_ceiling(n=1024, batch=64, K=64):
+    """Measured device matmul ceiling (TF/s): a lax.scan chain of K batched
+    bf16 (batch,n,n)@(n,n... ) matmuls — the carry dependency forces every
+    link to execute, the scalar output forces completion, and the measured
+    roundtrip latency is subtracted (see module timing notes)."""
     import jax
     import jax.numpy as jnp
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.standard_normal((batch, n, n)), dtype=jnp.bfloat16)
+    # Unit-spectral-radius-ish scaling keeps the bf16 chain finite
+    A = jnp.asarray(rng.standard_normal((batch, n, n)) / np.sqrt(n),
+                    dtype=jnp.bfloat16)
 
     @jax.jit
-    def run(x, a):
-        return jnp.matmul(x, a, preferred_element_type=jnp.bfloat16).sum()
+    def chain(x, A):
+        def body(c, _):
+            return jnp.matmul(c, A, preferred_element_type=jnp.bfloat16), None
+        y, _ = jax.lax.scan(body, x, None, length=K)
+        return jnp.sum(y.astype(jnp.float32))
 
-    times = []
-    for i in range(4):
+    def make(i):
         x = jnp.asarray(rng.standard_normal((batch, n, n)),
                         dtype=jnp.bfloat16)
-        t0 = time.perf_counter()
-        run(x, a).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times[1:]))         # first call paid the compile
-    return 2 * n**3 * batch / dt / 1e12
+        return (x, A)
+
+    dt = _time_scalar(chain, make, sync=(0,))
+    tfs = 2 * n**3 * batch * K / dt / 1e12
+    kind, spec = _chip_spec()
+    out = {'tfs': round(tfs, 1), 'ms': round(dt * 1e3, 2),
+           'device_kind': kind}
+    if spec:
+        out['tfs_spec'] = spec[0]
+        out['frac_of_spec'] = round(tfs / spec[0], 3)
+        if tfs > 1.2 * spec[0]:
+            out['suspect'] = 'measured above chip spec; timing not trusted'
+    return out
 
 
-def measure_hbm(mb=1024):
-    """Measured HBM streaming bandwidth (GB/s): elementwise scale of a large
-    f32 array (reads + writes it once). The speed-of-light anchor for the
-    transform/solve GB/s roofline fractions (BASELINE metric 2)."""
+def measure_hbm(mb=1024, K=64):
+    """Measured HBM streaming bandwidth (GB/s): K dependent elementwise
+    passes over an `mb`-MB f32 array via lax.scan (the carry forces each
+    pass to materialize: K reads + K writes), scalar output, roundtrip
+    latency subtracted. The speed-of-light anchor for the transform/solve
+    GB/s roofline fractions (BASELINE metric 2)."""
     import jax
     import jax.numpy as jnp
     n = mb * 1024 * 1024 // 4
-    x = jnp.arange(n, dtype=jnp.float32)
+    x0 = jnp.arange(n, dtype=jnp.float32)
 
     @jax.jit
-    def scale(x, a):
-        return x * a
+    def stream(x, a):
+        def body(c, _):
+            return c * a, None
+        y, _ = jax.lax.scan(body, x, None, length=K)
+        return y[0] + y[n - 1]
 
-    times = []
-    for i in range(4):
-        a = jnp.float32(1.0 + 1e-6 * i)   # distinct inputs: defeat memoization
-        t0 = time.perf_counter()
-        scale(x, a).block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times[1:]))
-    return 2 * n * 4 / dt / 1e9
+    a = jnp.float32(1.0 + 1e-9)
+
+    def make(i):
+        return (x0 * jnp.float32(1.0 + 1e-6 * i), a)
+
+    dt = _time_scalar(stream, make, sync=(0,))
+    gbs = K * 2 * n * 4 / dt / 1e9
+    kind, spec = _chip_spec()
+    out = {'gbs': round(gbs, 1), 'ms': round(dt * 1e3, 2),
+           'device_kind': kind}
+    if spec:
+        out['gbs_spec'] = spec[1]
+        out['frac_of_spec'] = round(gbs / spec[1], 3)
+        if gbs > 1.2 * spec[1]:
+            out['suspect'] = 'measured above chip spec; timing not trusted'
+            out['gbs'] = spec[1]          # sanity clamp: never publish >spec
+            out['gbs_raw'] = round(gbs, 1)
+    return out
 
 
 def _program_cost(solver):
@@ -260,6 +400,13 @@ def _run_jitter():
     import struct
     u = struct.unpack('<Q', os.urandom(8))[0]
     return 1.0 + 1e-9 * (u / 2**64)
+
+
+def _sync_solver(solver):
+    """Scalar fetch off the newest history entry: the only reliable
+    execution barrier under the serving layer (block_until_ready on the
+    large history arrays returns before execution)."""
+    return _fetch(solver.timestepper.F.ravel()[0])
 
 
 def run_rbc(Nx, Nz, n_steps, matsolver, n_warm=5):
@@ -287,28 +434,22 @@ def run_rbc(Nx, Nz, n_steps, matsolver, n_warm=5):
     chunk = int(os.environ.get('BENCH_CHUNK', 10))
     # Warmup (compile): startup steps + the shared dynamic-length run program
     solver.run_steps(dt, max(n_warm, 3))
-    jax.block_until_ready(solver.timestepper.F)
+    _sync_solver(solver)
     solver.run_steps(dt, min(chunk, n_steps))
-    jax.block_until_ready(solver.timestepper.F)
+    _sync_solver(solver)
     t2 = time.perf_counter()
     print(f"# rbc warm at +{t2 - t0:.1f}s", file=sys.stderr, flush=True)
-    # Timed: compiled scans over dependent, evolving state. Chunked so each
-    # device execution stays under the serving layer's watchdog (~2 min);
-    # every chunk reuses the SAME dynamic-trip-count program.
+    # Timed: compiled scans over dependent, evolving state, each chunk
+    # followed by a scalar fetch (a hard execution barrier; ~32 ms per
+    # chunk against ~chunk * ms_per_step of work).
     done = 0
     while done < n_steps:
         m = min(chunk, n_steps - done)
         solver.run_steps(dt, m)
-        jax.block_until_ready(solver.timestepper.F)
+        _sync_solver(solver)
         done += m
     t3 = time.perf_counter()
     dof = Nx * Nz * 4  # p, b, u(2)
-    solve_kernel = None
-    if solver.matsolver == 'banded':
-        try:
-            solve_kernel = _measure_banded_kernel(solver)
-        except Exception as exc:
-            solve_kernel = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     flops, bytes_acc = _program_cost(solver)
     rec = dict(config=f"RBC {Nx}x{Nz} f64 ({solver.matsolver})",
                dof=dof, steps=n_steps,
@@ -317,19 +458,25 @@ def run_rbc(Nx, Nz, n_steps, matsolver, n_warm=5):
                run_s=round(t3 - t2, 3),
                ms_per_step=round((t3 - t2) / n_steps * 1e3, 2),
                throughput=round(dof * n_steps / (t3 - t2), 1),
-               flops_per_step=flops, bytes_per_step=bytes_acc)
-    if solve_kernel:
-        rec["solve_kernel"] = solve_kernel
-    return rec
+               flops_per_step=flops, bytes_per_step=bytes_acc,
+               roundtrip_latency_ms=round(_get_latency() * 1e3, 1))
+    if solver.matsolver == 'banded':
+        try:
+            rec["solve_kernel"] = _measure_banded_kernel(solver)
+        except Exception as exc:
+            rec["solve_kernel"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    return solver, rec
 
 
 def _measure_banded_kernel(solver, reps=5):
     """Banded-solve KERNEL roofline (BASELINE metric 2): time the isolated
-    implicit solve (f32 QR sweeps + Woodbury + f64 refinement) on device and
-    compare its exact HBM traffic — computed from the factor/operator array
-    shapes, not XLA's unfused cost model — against the measured streaming
-    bandwidth. Traffic per solve with k refinements: (k+1) reads of the
-    factor arrays + k reads of the exact-apply operator + O(k) vectors."""
+    implicit solve (f32 QR sweeps + Woodbury + f64 refinement) on device —
+    scalar-reduced output fetched to host, latency-adjusted (see module
+    timing notes) — and compare its exact HBM traffic (computed from the
+    factor/operator array shapes, not XLA's unfused cost model) against the
+    measured streaming bandwidth. Traffic per solve with k refinements:
+    (k+1) reads of the factor arrays + k reads of the exact-apply operator
+    + O(k) vectors."""
     import jax
     import jax.numpy as jnp
     bb = None
@@ -340,19 +487,16 @@ def _measure_banded_kernel(solver, reps=5):
     if bb is None:
         return None
     arrs = bb.solve_arrays()
-    fn = jax.jit(bb.solve_fn())
+    solve = bb.solve_fn()
+    fn = jax.jit(lambda arrs, R: jnp.sum(solve(arrs, R)))
     G, P = bb.blocks.G, bb.P
     rng = np.random.default_rng(3)
     R = jnp.asarray(rng.standard_normal((G, P)))
-    jax.block_until_ready(fn(arrs, R))          # compile
-    ts = []
-    for i in range(reps):
-        Ri = R * (1.0 + 1e-9 * (i + 1))         # defeat memoization
-        jax.block_until_ready(Ri)
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(arrs, Ri))
-        ts.append(time.perf_counter() - t0)
-    dt = float(np.median(ts))
+
+    def make(i):
+        return (arrs, R * (1.0 + 1e-9 * (i + 1)))
+
+    dt = _time_scalar(fn, make, reps=reps, sync=(1,))
     k = bb.refinements
     nb = lambda t: sum(x.nbytes for x in jax.tree.leaves(t))
     fac_b, ex_b = nb(arrs['fac']), nb(arrs['ex'])
@@ -361,6 +505,91 @@ def _measure_banded_kernel(solver, reps=5):
     return dict(ms=round(dt * 1e3, 3), refinements=k,
                 G=G, P=P, traffic_gb=round(traffic / 1e9, 3),
                 gbs=round(traffic / dt / 1e9, 1))
+
+
+def measure_step_breakdown(solver, reps=3):
+    """Per-segment timing of one warm step at the live solver's state — the
+    step-time budget the roofline work steers by. Each segment of the
+    compiled banded step (gather, exact M/L applies, nonlinear RHS F,
+    history/RHS combine, implicit solve, scatter) is jitted separately with
+    a scalar-reduced output and timed latency-adjusted. The sum approximates
+    ms_per_step (segment boundaries prevent some cross-segment fusion, so a
+    small overshoot is expected and reported via sum_ms)."""
+    import jax
+    import jax.numpy as jnp
+    from dedalus_tpu.core.timesteppers import _hoist_closure_constants
+
+    ts = solver.timestepper
+    pencil = ts.pencil
+    state_flat = solver.state_flat()
+    t0 = jnp.asarray(solver.sim_time)
+    fact = getattr(ts, '_current_fact', None)
+    if fact is None or getattr(fact, 'banded', None) is None:
+        return {"error": "no banded factorization live"}
+    mats = ts._step_mats(fact)
+    bM, bL = ts._banded_ml()
+    applyM, applyL = bM.apply_fn(), bL.apply_fn()
+    solve = fact.banded.solve_fn()
+    rv = pencil.row_valid_dev
+    a, b, c = ts.compute_coefficients(list(ts.dt_hist), ts._iteration)
+    n = ts.steps + 1
+    a, b, c = (jnp.asarray(_pad_np(v, n)) for v in (a, b, c))
+    X = pencil.gather_state(state_flat)
+    MXh, LXh, Fh = ts.MX, ts.LX, ts.F
+    RHS = (jnp.einsum('j,jgr->gr', c[1:], Fh)
+           - jnp.einsum('j,jgr->gr', a[1:], MXh)
+           - jnp.einsum('j,jgr->gr', b[1:], LXh)) * rv
+    Xnew = jnp.zeros_like(RHS)
+
+    out = {}
+
+    def seg(name, fn, args, sync=()):
+        try:
+            conv, consts = _hoist_closure_constants(fn, args)
+            jfn = jax.jit(conv)
+
+            def make(i):
+                # Jitter exactly the vector arguments (the ones synced):
+                # distinct inputs defeat the serving layer's memoization
+                # without re-streaming the large matrix trees every rep.
+                jit_args = tuple(
+                    x * (1.0 + 1e-9 * i) if j in sync else x
+                    for j, x in enumerate(args))
+                return jit_args + tuple(consts)
+
+            dt = _time_scalar(jfn, make, reps=reps, sync=sync)
+            out[name] = round(dt * 1e3, 3)
+        except Exception as exc:
+            out[name] = f"{type(exc).__name__}: {exc}"[:160]
+        print(f"# breakdown {name}: {out[name]}", file=sys.stderr, flush=True)
+
+    seg('gather', lambda s: jnp.sum(pencil.gather_state(s)),
+        (state_flat,), sync=(0,))
+    seg('M_apply', lambda M, x: jnp.sum(applyM(M, x)),
+        (mats['M'], X), sync=(1,))
+    seg('L_apply', lambda L, x: jnp.sum(applyL(L, x)),
+        (mats['L'], X), sync=(1,))
+    seg('F_nonlinear', lambda s, t: jnp.sum(solver.traced_F(s, t)),
+        (state_flat, t0), sync=(0,))
+    seg('hist_rhs', lambda mh, lh, fh, av, bv, cv: jnp.sum(
+            (jnp.einsum('j,jgr->gr', cv[1:], fh)
+             - jnp.einsum('j,jgr->gr', av[1:], mh)
+             - jnp.einsum('j,jgr->gr', bv[1:], lh)) * rv),
+        (MXh, LXh, Fh, a, b, c), sync=(0, 1, 2))
+    seg('solve', lambda sa, R: jnp.sum(solve(sa, R)),
+        (mats['solve'], RHS), sync=(1,))
+    seg('scatter', lambda s, x: jnp.sum(
+            jnp.zeros_like(s).at[pencil.var_index_map_dev].add(x)),
+        (state_flat, Xnew), sync=(1,))
+    numeric = [v for v in out.values() if isinstance(v, (int, float))]
+    out['sum_ms'] = round(sum(numeric), 2)
+    return out
+
+
+def _pad_np(x, n):
+    out = np.zeros(n)
+    out[:len(x)] = x
+    return out
 
 
 def run_ball(Nphi, Ntheta, Nr, n_steps, matsolver=None, n_warm=3):
@@ -382,89 +611,90 @@ def run_ball(Nphi, Ntheta, Nr, n_steps, matsolver=None, n_warm=3):
     print(f"# ball setup done at +{t1 - t0:.1f}s", file=sys.stderr, flush=True)
     chunk = int(os.environ.get('BENCH_CHUNK', 10))
     solver.run_steps(dt, max(n_warm, 3))
-    jax.block_until_ready(solver.timestepper.F)
+    _sync_solver(solver)
     solver.run_steps(dt, min(chunk, n_steps))
-    jax.block_until_ready(solver.timestepper.F)
+    _sync_solver(solver)
     t2 = time.perf_counter()
     print(f"# ball warm at +{t2 - t0:.1f}s", file=sys.stderr, flush=True)
     done = 0
     while done < n_steps:
         m = min(chunk, n_steps - done)
         solver.run_steps(dt, m)
-        jax.block_until_ready(solver.timestepper.F)
+        _sync_solver(solver)
         done += m
     t3 = time.perf_counter()
     dof = Nphi * Ntheta * Nr * 5  # p, T, u(3)
+    flops, bytes_acc = _program_cost(solver)
     return dict(config=f"ball {Nphi}x{Ntheta}x{Nr} f64 ({solver.matsolver})",
                 dof=dof, steps=n_steps,
                 setup_s=round(t1 - t0, 1),
                 compile_warmup_s=round(t2 - t1, 1),
                 run_s=round(t3 - t2, 3),
                 ms_per_step=round((t3 - t2) / n_steps * 1e3, 2),
-                throughput=round(dof * n_steps / (t3 - t2), 1))
+                throughput=round(dof * n_steps / (t3 - t2), 1),
+                flops_per_step=flops, bytes_per_step=bytes_acc,
+                roundtrip_latency_ms=round(_get_latency() * 1e3, 1))
 
 
-def run_transforms(Nx, Nz):
+def run_transforms(Nx, Nz, K=16):
     """Transform-kernel roofline leg (BASELINE metric 2): GB/s and TF/s for
     the f64 matmul-FFT (x axis) and Chebyshev DCT (z axis) at bench shapes.
-    GB/s counts the minimal HBM traffic (read input + write output, f64);
-    speed-of-light comparison happens against the measured matmul ceiling
-    recorded by the ceiling leg. Parity target: reference ground-truth
-    transform plans dedalus/core/transforms.py:115,1252,1451."""
+    Each kernel runs on a K-times-taller batch (the batched-1D layout the
+    solver itself uses) with a scalar-reduced output fetched to host and the
+    roundtrip latency subtracted (see module timing notes) — a single
+    (Nz, Nx) transform is ~1 ms, far below the ~32 ms roundtrip, so the
+    batch amortization is what makes the number trustworthy. GB/s counts
+    the minimal HBM traffic (read input + write output, f64). Parity
+    target: reference ground-truth transform plans
+    dedalus/core/transforms.py:115,1252,1451."""
     import jax
     import jax.numpy as jnp
     from dedalus_tpu.ops import fft64
 
-    results = {}
+    results = {'roundtrip_latency_ms': round(_get_latency() * 1e3, 1),
+               'batch_K': K}
     rng = np.random.default_rng(1)
 
-    def _time(fn, *args):
-        out = jax.block_until_ready(fn(*args))      # compile
-        reps = 3
-        ts = []
-        for i in range(reps):
-            # Distinct first operand per rep: the serving layer memoizes
-            # byte-identical executions, which would fake the timing.
-            a0 = args[0] * (1.0 + 1e-9 * (i + 1))
-            jax.block_until_ready(a0)
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(a0, *args[1:]))
-            ts.append(time.perf_counter() - t0)
-        del out
-        return float(np.median(ts))
+    def leg(name, base, fn, bytes_moved=None, flops=None, shape=None):
+        x0 = jnp.asarray(base)
 
-    # x-axis FFT at (Nz, Nx) f64 — the bench RBC layout batches z over rows
-    x = jnp.asarray(rng.standard_normal((Nz, Nx)))
-    f = jax.jit(lambda v: fft64.rfft64(v, axis=-1))
-    dt = _time(f, x)
-    bytes_moved = x.size * 8 * 2
-    results['rfft_x'] = dict(shape=[Nz, Nx], ms=round(dt * 1e3, 3),
-                             gbs=round(bytes_moved / dt / 1e9, 1))
-    # z-axis DCT at (Nx, Nz)
-    z = jnp.asarray(rng.standard_normal((Nx, Nz)))
-    g = jax.jit(lambda v: fft64.dct2_64(v, axis=-1))
-    dt = _time(g, z)
-    bytes_moved = z.size * 8 * 2
-    results['dct_z'] = dict(shape=[Nx, Nz], ms=round(dt * 1e3, 3),
-                            gbs=round(bytes_moved / dt / 1e9, 1))
+        def make(i):
+            return (x0 * (1.0 + 1e-9 * i),)
+
+        dt = _time_scalar(fn, make, sync=(0,))
+        rec = dict(shape=list(shape), ms=round(dt / K * 1e3, 3))
+        if bytes_moved:
+            rec['gbs'] = round(bytes_moved / dt / 1e9, 1)
+        if flops:
+            rec['tfs'] = round(flops / dt / 1e12, 2)
+        results[name] = rec
+        print(f"# transforms {name}: {rec}", file=sys.stderr, flush=True)
+
+    # x-axis FFT at (K*Nz, Nx) f64 — the bench RBC layout batches z over rows
+    x = rng.standard_normal((K * Nz, Nx))
+    leg('rfft_x', x,
+        jax.jit(lambda v: jnp.abs(fft64.rfft64(v, axis=-1)).sum()),
+        bytes_moved=x.size * 8 * 2, shape=(Nz, Nx))
+    # z-axis DCT at (K*Nx, Nz)
+    z = rng.standard_normal((K * Nx, Nz))
+    leg('dct_z', z,
+        jax.jit(lambda v: jnp.sum(fft64.dct2_64(v, axis=-1))),
+        bytes_moved=z.size * 8 * 2, shape=(Nx, Nz))
     # Dense MMT ground-truth at the same z shape (what curvilinear stacks use)
     M = jnp.asarray(rng.standard_normal((Nz, Nz)))
-    h = jax.jit(lambda v, m: v @ m)
-    dt = _time(h, z, M)
-    flops = 2 * Nx * Nz * Nz
-    results['mmt_z'] = dict(shape=[Nx, Nz], ms=round(dt * 1e3, 3),
-                            tfs=round(flops / dt / 1e12, 2))
+    leg('mmt_z', z,
+        jax.jit(lambda v: jnp.sum(v @ M)),
+        flops=2 * K * Nx * Nz * Nz, shape=(Nx, Nz))
     return results
 
 
-def measure_cpu_anchor():
-    """THIS framework on the CPU backend at the reference example's 256x64
-    config (subprocess: the backend is fixed per process)."""
-    code = r"""
+_ANCHOR_CODE = r"""
 import time, json
 import numpy as np
 import jax
 jax.config.update('jax_platforms', 'cpu')
+import sys
+sys.path.insert(0, '/root/repo')
 import dedalus_tpu.public as d3
 from dedalus_tpu.models.rbc import build_rbc_problem
 problem, ctx = build_rbc_problem(256, 64, Rayleigh=2e6)
@@ -481,16 +711,42 @@ jax.block_until_ready(solver.timestepper.F)
 el = time.perf_counter() - t0
 print('ANCHOR_RESULT ' + json.dumps({'throughput': 256 * 64 * 4 * n / el}))
 """
+
+
+def start_cpu_anchor():
+    """Launch the CPU self-anchor (THIS framework, CPU backend, at the
+    reference example's own 256x64 config) as a background subprocess: it
+    does not touch the device, so it runs concurrently with the device legs
+    and is collected at the end. block_until_ready is a real barrier on the
+    CPU backend."""
     try:
-        out = subprocess.run([sys.executable, '-c', code], cwd='/root/repo',
-                             capture_output=True, text=True,
-                             timeout=min(900, max(60, _remaining() - _RESERVE)))
-        for line in out.stdout.splitlines():
+        return subprocess.Popen(
+            [sys.executable, '-c', _ANCHOR_CODE], cwd='/root/repo',
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+    except Exception:
+        return None
+
+
+def collect_cpu_anchor(proc, timeout_s=600):
+    if proc is None:
+        return None
+    try:
+        out, _ = proc.communicate(timeout=max(10.0, timeout_s))
+        for line in (out or '').splitlines():
             if line.startswith('ANCHOR_RESULT '):
                 return round(json.loads(line[14:])['throughput'], 1)
     except Exception:
-        pass
+        try:
+            proc.kill()
+        except Exception:
+            pass
     return None
+
+
+def measure_cpu_anchor():
+    """Synchronous CPU self-anchor (used by the device-unreachable path)."""
+    return collect_cpu_anchor(start_cpu_anchor(),
+                              min(900, max(60, _remaining() - _RESERVE)))
 
 
 def _probe_device(timeout_s=240):
@@ -583,82 +839,56 @@ def main():
                 _STATE["head"] = prov
                 break
 
-    # --- ceiling (cheap; needed for roofline fractions) ---
+    # --- CPU self-anchor: starts NOW, runs concurrently (CPU backend only),
+    #     collected at the end — device legs are never starved by it.
+    anchor_proc = start_cpu_anchor() if config == 'all' else None
+
+    # --- ceiling + HBM speed-of-light (cheap; anchors every roofline) ---
     if config == 'all':
         try:
-            r = _run_leg(
+            r, _ = _run_leg(
                 'ceiling',
                 _LEG_PRELUDE + "print('CEIL_RESULT ' + json.dumps("
-                               "{'tfs': bench.measure_ceiling(),"
-                               " 'hbm_gbs': bench.measure_hbm()}))\n",
-                '{}', 420, 'CEIL_RESULT')
-            details["ceiling_tfs_bf16"] = round(r['tfs'], 3)
-            details["hbm_gbs_measured"] = round(r['hbm_gbs'], 1)
+                               "{'ceiling': bench.measure_ceiling(),"
+                               " 'hbm': bench.measure_hbm(),"
+                               " 'latency_ms': round("
+                               "bench._get_latency() * 1e3, 1)}))\n",
+                '{}', 600, 'CEIL_RESULT')
+            details["ceiling"] = r['ceiling']
+            details["hbm"] = r['hbm']
+            details["roundtrip_latency_ms"] = r['latency_ms']
+            details["ceiling_tfs_bf16"] = r['ceiling']['tfs']
+            details["hbm_gbs_measured"] = r['hbm']['gbs']
         except Exception as exc:
             details["ceiling_tfs_bf16"] = f"{type(exc).__name__}: {exc}"[:200]
-        if prev and isinstance(details.get("ceiling_tfs_bf16"), str) \
-                and isinstance(prev.get("ceiling_tfs_bf16"), (int, float)):
-            details["ceiling_tfs_bf16"] = prev["ceiling_tfs_bf16"]
+        for k in ("ceiling_tfs_bf16", "hbm_gbs_measured"):
+            if prev and not isinstance(details.get(k), (int, float)) \
+                    and isinstance(prev.get(k), (int, float)):
+                details[k] = prev[k]
         _save_details()
+    hbm = details.get("hbm_gbs_measured",
+                      (prev or {}).get("hbm_gbs_measured"))
+    ceil = details.get("ceiling_tfs_bf16",
+                       (prev or {}).get("ceiling_tfs_bf16"))
 
-    # --- RBC headline leg ---
-    if config in ('rbc', 'all'):
-        payload = json.dumps(dict(Nx=Nx, Nz=Nz, n_steps=n_steps,
-                                  matsolver=matsolver))
-        code = (_LEG_PRELUDE +
-                "r = bench.run_rbc(cfg['Nx'], cfg['Nz'], cfg['n_steps'],"
-                " cfg['matsolver'])\n"
-                "print('RBC_RESULT ' + json.dumps(r))\n")
-        try:
-            head = _run_leg('rbc', code, payload,
-                            float(os.environ.get('BENCH_RBC_TIMEOUT', 1e9)),
-                            'RBC_RESULT')
-            details["rbc"] = head
-            ceil = details.get("ceiling_tfs_bf16",
-                               (prev or {}).get("ceiling_tfs_bf16"))
-            if isinstance(ceil, (int, float)) and head.get("flops_per_step"):
-                eff = (head["flops_per_step"]
-                       / (head["run_s"] / head["steps"]) / (ceil * 1e12))
-                head["roofline_frac_flops"] = round(eff, 3)
-            hbm = details.get("hbm_gbs_measured",
-                              (prev or {}).get("hbm_gbs_measured"))
-            if isinstance(hbm, (int, float)) and head.get("bytes_per_step"):
-                eff = (head["bytes_per_step"]
-                       / (head["run_s"] / head["steps"]) / (hbm * 1e9))
-                head["roofline_frac_bandwidth"] = round(eff, 3)
-            sk = head.get("solve_kernel")
-            if isinstance(hbm, (int, float)) and isinstance(sk, dict) \
-                    and sk.get("gbs"):
-                sk["frac_of_hbm"] = round(sk["gbs"] / hbm, 3)
-            _STATE["head"] = head
-        except Exception as exc:
-            details["rbc"] = {"config": f"RBC {Nx}x{Nz} ({matsolver})",
-                              "error": f"{type(exc).__name__}: {exc}"[:500]}
-            if prev and (prev.get("rbc") or {}).get("throughput"):
-                details["rbc_previous"] = prev["rbc"]
-        _save_details()
+    def _rooflines(rec):
+        if not isinstance(rec, dict):
+            return
+        if isinstance(ceil, (int, float)) and rec.get("flops_per_step"):
+            eff = (rec["flops_per_step"]
+                   / (rec["run_s"] / rec["steps"]) / (ceil * 1e12))
+            rec["roofline_frac_flops"] = round(eff, 3)
+        if isinstance(hbm, (int, float)) and rec.get("bytes_per_step"):
+            eff = (rec["bytes_per_step"]
+                   / (rec["run_s"] / rec["steps"]) / (hbm * 1e9))
+            rec["roofline_frac_bandwidth"] = round(eff, 3)
+        sk = rec.get("solve_kernel")
+        if isinstance(hbm, (int, float)) and isinstance(sk, dict) \
+                and sk.get("gbs"):
+            sk["frac_of_hbm"] = round(sk["gbs"] / hbm, 3)
 
-    # --- transform roofline leg ---
-    if config == 'all':
-        payload = json.dumps(dict(Nx=Nx, Nz=Nz))
-        code = (_LEG_PRELUDE +
-                "print('TRANS_RESULT ' + json.dumps("
-                "bench.run_transforms(cfg['Nx'], cfg['Nz'])))\n")
-        try:
-            details["transforms"] = _run_leg('transforms', code, payload,
-                                             600, 'TRANS_RESULT')
-            hbm = details.get("hbm_gbs_measured",
-                              (prev or {}).get("hbm_gbs_measured"))
-            if isinstance(hbm, (int, float)):
-                for rec in details["transforms"].values():
-                    if isinstance(rec, dict) and "gbs" in rec:
-                        rec["frac_of_hbm"] = round(rec["gbs"] / hbm, 3)
-        except Exception as exc:
-            details["transforms"] = {
-                "error": f"{type(exc).__name__}: {exc}"[:300]}
-        _save_details()
-
-    # --- ball leg ---
+    # --- ball leg (FIRST device simulation leg: the one number every
+    #     previous round failed to produce; must not be starved by RBC) ---
     if config in ('ball', 'all'):
         shape = tuple(int(s) for s in
                       os.environ.get('BENCH_BALL', '64,32,32').split(','))
@@ -671,26 +901,84 @@ def main():
                 " matsolver=cfg['matsolver'])\n"
                 "print('BALL_RESULT ' + json.dumps(r))\n")
         try:
-            ball = _run_leg(
+            ball, _ = _run_leg(
                 'ball', code, payload,
                 float(os.environ.get('BENCH_BALL_TIMEOUT', 2400)),
                 'BALL_RESULT')
+            _rooflines(ball)
             details["ball"] = ball
-            if _STATE["head"] is None:
+            # A freshly-measured ball beats no headline or a carried-forward
+            # one; a fresh RBC later still takes precedence.
+            cur = _STATE["head"]
+            if cur is None or 'carried-forward' in cur.get("config", ''):
                 _STATE["head"] = ball
         except Exception as exc:
             details["ball"] = {"config": f"ball {shape}",
-                               "error": f"{type(exc).__name__}: {exc}"[:500]}
+                               "error": f"{type(exc).__name__}: {exc}"[:600]}
             if prev and (prev.get("ball") or {}).get("throughput"):
                 details["ball_previous"] = prev["ball"]
         _save_details()
 
-    # --- CPU self-anchor (cheap, informative; last because it is not the
-    #     headline and must not starve device legs) ---
+    # --- transform roofline leg (BASELINE metric 2) ---
     if config == 'all':
-        details["anchor_cpu_measured"] = (measure_cpu_anchor()
-                                          or (prev or {}).get(
-                                              "anchor_cpu_measured"))
+        payload = json.dumps(dict(Nx=Nx, Nz=Nz))
+        code = (_LEG_PRELUDE +
+                "print('TRANS_RESULT ' + json.dumps("
+                "bench.run_transforms(cfg['Nx'], cfg['Nz'])))\n")
+        try:
+            details["transforms"], _ = _run_leg('transforms', code, payload,
+                                                900, 'TRANS_RESULT')
+            if isinstance(hbm, (int, float)):
+                for rec in details["transforms"].values():
+                    if isinstance(rec, dict) and "gbs" in rec:
+                        rec["frac_of_hbm"] = round(rec["gbs"] / hbm, 3)
+        except Exception as exc:
+            details["transforms"] = {
+                "error": f"{type(exc).__name__}: {exc}"[:600]}
+        _save_details()
+
+    # --- RBC headline leg (largest; takes all remaining budget) ---
+    if config in ('rbc', 'all'):
+        payload = json.dumps(dict(Nx=Nx, Nz=Nz, n_steps=n_steps,
+                                  matsolver=matsolver,
+                                  breakdown=os.environ.get(
+                                      'BENCH_BREAKDOWN', '1') == '1'))
+        code = (_LEG_PRELUDE +
+                "solver, r = bench.run_rbc(cfg['Nx'], cfg['Nz'],"
+                " cfg['n_steps'], cfg['matsolver'])\n"
+                "print('RBC_RESULT ' + json.dumps(r))\n"
+                "sys.stdout.flush()\n"
+                "if cfg.get('breakdown'):\n"
+                "    bd = bench.measure_step_breakdown(solver)\n"
+                "    print('BREAKDOWN_RESULT ' + json.dumps(bd))\n")
+        try:
+            head, extras = _run_leg(
+                'rbc', code, payload,
+                float(os.environ.get('BENCH_RBC_TIMEOUT', 1e9)),
+                'RBC_RESULT', extra_tags=('BREAKDOWN_RESULT',))
+            if 'BREAKDOWN_RESULT' in extras:
+                head["step_breakdown"] = extras['BREAKDOWN_RESULT']
+            _rooflines(head)
+            details["rbc"] = head
+            _STATE["head"] = head
+        except Exception as exc:
+            details["rbc"] = {"config": f"RBC {Nx}x{Nz} ({matsolver})",
+                              "error": f"{type(exc).__name__}: {exc}"[:600]}
+            if prev and (prev.get("rbc") or {}).get("throughput"):
+                details["rbc_previous"] = prev["rbc"]
+        _save_details()
+
+    # --- collect the concurrent CPU self-anchor ---
+    if config == 'all':
+        details["anchor_cpu_measured"] = (
+            collect_cpu_anchor(anchor_proc,
+                               max(10.0, _remaining() - _RESERVE))
+            or (prev or {}).get("anchor_cpu_measured"))
+        head = _STATE["head"]
+        if isinstance(details["anchor_cpu_measured"], (int, float)) \
+                and head and head.get("throughput"):
+            details["vs_cpu_anchor"] = round(
+                head["throughput"] / details["anchor_cpu_measured"], 2)
 
     if _STATE["head"] is None:
         _cpu_fallback(prev)

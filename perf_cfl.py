@@ -31,6 +31,13 @@ if (os.environ.get('PYTHONHASHSEED') != '0'
 import numpy as np
 
 
+def _sync(solver):
+    """Scalar fetch off the newest history entry: the only reliable
+    execution barrier under the axon serving layer (block_until_ready on
+    large arrays returns before execution; see bench.py timing notes)."""
+    return float(solver.timestepper.F.ravel()[0])
+
+
 def build(Nx, Nz):
     import jax
     import dedalus_tpu.public as d3
@@ -59,13 +66,13 @@ def run_fixed(Nx, Nz, n_steps, chunk=10, dt=1e-3):
     import jax
     solver, _ = build(Nx, Nz)
     solver.run_steps(dt, 5)                      # compile + warmup
-    jax.block_until_ready(solver.timestepper.F)
+    _sync(solver)
     t0 = time.perf_counter()
     done = 0
     while done < n_steps:
         m = min(chunk, n_steps - done)
         solver.run_steps(dt, m)
-        jax.block_until_ready(solver.timestepper.F)
+        _sync(solver)
         done += m
     el = time.perf_counter() - t0
     return dict(ms_per_step=round(el / n_steps * 1e3, 2),
@@ -88,12 +95,12 @@ def run_adaptive(Nx, Nz, n_steps, cadence=10, dt0=1e-3):
     dt = CFL.compute_timestep()
     CFL.max_frequency()                          # blocking host float
     solver.run_steps(dt, CFL.chunk_steps(max_n=cadence))
-    jax.block_until_ready(solver.timestepper.F)
+    _sync(solver)
     # Run past the first on-cadence update so its one-time poly refit for the
     # new (a0, b0) is also out of the timed region.
     dt = CFL.compute_timestep()
     solver.run_steps(dt, CFL.chunk_steps(max_n=cadence))
-    jax.block_until_ready(solver.timestepper.F)
+    _sync(solver)
     start_it = solver.iteration
     dts = []
     t0 = time.perf_counter()
@@ -101,7 +108,7 @@ def run_adaptive(Nx, Nz, n_steps, cadence=10, dt0=1e-3):
         dt = CFL.compute_timestep()
         dts.append(dt)
         solver.run_steps(dt, CFL.chunk_steps(max_n=cadence))
-        jax.block_until_ready(solver.timestepper.F)
+        _sync(solver)
     el = time.perf_counter() - t0
     n = solver.iteration - start_it
     return dict(ms_per_step=round(el / n * 1e3, 2),
