@@ -558,7 +558,18 @@ def measure_step_breakdown(solver, reps=3):
                 return jit_args + tuple(consts)
 
             dt = _time_scalar(jfn, make, reps=reps, sync=sync)
-            out[name] = round(dt * 1e3, 3)
+            rec = {'ms': round(dt * 1e3, 3)}
+            try:
+                cost = jfn.lower(*make(0)).compile().cost_analysis()
+                gb = float(cost.get('bytes accessed', 0.0)) / 1e9
+                rec['xla_gb'] = round(gb, 3)
+                rec['gbs'] = round(gb / dt, 1)
+                tf = float(cost.get('flops', 0.0)) / 1e12
+                if tf > 0.001:
+                    rec['tfs'] = round(tf / dt, 2)
+            except Exception:
+                pass
+            out[name] = rec
         except Exception as exc:
             out[name] = f"{type(exc).__name__}: {exc}"[:160]
         print(f"# breakdown {name}: {out[name]}", file=sys.stderr, flush=True)
@@ -581,7 +592,8 @@ def measure_step_breakdown(solver, reps=3):
     seg('scatter', lambda s, x: jnp.sum(
             jnp.zeros_like(s).at[pencil.var_index_map_dev].add(x)),
         (state_flat, Xnew), sync=(1,))
-    numeric = [v for v in out.values() if isinstance(v, (int, float))]
+    numeric = [v['ms'] for v in out.values()
+               if isinstance(v, dict) and isinstance(v.get('ms'), (int, float))]
     out['sum_ms'] = round(sum(numeric), 2)
     return out
 

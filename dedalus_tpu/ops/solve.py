@@ -551,13 +551,16 @@ class FactorizedStack:
                     # program_key matches. (npiv only gates the branch; a
                     # differing pivot COUNT changes the arg shapes and
                     # therefore the key.)
+                    gidx = jnp.asarray(gs, dtype=jnp.int32)
+                    ridx = jnp.asarray(rs, dtype=jnp.int32)
+                    cidx = jnp.asarray(cs, dtype=jnp.int32)
+
                     def exact_apply(arrs, X):
                         w = arrs['w_ml']
                         Y = (w[0] * applyM(arrs['M'], X)
                              + w[1] * applyL(arrs['L'], X))
                         if npiv:
-                            g, r, c = arrs['piv_g'], arrs['piv_r'], arrs['piv_c']
-                            Y = Y.at[g, r].add(X[g, c])
+                            Y = Y.at[gidx, ridx].add(X[gidx, cidx])
                         return Y
 
                     exact_arrs = {'M': bM.arrs, 'L': bL.arrs,
