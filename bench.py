@@ -904,10 +904,14 @@ def main():
     if config in ('ball', 'all'):
         shape = tuple(int(s) for s in
                       os.environ.get('BENCH_BALL', '64,32,32').split(','))
+        # banded by default: the scalable slot-split path, proven on device
+        # (r5: 64x32x32 banded = 450.8 ms/step); the dense inverse_refined
+        # default OOMs the 16 GB chip at this size (4 f64 (1024,329,329)
+        # stacks + scan temps = 19.6 GB at compile).
         payload = json.dumps(dict(shape=list(shape),
                                   n_steps=min(n_steps, 20),
                                   matsolver=os.environ.get(
-                                      'BENCH_BALL_SOLVER')))
+                                      'BENCH_BALL_SOLVER', 'banded')))
         code = (_LEG_PRELUDE +
                 "r = bench.run_ball(*cfg['shape'], n_steps=cfg['n_steps'],"
                 " matsolver=cfg['matsolver'])\n"
