@@ -234,6 +234,15 @@ class MultistepIMEX(TimestepperBase):
                 fact = self._get_factorized(a0, b0)
                 if solver.matsolver == 'banded':
                     self._banded_ml()
+                    # Align refinement counts upward to the pre-resolved
+                    # main factorization's count (see run_steps): program
+                    # sharing requires equal baked counts, and extra passes
+                    # past the floor are idle-but-correct.
+                    floor = getattr(self, '_banded_refs_floor', None)
+                    bb = getattr(fact, 'banded', None)
+                    if (floor and bb is not None and bb.refinements
+                            and bb.refinements < floor):
+                        bb.refinements = floor
                     self._current_fact = fact
                 if solver.matsolver == 'poly':
                     self._poly_ml()
@@ -446,6 +455,22 @@ class MultistepIMEX(TimestepperBase):
             return all(abs(h - dt) <= 1e-14 * abs(dt)
                        for h in list(self.dt_hist)[:live])
 
+        if (solver.matsolver == 'banded' and self.needs_startup
+                and n_steps > self.steps):
+            # Pre-resolve the MAIN scheme's factorization before any startup
+            # step: its adaptive refinement count becomes the FLOOR for the
+            # startup factorization (set in _prepare), so both bake the same
+            # count and — when the rest of their structural program_key
+            # matches — share ONE compiled run program instead of paying a
+            # second large remote compile for one startup step. Extra passes
+            # past a better-conditioned startup matrix's floor are
+            # idle-but-correct, and startup runs once.
+            am, bm, _ = self.compute_coefficients([dt] * self.steps,
+                                                  self.steps)
+            mf = self._prepare(float(am[0]), float(bm[0]))
+            mb = getattr(mf, 'banded', None)
+            if mb is not None and mb.refinements:
+                self._banded_refs_floor = mb.refinements
         while n_steps > 0 and (self.needs_startup or not _hist_uniform()):
             self.step(dt, wall_time)
             solver.iteration += 1
