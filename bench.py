@@ -682,10 +682,17 @@ def run_transforms(Nx, Nz, K=16):
         results[name] = rec
         print(f"# transforms {name}: {rec}", file=sys.stderr, flush=True)
 
-    # x-axis FFT at (K*Nz, Nx) f64 — the bench RBC layout batches z over rows
+    # x-axis FFT at (K*Nz, Nx) f64 — the bench RBC layout batches z over rows.
+    # Split form (re, im) only: materializing complex128 crashes the TPU
+    # compiler ("Unsupported CVT X64 expansion f64->c128" — the r4 "HTTP 500"
+    # transforms failure); the solver itself always uses the split paths.
     x = rng.standard_normal((K * Nz, Nx))
-    leg('rfft_x', x,
-        jax.jit(lambda v: jnp.abs(fft64.rfft64(v, axis=-1)).sum()),
+
+    def _rfft_sum(v):
+        yr, yi = fft64.rfft64_split(v, axis=-1)
+        return jnp.sum(jnp.abs(yr)) + jnp.sum(jnp.abs(yi))
+
+    leg('rfft_x', x, jax.jit(_rfft_sum),
         bytes_moved=x.size * 8 * 2, shape=(Nz, Nx))
     # z-axis DCT at (K*Nx, Nz)
     z = rng.standard_normal((K * Nx, Nz))

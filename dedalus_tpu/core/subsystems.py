@@ -15,6 +15,7 @@ Subproblem, valid-mode filtering, squareness). TPU-first redesign:
 import logging
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from scipy import sparse
 
@@ -1225,14 +1226,52 @@ class PencilSystem:
         is active: groups are embarrassingly parallel across devices). Invalid
         entries are masked: their matrix columns are structurally zero
         (assemble_group masks Dr A Dc), and mesh-padding groups gather from
-        state position 0, which carries live data."""
-        X = state_flat[self.var_index_map_dev] * self.col_valid_dev
+        state position 0, which carries live data.
+
+        Fast path: when the index map decomposes into strided windows +
+        one shared column permutation (all box problems), the gather is
+        contiguous reshapes + a shared-index take along the column axis —
+        on TPU ~36x faster than the flat (G, C) index gather, whose XLA
+        lowering reads the whole operand per group row."""
+        plan = self._gs_plan()
+        if plan is not None:
+            X = _plan_gather(plan, state_flat) * self.col_valid_dev
+        else:
+            X = state_flat[self.var_index_map_dev] * self.col_valid_dev
         return self.dist.constrain_pencils(X)
 
     def scatter_state(self, X):
         """(G, C) -> (state_total,) (invalid entries are zero so adds are safe)."""
+        plan = self._gs_plan()
+        if plan is not None and plan['scatter_ok']:
+            return _plan_scatter(plan, X, self.state_total)
         out = jnp.zeros(self.state_total, dtype=X.dtype)
         return out.at[self.var_index_map_dev].add(X)
+
+    def _gs_plan(self):
+        """Structured gather/scatter plan for the current var_index_map
+        (lazy; recomputed if the map was rebuilt by reordering/splitting)."""
+        src = getattr(self, '_gs_plan_src', None)
+        if src is not self.var_index_map:
+            self._gs_plan_src = self.var_index_map
+            self._gs_plan_cache = _build_gs_plan(
+                self.var_index_map, self.col_valid, self.state_total,
+                self.G_real)
+        return self._gs_plan_cache
+
+    def _eq_plans(self):
+        """Per-equation structured plans for eq_index_maps (same idea)."""
+        src = getattr(self, '_eq_plans_src', None)
+        if src is not self.eq_index_maps:
+            self._eq_plans_src = self.eq_index_maps
+            plans = []
+            for e_i, m in enumerate(self.eq_index_maps):
+                total = int(m.max()) + 1 if m.size else 0
+                valid = np.ones(m.shape, dtype=bool)
+                valid[self.G_real:] = False
+                plans.append(_build_gs_plan(m, valid, total, self.G_real))
+            self._eq_plans_cache = plans
+        return self._eq_plans_cache
 
     def flatten_fields(self, fields):
         return jnp.concatenate([f.data.ravel() for f in fields])
@@ -1249,11 +1288,16 @@ class PencilSystem:
         equations sharing a row block contribute only in groups where their
         condition holds (activity masks are static, so XLA folds the select
         into the gather)."""
+        plans = self._eq_plans()
         if self.eq_active is None:
             cols = []
-            for data, idx_map in zip(eq_datas, self.eq_index_maps):
+            for data, idx_map, plan in zip(eq_datas, self.eq_index_maps,
+                                           plans):
                 flat = data.ravel()
-                cols.append(flat[jnp.asarray(idx_map)])
+                if plan is not None:
+                    cols.append(_plan_gather(plan, flat))
+                else:
+                    cols.append(flat[jnp.asarray(idx_map)])
             out = jnp.concatenate(cols, axis=1) * self.row_valid_dev
             return self.dist.constrain_pencils(out)
         dtype = jnp.result_type(*[d.dtype for d in eq_datas])
@@ -1261,11 +1305,145 @@ class PencilSystem:
         for e_i, (data, idx_map) in enumerate(
                 zip(eq_datas, self.eq_index_maps)):
             flat = data.ravel()
-            col = flat[jnp.asarray(idx_map)] * self.eq_active_dev[e_i, :, None]
+            col = (_plan_gather(plans[e_i], flat) if plans[e_i] is not None
+                   else flat[jnp.asarray(idx_map)])
+            col = col * self.eq_active_dev[e_i, :, None]
             r0 = int(self.eq_offsets[e_i])
             out = out.at[:, r0:r0 + idx_map.shape[1]].add(col.astype(dtype))
         out = out * self.row_valid_dev
         return self.dist.constrain_pencils(out)
+
+
+def _build_gs_plan(idx, valid, total, G_real):
+    """Decompose a (G, C) flat index map as strided windows + one shared
+    column permutation (+ broadcast columns).
+
+    The generic pencil gather `flat[idx]` lowers on TPU to a gather whose
+    cost scales as G x operand size (measured: 30 ms / 36 GB of XLA traffic
+    at 2048x512 for a 34 MB state). Box problems always have the affine
+    structure idx[g, c] = i0[c] + g*s[c]: the gather is then contiguous
+    reshapes of state windows plus a take along the column axis with a
+    SHARED index vector, which the TPU lowers efficiently (measured 0.8 ms).
+
+    Returns a plan dict or None (slot-split spherical maps are not affine in
+    the group index; they keep the generic path).
+
+    Host-side, runs once per index-map build; validated exactly against the
+    affine reconstruction at every valid entry.
+    """
+    G, C = idx.shape
+    if G_real < 2 or C == 0 or total <= 0:
+        return None
+    idxr = idx[:G_real].astype(np.int64)
+    vr = valid[:G_real]
+    i0 = idxr[0].copy()
+    s = (idxr[1] - idxr[0]).astype(np.int64)
+    any_valid = vr.any(axis=0)
+    i0[~any_valid] = 0
+    s[~any_valid] = 0
+    if (s < 0).any() or (i0 < 0).any():
+        return None
+    g_ar = np.arange(G_real, dtype=np.int64)[:, None]
+    recon = i0[None, :] + g_ar * s[None, :]
+    if not np.array_equal(np.where(vr, recon, 0), np.where(vr, idxr, 0)):
+        return None
+    if (recon.max(initial=0) >= total):
+        return None
+    # Windows: per stride value, cluster the base indices into [w, w+s) bins
+    windows = []                      # (w, s)
+    colmap = np.empty(C, dtype=np.int64)
+    y_off = 0
+    win_cols = np.nonzero(s > 0)[0]
+    for sv in sorted(set(s[win_cols].tolist())):
+        cols = win_cols[s[win_cols] == sv]
+        order = cols[np.argsort(i0[cols], kind='stable')]
+        w = None
+        for c in order:
+            b = int(i0[c])
+            if w is None or b >= w + sv:
+                if w is not None:
+                    y_off += sv
+                w = b
+                if w + G_real * sv > total:
+                    return None
+                windows.append((w, int(sv)))
+            colmap[c] = y_off + (b - w)
+        if w is not None:
+            y_off += sv
+    C0 = y_off
+    bcast_cols = np.nonzero(s == 0)[0]
+    bidx = i0[bcast_cols]
+    colmap[bcast_cols] = C0 + np.arange(bcast_cols.size)
+    nb = bcast_cols.size
+    # Scatter feasibility
+    scatter_ok = True
+    wsorted = sorted(windows)
+    for (w1, s1), (w2, _) in zip(wsorted, wsorted[1:]):
+        if w2 < w1 + G_real * s1:
+            scatter_ok = False
+    for b in bidx:
+        for w, sv in wsorted:
+            if w <= b < w + G_real * sv:
+                scatter_ok = False
+    counts = np.bincount(colmap[win_cols], minlength=C0)
+    if counts.max(initial=0) > 1:
+        scatter_ok = False
+    # Inverse map: y window col j -> pencil col (or masked)
+    invmap = np.zeros(C0, dtype=np.int64)
+    invmask = np.zeros(C0, dtype=bool)
+    invmap[colmap[win_cols]] = win_cols
+    invmask[colmap[win_cols]] = True
+    identity = (nb == 0 and C0 == C
+                and np.array_equal(colmap, np.arange(C)))
+    # NOTE: host numpy arrays only — plans are built lazily, possibly under
+    # an active jit trace, and are reused across traces; jnp constants
+    # created under one trace must never be cached into another.
+    return dict(windows=windows, C0=C0, C=C, G_real=G_real, pad=G - G_real,
+                colmap=colmap.astype(np.int32),
+                identity=identity, scatter_ok=scatter_ok,
+                bidx=bidx.astype(np.int32) if nb else None,
+                bcast_cols=bcast_cols.astype(np.int32) if nb else None,
+                invmap=invmap.astype(np.int32),
+                invmask=invmask)
+
+
+def _plan_gather(plan, flat):
+    """Apply a structured plan: flat (total,) -> (G, C) pencil matrix.
+    Rows past G_real (mesh padding) are zero (callers mask them anyway)."""
+    Gr = plan['G_real']
+    parts = [jax.lax.dynamic_slice(flat, (w,), (Gr * s,)).reshape(Gr, s)
+             for (w, s) in plan['windows']]
+    if plan['bidx'] is not None:
+        parts.append(jnp.broadcast_to(flat[jnp.asarray(plan['bidx'])],
+                                      (Gr, plan['bidx'].shape[0])))
+    Y = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    X = (Y if plan['identity']
+         else jnp.take(Y, jnp.asarray(plan['colmap']), axis=1))
+    if plan['pad']:
+        X = jnp.concatenate(
+            [X, jnp.zeros((plan['pad'], plan['C']), X.dtype)], axis=0)
+    return X
+
+
+def _plan_scatter(plan, X, total):
+    """Inverse of _plan_gather: (G, C) -> (total,). Requires
+    plan['scatter_ok'] (disjoint windows, injective column map). Matches
+    the generic `zeros.at[idx].add(X)` exactly for X that is zero at
+    invalid entries (the scatter_state contract)."""
+    Gr = plan['G_real']
+    Xr = X[:Gr]
+    Yt = jnp.take(Xr, jnp.asarray(plan['invmap']), axis=1) * jnp.asarray(
+        plan['invmask'], X.dtype)
+    out = jnp.zeros(total, dtype=X.dtype)
+    off = 0
+    for (w, s) in plan['windows']:
+        out = jax.lax.dynamic_update_slice(
+            out, Yt[:, off:off + s].reshape(-1), (w,))
+        off += s
+    if plan['bcast_cols'] is not None:
+        out = out.at[jnp.asarray(plan['bidx'])].add(
+            jnp.sum(Xr[:, jnp.asarray(plan['bcast_cols'])], axis=0))
+    return out
 
 
 def banded_order(pencil):
