@@ -694,6 +694,13 @@ def run_transforms(Nx, Nz, K=16):
 
     leg('rfft_x', x, jax.jit(_rfft_sum),
         bytes_moved=x.size * 8 * 2, shape=(Nz, Nx))
+    # Dense MMT x-DFT at the same shape — the 'auto' plan below
+    # FAST_THRESHOLD (the solver's production x path at bench sizes; the
+    # four-step kernel above runs its 32-wide factors at ~3% MXU
+    # utilization, see core/basis.py:_fast_enabled).
+    Mx = jnp.asarray(rng.standard_normal((Nx, Nx)))
+    leg('mmt_x', x, jax.jit(lambda v: jnp.sum(v @ Mx)),
+        flops=2 * K * Nz * Nx * Nx, shape=(Nz, Nx))
     # z-axis DCT at (K*Nx, Nz)
     z = rng.standard_normal((K * Nx, Nz))
     leg('dct_z', z,

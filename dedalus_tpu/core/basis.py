@@ -21,13 +21,22 @@ from ..spectral import clenshaw
 from ..ops import transforms as ops_transforms
 from ..ops import fft64
 
-FAST_THRESHOLD = int(config.get('transforms', 'fast_threshold', fallback='2000'))
+FAST_THRESHOLD = int(config.get('transforms', 'fast_threshold', fallback='8192'))
 
 
 def _fast_enabled(library_key, size):
     """Transform plan selection: 'matrix' = always MMT, 'fast' = always the
     mixed-radix matmul path, 'auto' = fast above the size threshold (the
-    reference's @register_transform library dispatch, transforms.py:52-64)."""
+    reference's @register_transform library dispatch, transforms.py:52-64).
+
+    The 'auto' threshold default (8192) is a TPU measurement, not an
+    asymptotic argument: at N=2048/3072 the four-step's (32, 48)-factor
+    f64 einsums run at 0.07 TF/s effective (the 128-lane MXU is 97% padding
+    at 32-wide contractions) while the dense MMT GEMM runs at >1.1 TF/s —
+    the full 2048x512 RBC RHS measured 1243 ms four-step vs 191 ms MMT.
+    The four-step's ~N/(2 sqrt(N)) flop advantage only overcomes the ~16x
+    rate disadvantage for N in the several-thousands, where its factors are
+    also wide enough (>=64) to use the MXU properly."""
     lib = config.get('transforms', library_key, fallback='auto')
     if lib == 'matrix':
         return False

@@ -20,7 +20,11 @@ DEFAULTS = {
         # O(N^1.5) — ops/fft64.py), or 'auto' (fast above fast_threshold).
         'fourier_library': 'auto',
         'jacobi_library': 'auto',
-        'fast_threshold': '2000',
+        # TPU measurement (see core/basis.py:_fast_enabled): below several
+        # thousand modes the dense MMT GEMM beats the four-step matmul FFT
+        # ~6.5x because the four-step's narrow (32,48) factors waste the
+        # 128-lane MXU; the asymptotic flop win only pays above ~8k.
+        'fast_threshold': '8192',
         'dealias_before_converting': 'True',
     },
     'parallelism': {
