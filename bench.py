@@ -539,7 +539,9 @@ def measure_step_breakdown(solver, reps=3):
     RHS = (jnp.einsum('j,jgr->gr', c[1:], Fh)
            - jnp.einsum('j,jgr->gr', a[1:], MXh)
            - jnp.einsum('j,jgr->gr', b[1:], LXh)) * rv
-    Xnew = jnp.zeros_like(RHS)
+    # Non-zero so the per-rep multiplicative jitter actually changes bytes
+    # (zeros are invariant under scaling -> serving-layer memoization).
+    Xnew = RHS * 0.5
 
     out = {}
 
@@ -589,9 +591,8 @@ def measure_step_breakdown(solver, reps=3):
         (MXh, LXh, Fh, a, b, c), sync=(0, 1, 2))
     seg('solve', lambda sa, R: jnp.sum(solve(sa, R)),
         (mats['solve'], RHS), sync=(1,))
-    seg('scatter', lambda s, x: jnp.sum(
-            jnp.zeros_like(s).at[pencil.var_index_map_dev].add(x)),
-        (state_flat, Xnew), sync=(1,))
+    seg('scatter', lambda x: jnp.sum(pencil.scatter_state(x)),
+        (Xnew,), sync=(0,))
     numeric = [v['ms'] for v in out.values()
                if isinstance(v, dict) and isinstance(v.get('ms'), (int, float))]
     out['sum_ms'] = round(sum(numeric), 2)

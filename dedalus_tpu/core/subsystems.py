@@ -1375,8 +1375,11 @@ def _build_gs_plan(idx, valid, total, G_real):
     bidx = i0[bcast_cols]
     colmap[bcast_cols] = C0 + np.arange(bcast_cols.size)
     nb = bcast_cols.size
-    # Scatter feasibility
-    scatter_ok = True
+    # Scatter feasibility. The gather only needs the affine model at VALID
+    # entries (invalid reads are masked by callers); the scatter must land
+    # every entry where the generic map would, so require exact equality of
+    # the stored map with the affine reconstruction at ALL entries.
+    scatter_ok = np.array_equal(recon, idxr)
     wsorted = sorted(windows)
     for (w1, s1), (w2, _) in zip(wsorted, wsorted[1:]):
         if w2 < w1 + G_real * s1:
@@ -1428,8 +1431,14 @@ def _plan_gather(plan, flat):
 def _plan_scatter(plan, X, total):
     """Inverse of _plan_gather: (G, C) -> (total,). Requires
     plan['scatter_ok'] (disjoint windows, injective column map). Matches
-    the generic `zeros.at[idx].add(X)` exactly for X that is zero at
-    invalid entries (the scatter_state contract)."""
+    the generic `zeros.at[idx].add(X)` BIT-EXACTLY for any X: scatter_ok
+    requires the affine model to hold at every entry (valid or not), so
+    window writes land where the generic map scatters, and broadcast
+    columns use the same per-entry scatter-add primitive as the generic
+    path — a pre-reduced jnp.sum over the (mesh-sharded) group axis was
+    measured to change the result vs the serial run (distributed !=
+    serial at 6.8e-4 in the 8-device dryrun), while .at[].add lowers
+    identically in both."""
     Gr = plan['G_real']
     Xr = X[:Gr]
     Yt = jnp.take(Xr, jnp.asarray(plan['invmap']), axis=1) * jnp.asarray(
@@ -1441,8 +1450,10 @@ def _plan_scatter(plan, X, total):
             out, Yt[:, off:off + s].reshape(-1), (w,))
         off += s
     if plan['bcast_cols'] is not None:
-        out = out.at[jnp.asarray(plan['bidx'])].add(
-            jnp.sum(Xr[:, jnp.asarray(plan['bcast_cols'])], axis=0))
+        nb = plan['bidx'].shape[0]
+        idx = jnp.broadcast_to(jnp.asarray(plan['bidx'])[None, :], (Gr, nb))
+        out = out.at[idx.ravel()].add(
+            Xr[:, jnp.asarray(plan['bcast_cols'])].ravel())
     return out
 
 

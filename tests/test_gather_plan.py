@@ -34,11 +34,17 @@ def check_pencil(p, expect_plan=None):
     ref = p.dist.constrain_pencils(generic_gather(p, state))
     got = p.gather_state(state)
     assert np.array_equal(np.asarray(ref), np.asarray(got))
-    # Scatter contract: X zero at invalid entries
+    # Scatter: scatter_ok requires the affine model at ALL entries, so the
+    # structured path must match the generic map for ARBITRARY X — not just
+    # the contract's valid-masked inputs (the distributed step feeds it the
+    # raw solve output; see subsystems._plan_scatter).
     X = jnp.asarray(rng.standard_normal((p.var_index_map.shape[0], p.C)))
-    X = X * p.col_valid_dev
     sref = generic_scatter(p, X)
     sgot = p.scatter_state(X)
+    assert np.allclose(np.asarray(sref), np.asarray(sgot), rtol=0, atol=1e-13)
+    Xm = X * p.col_valid_dev
+    sref = generic_scatter(p, Xm)
+    sgot = p.scatter_state(Xm)
     assert np.array_equal(np.asarray(sref), np.asarray(sgot))
     return plan
 
