@@ -565,10 +565,13 @@ def measure_step_breakdown(solver, reps=3):
                 cost = jfn.lower(*make(0)).compile().cost_analysis()
                 gb = float(cost.get('bytes accessed', 0.0)) / 1e9
                 rec['xla_gb'] = round(gb, 3)
-                rec['gbs'] = round(gb / dt, 1)
-                tf = float(cost.get('flops', 0.0)) / 1e12
-                if tf > 0.001:
-                    rec['tfs'] = round(tf / dt, 2)
+                # Below ~1 ms the latency-adjusted dt is at measurement
+                # resolution; derived rates would be garbage — omit them.
+                if dt > 1e-3:
+                    rec['gbs'] = round(gb / dt, 1)
+                    tf = float(cost.get('flops', 0.0)) / 1e12
+                    if tf > 0.001:
+                        rec['tfs'] = round(tf / dt, 2)
             except Exception:
                 pass
             out[name] = rec

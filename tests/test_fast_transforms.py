@@ -127,11 +127,13 @@ def test_fast_chebyshev_roundtrip(maker, M):
 
 def test_fast_path_dispatches():
     """forward_transform takes the fast plan above the threshold and MMT below.
-    (Default threshold is 1536: on the op-latency-bound bench device MMT wins
-    below that; the relative dispatch behavior is what's pinned here.)"""
-    big = B.ChebyshevT(coord(), 2048, (-1, 1))
+    (Default threshold is 8192: measured on TPU, the dense MMT rides the MXU
+    and beats the four-step matmul FFT below that; the relative dispatch
+    behavior around the configured threshold is what's pinned here.)"""
+    from dedalus_tpu.core.basis import FAST_THRESHOLD
+    big = B.ChebyshevT(coord(), 2 * FAST_THRESHOLD, (-1, 1))
     small = B.ChebyshevT(coord(), 16, (-1, 1))
-    assert big._use_fast(2048)
+    assert big._use_fast(2 * FAST_THRESHOLD)
     assert not small._use_fast(16)
     legendre = B.Legendre(coord(), 128, (-1, 1))
     assert legendre._fast_da is None  # non-Chebyshev grid: MMT only
