@@ -472,6 +472,55 @@ def test_banded_bordered_matsolver_matches_lu():
     assert err < 1e-11 * max(1, np.abs(ref).max()), f"banded mismatch: {err}"
 
 
+def test_banded_outer_refinement_reuse():
+    """Startup steps (and nearby CFL coefficients) are served from the MAIN
+    factorization via outer iterative refinement instead of building a
+    second factor stack: after a cold run_steps, exactly ONE factorization
+    exists, the startup key is mapped to a positive outer pass count, and
+    the trajectory matches the no-reuse baseline (which builds startup +
+    main) to refinement-floor accuracy. Motivation: each factor stack at
+    BASELINE scale is ~4 GB shipped through the serving tunnel (~5 min);
+    reuse removes two of the three ships per cold start."""
+    from dedalus_tpu.models.rbc import build_rbc_problem
+    from dedalus_tpu.utils.config import config
+
+    def run(rho):
+        old_gb = config.get('memory', 'max_dense_stack_gb')
+        old_min = config.get('matrix assembly', 'sampled_min_groups')
+        old_rho = config.get('linear algebra', 'outer_reuse_rho',
+                             fallback='0.55')
+        try:
+            config.set('memory', 'max_dense_stack_gb', '0')
+            config.set('matrix assembly', 'sampled_min_groups', '8')
+            config.set('linear algebra', 'outer_reuse_rho', str(rho))
+            problem, ctx = build_rbc_problem(32, 16, Rayleigh=1e5)
+            solver = problem.build_solver(d3.SBDF2, matsolver='banded')
+            b = ctx['b']
+            z = ctx['dist'].local_grid(ctx['zbasis'], scale=1)
+            Lz = ctx['Lz']
+            b.fill_random('g', seed=42, distribution='normal', scale=1e-3)
+            b['g'] = np.array(b['g']) * z * (Lz - z) + (Lz - z)
+            solver.run_steps(1e-3, 8)
+            assert solver.matsolver == 'banded'
+            ts = solver.timestepper
+            return (np.asarray(solver.state_flat()), len(ts._factorized),
+                    dict(ts._outer_for_key))
+        finally:
+            config.set('memory', 'max_dense_stack_gb', old_gb)
+            config.set('matrix assembly', 'sampled_min_groups', old_min)
+            config.set('linear algebra', 'outer_reuse_rho', old_rho)
+
+    X1, nfacts1, omap1 = run(0.55)
+    X0, nfacts0, omap0 = run(0.0)
+    # Reuse: one factorization total; startup key bridged with outer passes
+    assert nfacts1 == 1, f"expected 1 factorization with reuse, got {nfacts1}"
+    assert nfacts0 == 2, f"expected 2 factorizations without, got {nfacts0}"
+    assert any(n > 0 for n in omap1.values()), omap1
+    assert all(n == 0 for n in omap0.values()), omap0
+    err = np.abs(X1 - X0).max() / max(1.0, np.abs(X0).max())
+    assert err < 1e-11, f"outer-refined startup diverged: {err}"
+
+
 def test_banded_pivot_pinning_repairs_border_anchored_kernel():
     """A band core whose kernel is anchored ONLY by far border content (the
     ball-saddle structure: left/right null supports band-disjoint) is
